@@ -1,0 +1,75 @@
+"""Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR.
+
+Runs each headline query to completion with the ``noop`` sink (forces
+full distributed execution, no driver collect) and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "rollup_pricing_summary",
+    "derived_measure",
+    "role_playing_nation_join",
+    "group_rollup_brand",
+    "dedup_subset_deterministic",
+    "window_running_total",
+    "events_tumbling_hourly",
+    "incremental_insert_orders",
+    "dedup_exact_documents",
+    "dedup_minhash_lsh",
+    "similarity_bruteforce_topk",
+    "text_quality_score",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = None
+
+    from emission_project_spark.session import get_spark
+    import __spark_entry__ as entrymod
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entrymod.queries()
+
+    # warm the JVM/codegen path once so per-query numbers measure the
+    # engine, not first-call classloading
+    qs["rollup_pricing_summary"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,54 @@
+"""Incremental-load primitives (SURVEY.md §2.1 S5/S7/S9, §4.3.2-3).
+
+The reference's load pattern per table (``dags/emission-dag.py:69-212``):
+
+    COUNT probe → if empty: bulk append; else: anti-join new batch
+    against current DB state, append only unseen rows.
+
+and an unused Redshift-style keyed upsert template
+(``upsert_query.text:1-9``: LOCK; DELETE USING; INSERT). Spark-first
+equivalents, parquet-warehouse based.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+
+from emission_project_spark.operators.joins import anti_join
+
+
+def is_empty(df: DataFrame) -> bool:
+    """Emptiness probe (reference S5: ``SELECT COUNT(pk) FROM t`` at
+    ``emission-dag.py:77-78`` etc.). ``isEmpty`` scans at most one
+    partition — cheaper than ``count()`` on a big table."""
+    return df.isEmpty()
+
+
+def incremental_insert(
+    existing: DataFrame,
+    batch: DataFrame,
+    keys: Sequence[str],
+) -> DataFrame:
+    """Rows of ``batch`` not already present in ``existing`` by key
+    (null-safe). The count-guard branch of the reference collapses: an
+    anti-join against an empty table is the identity, so one expression
+    serves both cold-start and incremental paths (AQE prunes the empty
+    side at runtime)."""
+    return anti_join(batch, existing, keys)
+
+
+def upsert(
+    existing: DataFrame,
+    batch: DataFrame,
+    keys: Sequence[str],
+) -> DataFrame:
+    """Keyed upsert (reference S9, ``upsert_query.text:5-9``): rows of
+    ``existing`` whose key is absent from ``batch``, plus all of
+    ``batch`` — i.e. DELETE USING + INSERT, expressed as
+    anti-join ∪ batch. Caller persists atomically (see
+    ``sources.warehouse.overwrite_atomic``). On a table format with
+    transactions this is ``MERGE INTO``; pure-parquet needs the swap."""
+    keep = anti_join(existing, batch, keys)
+    return keep.unionByName(batch)

@@ -1,0 +1,364 @@
+"""Training-data pipeline queries: dedup, similarity, text, multimodal.
+
+These are the north-star extensions (SURVEY.md §7.6) — first-class
+engine surface, each with a DuckDB oracle. Shared-hash discipline: md5
+hex strings behave identically in Spark and DuckDB, which makes minhash
+signatures and simhash bits exactly checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from emission_project_spark.catalog.tables import load_table
+from emission_project_spark.extensions.dedup import (
+    exact_duplicates,
+    minhash_band_signatures,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash64,
+)
+from emission_project_spark.extensions.similarity import brute_force_topk, ivf_topk
+from emission_project_spark.functions.text import (
+    LANG_MARKERS,
+    char_count,
+    lang_scores,
+    punct_ratio,
+    quality_score,
+    stopword_ratio,
+    fingerprint,
+    token_count,
+)
+from emission_project_spark.functions.vectors import l2_norm
+from emission_project_spark.plans.registry import register
+
+# DuckDB needs the 'g' flag for global regexp_replace (Spark is always global)
+_FP_SQL = "md5(regexp_replace(lower(text), '\\W', '', 'g'))"
+_TOKS_SQL = "regexp_extract_all(lower(text), '\\w+')"
+
+
+# --- exact dedup: hash group-by on canonical fingerprint.
+@register(
+    "dedup_exact_documents",
+    oracle=f"""
+    SELECT {_FP_SQL} AS fingerprint,
+           CAST(min(doc_id) AS BIGINT) AS canonical_doc_id,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_duplicates(docs)
+
+
+# --- text analysis: token counting (whitespace/BPE-ish regex).
+@register(
+    "text_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars_measured
+    FROM documents
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        char_count("text").alias("n_chars_measured"),
+    )
+
+
+# --- text analysis: quality scoring.
+@register(
+    "text_quality_score",
+    oracle="""
+    WITH m AS (
+        SELECT doc_id,
+               CAST(length(text) AS DOUBLE) AS n_chars,
+               CAST(length(regexp_replace(text, '[\\w ]', '', 'g')) AS DOUBLE) AS n_punct,
+               CAST(len(regexp_extract_all(lower(text), '\\w+')) AS DOUBLE) AS n_toks,
+               CAST(len(list_filter(regexp_extract_all(lower(text), '\\w+'),
+                    t -> t IN ('the','and','of','to','is'))) AS DOUBLE) AS n_stop
+        FROM documents
+    )
+    SELECT doc_id,
+           round(least(n_chars / 500.0, 1.0) * 0.4
+                 + (1.0 - least((CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END) * 5.0, 1.0)) * 0.3
+                 + (1.0 - abs((CASE WHEN n_toks > 0 THEN n_stop / n_toks ELSE 0.0 END) - 0.4)) * 0.3,
+                 6) AS quality
+    FROM m
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", F.round(quality_score("text"), 6).alias("quality"))
+
+
+# --- text analysis: n-gram-heuristic language ID.
+def _langid_case_sql() -> str:
+    return """CASE WHEN score_de >= score_en AND score_de >= score_es AND score_de >= score_fr THEN 'de'
+                   WHEN score_en >= score_es AND score_en >= score_fr THEN 'en'
+                   WHEN score_es >= score_fr THEN 'es'
+                   ELSE 'fr' END"""
+
+
+@register(
+    "text_langid",
+    oracle=f"""
+    WITH s AS (
+        SELECT doc_id,
+               {', '.join(
+                   f"CAST(len(list_filter({_TOKS_SQL}, t -> t IN "
+                   f"({', '.join(repr(m) for m in markers)}))) AS BIGINT) AS score_{lang}"
+                   for lang, markers in LANG_MARKERS.items()
+               )}
+        FROM documents
+    )
+    SELECT doc_id, score_en, score_es, score_fr, score_de,
+           {_langid_case_sql()} AS predicted_lang
+    FROM s
+    """,
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    scores = lang_scores("text")
+    out = docs.select("doc_id", *[c.alias(f"score_{lang}") for lang, c in scores.items()])
+    predicted = (
+        F.when(
+            (F.col("score_de") >= F.col("score_en"))
+            & (F.col("score_de") >= F.col("score_es"))
+            & (F.col("score_de") >= F.col("score_fr")),
+            "de",
+        )
+        .when((F.col("score_en") >= F.col("score_es")) & (F.col("score_en") >= F.col("score_fr")), "en")
+        .when(F.col("score_es") >= F.col("score_fr"), "es")
+        .otherwise("fr")
+    )
+    return out.withColumn("predicted_lang", predicted)
+
+
+# --- text analysis: document fingerprint (normalization hash).
+@register(
+    "text_fingerprint",
+    oracle=f"""
+    SELECT doc_id, {_FP_SQL} AS fingerprint FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint("text").alias("fingerprint"))
+
+
+# --- shingle-set Jaccard near-dup (exact pairwise over shingle join).
+_SHINGLE_SQL = """
+    toks AS (SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS t FROM documents),
+    sh AS (
+        SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+        FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+              FROM toks WHERE len(t) >= 3)
+    )
+"""
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_SHINGLE_SQL},
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT i.doc_a, i.doc_b,
+           round(CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common), 6) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON i.doc_a = sa.doc_id
+    JOIN sizes sb ON i.doc_b = sb.doc_id
+    WHERE CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common) >= 0.2
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, threshold=0.2)
+
+
+# --- MinHash band signatures (oracle-checkable LSH internals).
+@register(
+    "dedup_minhash_signatures",
+    oracle=f"""
+    WITH {_SHINGLE_SQL},
+    banded AS (
+        SELECT doc_id, band,
+               md5(CAST(band AS VARCHAR) || '|' || shingle) AS h
+        FROM sh CROSS JOIN (SELECT unnest(range(8)) AS band)
+    )
+    SELECT doc_id, CAST(band AS INT) AS band, min(h) AS signature
+    FROM banded GROUP BY doc_id, band
+    """,
+)
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_band_signatures(docs)
+
+
+# --- MinHash-LSH candidate pairs (bucket join on band signature).
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH {_SHINGLE_SQL},
+    banded AS (
+        SELECT doc_id, band,
+               md5(CAST(band AS VARCHAR) || '|' || shingle) AS h
+        FROM sh CROSS JOIN (SELECT unnest(range(8)) AS band)
+    ),
+    sig AS (SELECT doc_id, band, min(h) AS signature FROM banded GROUP BY doc_id, band)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(count(*) AS BIGINT) AS bands_agree
+    FROM sig a
+    JOIN sig b ON a.band = b.band AND a.signature = b.signature
+              AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_candidates(docs)
+
+
+# --- SimHash fingerprints (bit-parity checkable via hex arithmetic).
+@register(
+    "dedup_simhash",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents
+    ),
+    hx AS (SELECT doc_id, substring(md5(tok), 1, 15) AS hx FROM toks),
+    votes AS (
+        SELECT doc_id, b.bit,
+               CASE WHEN ((strpos('0123456789abcdef', substring(hx, 15 - b.bit // 4, 1)) - 1)
+                          >> (b.bit % 4)) & 1 = 1 THEN 1 ELSE -1 END AS vote
+        FROM hx CROSS JOIN (SELECT unnest(range(32)) AS bit) b
+    ),
+    per_bit AS (SELECT doc_id, bit, sum(vote) AS v FROM votes GROUP BY doc_id, bit)
+    SELECT doc_id,
+           CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash
+    FROM per_bit GROUP BY doc_id
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash64(docs)
+
+
+# --- similarity: exact brute-force cosine top-k (baseline).
+@register(
+    "similarity_bruteforce_topk",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+               FROM embeddings WHERE vec_id < 3),
+    scored AS (
+        SELECT q.query_id, v.vec_id,
+               round(list_cosine_similarity(v.embedding::DOUBLE[], q.qe), 6) AS cosine_sim
+        FROM embeddings v CROSS JOIN q
+        WHERE v.vec_id <> q.query_id
+    )
+    SELECT query_id,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY cosine_sim DESC, vec_id) AS BIGINT) AS rank,
+           vec_id, cosine_sim
+    FROM scored
+    QUALIFY rank <= 10
+    """,
+)
+def similarity_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb, emb.filter(F.col("vec_id") < 3), k=10)
+
+
+# --- similarity: IVF approximate top-k (the scale path).
+@register(
+    "similarity_ivf_topk",
+    oracle="""
+    WITH c AS (SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS ce
+               FROM embeddings WHERE vec_id < 16),
+    v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    cscored AS (
+        SELECT v.vec_id, v.e, c.centroid_id,
+               round(list_cosine_similarity(v.e, c.ce), 6) AS s
+        FROM v CROSS JOIN c
+    ),
+    assigned AS (
+        SELECT vec_id, e, centroid_id
+        FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                         ORDER BY s DESC, centroid_id) AS rn FROM cscored)
+        WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS query_id, e AS qe, centroid_id AS qcell
+          FROM assigned WHERE vec_id < 3),
+    scored AS (
+        SELECT q.query_id, a.vec_id,
+               round(list_cosine_similarity(a.e, q.qe), 6) AS cosine_sim
+        FROM assigned a JOIN q ON a.centroid_id = q.qcell AND a.vec_id <> q.query_id
+    )
+    SELECT query_id,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY cosine_sim DESC, vec_id) AS BIGINT) AS rank,
+           vec_id, cosine_sim
+    FROM scored
+    QUALIFY rank <= 10
+    """,
+)
+def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, emb.filter(F.col("vec_id") < 3), n_centroids=16, k=10)
+
+
+# --- embedding column stats (array-typed analytics).
+@register(
+    "embedding_stats",
+    oracle="""
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(max(len(embedding)) AS INT) AS dim,
+           round(avg(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)))), 4)
+               AS avg_l2_norm
+    FROM embeddings
+    GROUP BY label
+    """,
+)
+def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.max(F.size("embedding")).alias("dim"),
+        F.round(F.avg(l2_norm("embedding")), 4).alias("avg_l2_norm"),
+    )
+
+
+# --- multimodal: opaque binary payloads + typed metadata (plumbing is
+# real; heavy decode lives behind stubs in extensions/multimodal.py).
+@register(
+    "multimodal_binary_meta",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS content_md5,
+           source AS media_source
+    FROM documents
+    """,
+)
+def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "UTF-8")
+    return docs.select(
+        "doc_id",
+        F.octet_length(payload).cast("long").alias("n_bytes"),
+        F.md5("text").alias("content_md5"),
+        F.col("source").alias("media_source"),
+    )

@@ -1,0 +1,553 @@
+"""Core relational queries — one per operator family in SURVEY.md §2.
+
+Each query exercises a reference operator (cited) on the driver's
+TPC-H-ish testdata, Spark-first: declarative DataFrame plans that
+Catalyst compiles to broadcast-hash joins, partial+final hash
+aggregates, and pruned parquet scans. The paired oracle SQL (DuckDB)
+defines exact expected semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from emission_project_spark.catalog.tables import load_table
+from emission_project_spark.functions.datetime import date_dim, date_parts
+from emission_project_spark.operators.dedup import dedup_subset, union_distinct
+from emission_project_spark.operators.incremental import incremental_insert, upsert
+from emission_project_spark.operators.joins import (
+    anti_join,
+    join_dim_role,
+    join_nullsafe,
+)
+from emission_project_spark.operators.keys import add_surrogate_key, date_id_expr
+from emission_project_spark.plans.registry import register
+
+
+# --- A2 + P3 + P4: the flagship roll-up (pricing summary à la TPC-H Q1).
+# Reference analog: filter + derived measure + grouped totals, the
+# "total emission on a brand level" product surface (README.md:3,
+# emission-dag.py:161-162). Whole pipeline is one scan + one partial/
+# final hash aggregate; the shipdate filter is pushed to parquet.
+@register(
+    "rollup_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                   AS sum_qty,
+           round(sum(l_extendedprice), 2)                              AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 4)           AS sum_disc_price,
+           round(avg(l_quantity), 6)                                   AS avg_qty,
+           round(avg(l_discount), 6)                                   AS avg_disc,
+           CAST(count(*) AS BIGINT)                                    AS count_order
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def rollup_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.to_date("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "sum_disc_price"
+            ),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# --- P1/P2: projection + canonical rename (emission-dag.py:74,89-92).
+@register(
+    "projection_rename",
+    oracle="""
+    SELECT c_custkey AS customer_id, c_name AS full_name,
+           c_mktsegment AS segment
+    FROM customer
+    """,
+)
+def projection_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        F.col("c_custkey").alias("customer_id"),
+        F.col("c_name").alias("full_name"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+
+
+# --- P3: predicate filter (emission-dag.py:84 boolean-mask idiom).
+@register(
+    "filter_predicate",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem
+    WHERE l_returnflag = 'R' AND l_quantity > 45
+    """,
+)
+def filter_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter((F.col("l_returnflag") == "R") & (F.col("l_quantity") > 45)).select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+
+
+# --- P4: derived scalar measure — the total_emission analog
+# (emission-dag.py:161-162: distance_km * co2_emission_g_per_km).
+@register(
+    "derived_measure",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 6) AS net_revenue
+    FROM lineitem
+    """,
+)
+def derived_measure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")), 6
+        ).alias("net_revenue"),
+    )
+
+
+# --- P6/P8: casts + date-part functions (create_tables.py:8-13;
+# week is ISO, year is calendar year — SURVEY.md §4.4).
+@register(
+    "cast_and_dateparts",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderdate AS DATE)                       AS order_date,
+           dayname(CAST(o_orderdate AS DATE))              AS week_day,
+           CAST(dayofmonth(CAST(o_orderdate AS DATE)) AS INT) AS day,
+           CAST(month(CAST(o_orderdate AS DATE)) AS INT)   AS month,
+           CAST(weekofyear(CAST(o_orderdate AS DATE)) AS INT) AS week,
+           CAST(quarter(CAST(o_orderdate AS DATE)) AS INT) AS quarter,
+           CAST(year(CAST(o_orderdate AS DATE)) AS INT)    AS year
+    FROM orders
+    """,
+)
+def cast_and_dateparts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    parts = date_parts(d)
+    return o.select(
+        "o_orderkey",
+        d.alias("order_date"),
+        *[expr.alias(name) for name, expr in parts.items()],
+    )
+
+
+# --- P7: smart date key yyyymmdd (create_tables.py:14).
+@register(
+    "date_id_smart_key",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(strftime(CAST(o_orderdate AS DATE), '%Y%m%d') AS INT) AS date_id
+    FROM orders
+    """,
+)
+def date_id_smart_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.select("o_orderkey", date_id_expr(F.to_date("o_orderdate")).alias("date_id"))
+
+
+# --- P9: generated date dimension (create_tables.py:6-15), 7,306 rows.
+@register(
+    "date_dim_generate",
+    oracle="""
+    SELECT CAST(strftime(d, '%Y%m%d') AS INT) AS date_id,
+           d                                  AS date,
+           dayname(d)                         AS week_day,
+           CAST(dayofmonth(d) AS INT)         AS day,
+           CAST(month(d) AS INT)              AS month,
+           CAST(weekofyear(d) AS INT)         AS week,
+           CAST(quarter(d) AS INT)            AS quarter,
+           CAST(year(d) AS INT)               AS year
+    FROM (SELECT unnest(generate_series(DATE '2010-01-01', DATE '2030-01-01',
+                                        INTERVAL 1 DAY))::DATE AS d)
+    """,
+)
+def date_dim_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return date_dim(spark)
+
+
+# --- D1: key-subset dedup with deterministic survivor
+# (emission-dag.py:76,96; survivor pinned per SURVEY.md §2.4).
+@register(
+    "dedup_subset_deterministic",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_partkey
+    FROM (SELECT l_orderkey, l_linenumber, l_partkey,
+                 row_number() OVER (PARTITION BY l_orderkey
+                                    ORDER BY l_linenumber, l_partkey) AS rn
+          FROM lineitem)
+    WHERE rn = 1
+    """,
+)
+def dedup_subset_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_partkey")
+    return dedup_subset(li, ["l_orderkey"], tiebreaker=["l_linenumber", "l_partkey"])
+
+
+# --- U1: union-all then distinct (emission-dag.py:127,145,152 —
+# start/target country set-union).
+@register(
+    "union_distinct_nations",
+    oracle="""
+    SELECT DISTINCT nationkey FROM (
+        SELECT c_nationkey AS nationkey FROM customer
+        UNION ALL
+        SELECT s_nationkey AS nationkey FROM supplier
+    )
+    """,
+)
+def union_distinct_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return union_distinct(c, s)
+
+
+# --- O1 + limit: deterministic top-k (sort_values analog,
+# emission-dag.py:74,93, with an id tiebreak for stability).
+@register(
+    "topk_orders_by_price",
+    oracle="""
+    SELECT o_orderkey, round(o_totalprice, 2) AS total_price
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 25
+    """,
+)
+def topk_orders_by_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(25)
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("total_price"))
+    )
+
+
+# --- J1-J4 family: incremental anti-join (emission-dag.py:83-84).
+@register(
+    "anti_join_customers_without_orders",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def anti_join_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return anti_join(c, o, {"c_custkey": "o_custkey"}).select("c_custkey", "c_name")
+
+
+# --- J6: null-safe multi-key equi-join (NaN==NaN pandas semantics,
+# SURVEY.md §4.4). Nullable keys are synthesized with nullif so the
+# trap is actually exercised on the testdata.
+@register(
+    "nullsafe_join_match",
+    oracle="""
+    WITH fact AS (
+        SELECT l_orderkey, l_linenumber,
+               nullif(l_returnflag, 'N') AS flag_key,
+               nullif(l_linestatus, 'F') AS status_key
+        FROM lineitem
+    ),
+    dim AS (
+        SELECT DISTINCT nullif(l_returnflag, 'N') AS flag_key,
+                        nullif(l_linestatus, 'F') AS status_key,
+                        concat(coalesce(nullif(l_returnflag, 'N'), '_'),
+                               coalesce(nullif(l_linestatus, 'F'), '_')) AS dim_tag
+        FROM lineitem
+    )
+    SELECT f.flag_key, f.status_key, d.dim_tag,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM fact f
+    LEFT JOIN dim d
+      ON f.flag_key IS NOT DISTINCT FROM d.flag_key
+     AND f.status_key IS NOT DISTINCT FROM d.status_key
+    GROUP BY f.flag_key, f.status_key, d.dim_tag
+    """,
+)
+def nullsafe_join_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    fact = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.nullif(F.col("l_returnflag"), F.lit("N")).alias("flag_key"),
+        F.nullif(F.col("l_linestatus"), F.lit("F")).alias("status_key"),
+    )
+    dim = (
+        li.select(
+            F.nullif(F.col("l_returnflag"), F.lit("N")).alias("flag_key"),
+            F.nullif(F.col("l_linestatus"), F.lit("F")).alias("status_key"),
+        )
+        .distinct()
+        .withColumn(
+            "dim_tag",
+            F.concat(
+                F.coalesce(F.col("flag_key"), F.lit("_")),
+                F.coalesce(F.col("status_key"), F.lit("_")),
+            ),
+        )
+    )
+    joined = join_nullsafe(fact, dim, ["flag_key", "status_key"], how="left", broadcast_right=True)
+    return joined.groupBy("flag_key", "status_key", "dim_tag").agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+
+
+# --- J9/J10: role-playing dimension joined twice (start_*/target_*
+# city-country pattern, emission-dag.py:177-195). Here: nation joined
+# once via customer and once via supplier on the same fact row.
+@register(
+    "role_playing_nation_join",
+    oracle="""
+    SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+           CAST(count(*) AS BIGINT) AS n_items,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+    FROM lineitem l
+    JOIN orders o    ON l.l_orderkey = o.o_orderkey
+    JOIN customer c  ON o.o_custkey  = c.c_custkey
+    JOIN nation cn   ON c.c_nationkey = cn.n_nationkey
+    JOIN supplier s  ON l.l_suppkey  = s.s_suppkey
+    JOIN nation sn   ON s.s_nationkey = sn.n_nationkey
+    GROUP BY cn.n_name, sn.n_name
+    """,
+)
+def role_playing_nation_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    cust_side = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .select(o["o_orderkey"], n["n_name"].alias("cust_nation"))
+    )
+    supp_side = (
+        F.broadcast(s)
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .select(s["s_suppkey"], n["n_name"].alias("supp_nation"))
+    )
+    return (
+        li.join(cust_side, li["l_orderkey"] == cust_side["o_orderkey"])
+        .join(F.broadcast(supp_side), li["l_suppkey"] == supp_side["s_suppkey"])
+        .groupBy("cust_nation", "supp_nation")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "revenue"
+            ),
+        )
+    )
+
+
+# --- §4.3.1: dense ordered surrogate keys (SERIAL semantics).
+@register(
+    "surrogate_keys_dense",
+    oracle="""
+    SELECT CAST(row_number() OVER (ORDER BY s_name) AS BIGINT) AS supplier_sk,
+           s_name
+    FROM supplier
+    """,
+)
+def surrogate_keys_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier").select("s_name")
+    return add_surrogate_key(s, "supplier_sk", order_by=["s_name"])
+
+
+# --- J11/S5: incremental insert — batch minus already-loaded state
+# (emission-dag.py:205-208 7-id fact anti-join).
+@register(
+    "incremental_insert_orders",
+    oracle="""
+    SELECT b.o_orderkey, b.o_custkey, round(b.o_totalprice, 2) AS total_price
+    FROM (SELECT * FROM orders WHERE o_orderkey % 4 IN (0, 1)) b
+    WHERE NOT EXISTS (
+        SELECT 1 FROM (SELECT * FROM orders WHERE o_orderkey % 2 = 0) e
+        WHERE e.o_orderkey = b.o_orderkey
+    )
+    """,
+)
+def incremental_insert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    existing = o.filter(F.col("o_orderkey") % 2 == 0)
+    batch = o.filter((F.col("o_orderkey") % 4).isin(0, 1))
+    return incremental_insert(existing, batch, ["o_orderkey"]).select(
+        "o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("total_price")
+    )
+
+
+# --- S9: keyed upsert (upsert_query.text:5-9 DELETE USING + INSERT).
+@register(
+    "upsert_customer_balances",
+    oracle="""
+    WITH batch AS (
+        SELECT c_custkey, c_name, round(c_acctbal + 100.0, 2) AS acctbal
+        FROM customer WHERE c_custkey % 10 = 0
+    ),
+    existing AS (
+        SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal FROM customer
+    )
+    SELECT * FROM batch
+    UNION ALL
+    SELECT e.* FROM existing e
+    WHERE NOT EXISTS (SELECT 1 FROM batch b WHERE b.c_custkey = e.c_custkey)
+    """,
+)
+def upsert_customer_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    existing = c.select("c_custkey", "c_name", F.round("c_acctbal", 2).alias("acctbal"))
+    batch = c.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey", "c_name", F.round(F.col("c_acctbal") + 100.0, 2).alias("acctbal")
+    )
+    return upsert(existing, batch, ["c_custkey"])
+
+
+# --- A1/S5: scalar count probes across the warehouse.
+@register(
+    "count_probe",
+    oracle="""
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS lineitem_rows,
+           (SELECT CAST(count(*) AS BIGINT) FROM orders)   AS orders_rows,
+           (SELECT CAST(count(*) AS BIGINT) FROM customer) AS customer_rows
+    """,
+)
+def count_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").agg(F.count(F.lit(1)).alias("lineitem_rows"))
+    o = load_table(spark, sf_dir, "orders").agg(F.count(F.lit(1)).alias("orders_rows"))
+    c = load_table(spark, sf_dir, "customer").agg(F.count(F.lit(1)).alias("customer_rows"))
+    return li.crossJoin(o).crossJoin(c)
+
+
+# --- A2: the product surface — totals rolled up per brand
+# ("total emission on a brand level", README.md:3; p_brand stands in
+# for car brand, revenue for total_emission).
+@register(
+    "group_rollup_brand",
+    oracle="""
+    SELECT p.p_brand AS brand,
+           CAST(count(*) AS BIGINT) AS n_items,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    """,
+)
+def group_rollup_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "revenue"
+            ),
+        )
+    )
+
+
+# --- A2 (driver-level analog): per-supplier totals (car/driver-level
+# roll-up analog).
+@register(
+    "group_rollup_supplier",
+    oracle="""
+    SELECT l_suppkey AS supplier_id,
+           CAST(count(*) AS BIGINT) AS n_items,
+           round(sum(l_quantity), 2) AS total_qty
+    FROM lineitem
+    GROUP BY l_suppkey
+    """,
+)
+def group_rollup_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy(F.col("l_suppkey").alias("supplier_id")).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+    )
+
+
+# --- Window analytics (beyond-reference: "provided free by Spark",
+# SURVEY.md §2.5 note — running total per customer over order time).
+@register(
+    "window_running_total",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend
+    FROM orders
+    """,
+)
+def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+    )
+
+
+# --- Streaming batch-equivalent: tumbling-window aggregation over the
+# events stream (streaming/ has the readStream twin; this is the
+# deterministic batch semantics the oracle can check).
+@register(
+    "events_tumbling_hourly",
+    oracle="""
+    SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 4) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("window_start"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+
+
+# --- Role-join via helper (J5 city→country FK resolve analog:
+# supplier→nation name attach, broadcast dim).
+@register(
+    "dim_fk_resolve",
+    oracle="""
+    SELECT s.s_suppkey, s.s_name, n.n_name AS nation_name
+    FROM supplier s LEFT JOIN nation n ON s.s_nationkey = n.n_nationkey
+    """,
+)
+def dim_fk_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return join_dim_role(
+        s.select("s_suppkey", "s_name", "s_nationkey"),
+        n,
+        "s_nationkey",
+        "n_nationkey",
+        take={"n_name": "nation_name"},
+    ).select("s_suppkey", "s_name", "nation_name")

@@ -1,0 +1,51 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The reference runs eager single-process pandas (SURVEY.md §4.2); our
+engine's equivalent of its "runtime config" is this session builder.
+Defaults are chosen for the local[N] test harness but every knob is the
+one you would also set on a 1000-executor cluster:
+
+- AQE on (runtime re-plan, skew-join splitting, empty-relation pruning)
+- broadcast threshold generous enough that all star-schema dims
+  broadcast (SURVEY.md §2.3 join-strategy note)
+- Arrow enabled for the few Pandas-UDF paths (extensions)
+- parquet nanos-as-long: the driver testdata's ``events`` table is
+  written with TIMESTAMP(NANOS) which vanilla Spark refuses to read;
+  we read it as long and convert (catalog/tables.py).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(
+    app_name: str = "emission_project_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults."""
+    cpus = int(DEFAULT_CPUS)
+    master = master or f"local[{cpus}]"
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

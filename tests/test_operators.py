@@ -1,0 +1,104 @@
+"""Unit tests for core operators — pinned pandas-parity semantics
+(SURVEY.md §4.4 traps) on tiny in-memory frames."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from emission_project_spark.operators.dedup import dedup_subset, union_distinct
+from emission_project_spark.operators.incremental import incremental_insert, upsert
+from emission_project_spark.operators.joins import anti_join, join_nullsafe
+from emission_project_spark.operators.keys import (
+    add_surrogate_key,
+    add_surrogate_key_distributed,
+    date_id_expr,
+)
+
+
+def test_nullsafe_join_matches_null_keys(spark):
+    """The §4.4 trap: pandas merge matches NaN==NaN; our join must too."""
+    fact = spark.createDataFrame(
+        [("a", None, 1.0), ("a", "x", 2.0), (None, None, 3.0)],
+        "k1 string, k2 string, v double",
+    )
+    dim = spark.createDataFrame(
+        [("a", None, 10), ("a", "x", 20), (None, None, 30)],
+        "k1 string, k2 string, dim_val int",
+    )
+    out = join_nullsafe(fact, dim, ["k1", "k2"], how="left").orderBy("v")
+    assert [r.dim_val for r in out.collect()] == [10, 20, 30]
+    # default (non-null-safe) semantics would drop the null-key matches
+    out2 = join_nullsafe(fact, dim, ["k1", "k2"], how="left", null_safe=False).orderBy("v")
+    assert [r.dim_val for r in out2.collect()] == [None, 20, None]
+
+
+def test_anti_join_nullsafe(spark):
+    new = spark.createDataFrame([("a",), (None,), ("b",)], "k string")
+    existing = spark.createDataFrame([("a",), (None,)], "k string")
+    out = anti_join(new, existing, ["k"])
+    assert [r.k for r in out.collect()] == ["b"]
+
+
+def test_dedup_deterministic_survivor(spark):
+    df = spark.createDataFrame(
+        [("k", 2, "second"), ("k", 1, "first"), ("k", 3, "third"), ("j", 9, "only")],
+        "key string, ord int, val string",
+    )
+    out = dedup_subset(df, ["key"], tiebreaker=["ord"])
+    got = {r.key: r.val for r in out.collect()}
+    assert got == {"k": "first", "j": "only"}
+
+
+def test_union_distinct(spark):
+    a = spark.createDataFrame([(1,), (2,)], "x int")
+    b = spark.createDataFrame([(2,), (3,)], "x int")
+    assert sorted(r.x for r in union_distinct(a, b).collect()) == [1, 2, 3]
+
+
+def test_surrogate_keys_dense_and_distributed_agree(spark):
+    df = spark.createDataFrame([(c,) for c in "fcadbe"], "name string")
+    exact = add_surrogate_key(df, "id", order_by=["name"])
+    dist = add_surrogate_key_distributed(df, "id", order_by=["name"], num_partitions=3)
+    expected = [(i + 1, c) for i, c in enumerate("abcdef")]
+    assert [(r.id, r.name) for r in exact.orderBy("id").collect()] == expected
+    assert [(r.id, r.name) for r in dist.orderBy("id").collect()] == expected
+
+
+def test_surrogate_key_start_offset(spark):
+    df = spark.createDataFrame([("b",), ("a",)], "name string")
+    out = add_surrogate_key(df, "id", order_by=["name"], start=100)
+    assert [(r.id, r.name) for r in out.orderBy("id").collect()] == [(100, "a"), (101, "b")]
+
+
+def test_date_id_expr(spark):
+    df = spark.createDataFrame([("2014-03-07",)], "d string")
+    out = df.select(date_id_expr(F.to_date("d")).alias("date_id"))
+    assert out.collect()[0].date_id == 20140307  # zero-padded month+day
+
+
+def test_incremental_insert_cold_and_warm(spark):
+    schema = "k int, v string"
+    empty = spark.createDataFrame([], schema)
+    batch = spark.createDataFrame([(1, "a"), (2, "b")], schema)
+    assert incremental_insert(empty, batch, ["k"]).count() == 2  # cold start
+    existing = spark.createDataFrame([(1, "a")], schema)
+    out = incremental_insert(existing, batch, ["k"]).collect()
+    assert [(r.k, r.v) for r in out] == [(2, "b")]
+
+
+def test_upsert_replaces_by_key(spark):
+    existing = spark.createDataFrame([(1, "old"), (2, "keep")], "k int, v string")
+    batch = spark.createDataFrame([(1, "new"), (3, "ins")], "k int, v string")
+    got = {r.k: r.v for r in upsert(existing, batch, ["k"]).collect()}
+    assert got == {1: "new", 2: "keep", 3: "ins"}
+
+
+def test_date_dim_shape(spark):
+    from emission_project_spark.functions.datetime import date_dim
+
+    dd = date_dim(spark)
+    assert dd.count() == 7306  # 2010-01-01..2030-01-01 inclusive
+    row = dd.filter(F.col("date_id") == 20210101).collect()[0]
+    # ISO week 53 of 2020, but calendar year 2021 (SURVEY §4.4)
+    assert row.week == 53 and row.year == 2021 and row.week_day == "Friday"
