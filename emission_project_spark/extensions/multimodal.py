@@ -1,0 +1,103 @@
+"""Multimodal columns: image/audio/video as opaque binary + metadata.
+
+The Spark-side plumbing is real — typed schema, Arrow-batched
+``mapInPandas`` feature extraction, partition-size control — while the
+actual media decoding is stubbed (image/audio libraries are not in
+this container): ``decode_image`` raises ``NotImplementedError`` and
+tests run through ``fake_image_decoder``, a deterministic stand-in
+with the same signature and batch shape a real (PIL/ffmpeg) decoder
+would have.
+
+Scale design: payloads never pass through the driver; ``mapInPandas``
+streams Arrow batches executor-side, and ``repartition`` before the
+decode bounds per-task memory (a 100 MB video row can't be batched
+1000-wide — cap via ``spark.sql.execution.arrow.maxRecordsPerBatch``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_META_SCHEMA = (
+    "doc_id bigint, media_type string, n_bytes bigint, content_md5 string"
+)
+
+FEATURE_SCHEMA = (
+    "doc_id bigint, media_type string, width int, height int, n_frames int, ok boolean"
+)
+
+
+def attach_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Demo payload column: utf-8 bytes of the text stand in for a real
+    media blob. Real ingestion would read binary files via
+    ``spark.read.format('binaryFile')`` — identical downstream shape."""
+    return docs.select(
+        "doc_id",
+        F.lit("image/fake").alias("media_type"),
+        F.encode(F.col(text_col), "UTF-8").alias("payload"),
+    )
+
+
+def payload_meta(media: DataFrame) -> DataFrame:
+    """Typed metadata without decoding — pure JVM expressions."""
+    return media.select(
+        "doc_id",
+        "media_type",
+        F.octet_length("payload").cast("long").alias("n_bytes"),
+        F.md5("payload").alias("content_md5"),
+    )
+
+
+def decode_image(payload: bytes) -> tuple[int, int, int]:
+    """Real decoder hook (PIL/libvips in production).
+
+    STUB: media libraries are not available in this environment.
+    """
+    raise NotImplementedError("image decoding requires PIL/libvips; not in this container")
+
+
+def fake_image_decoder(payload: bytes) -> tuple[int, int, int]:
+    """Deterministic stand-in: derives (width, height, n_frames) from
+    payload bytes — same contract as ``decode_image``."""
+    n = len(payload)
+    return (n % 640 + 1, n % 480 + 1, n % 16 + 1)
+
+
+def extract_features(
+    media: DataFrame,
+    decoder: Callable[[bytes], tuple[int, int, int]] = decode_image,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads."""
+    if partitions:
+        media = media.repartition(partitions)
+
+    # ship this module's functions by VALUE: executors' Python workers
+    # need no emission_project_spark on their PYTHONPATH (the driver may
+    # have been launched from anywhere)
+    try:
+        from pyspark import cloudpickle as _cp
+        import sys as _sys
+
+        _cp.register_pickle_by_value(_sys.modules[__name__])
+    except Exception:  # noqa: BLE001 - best-effort; repo-on-path still works
+        pass
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, mtype, payload in zip(pdf["doc_id"], pdf["media_type"], pdf["payload"]):
+                try:
+                    w, h, nf = decoder(bytes(payload))
+                    rows.append((doc_id, mtype, w, h, nf, True))
+                except NotImplementedError:
+                    rows.append((doc_id, mtype, None, None, None, False))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "media_type", "width", "height", "n_frames", "ok"]
+            )
+
+    return media.mapInPandas(run, schema=FEATURE_SCHEMA)

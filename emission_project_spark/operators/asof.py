@@ -1,0 +1,79 @@
+"""As-of (point-in-time) join — an operator Spark lacks natively.
+
+For each left row, attach the most recent right row with
+``right_ts <= left_ts`` per key (backward direction). Composed from
+existing DataFrame ops (union + running ``last(ignorenulls)`` window)
+— no UDFs, no per-row Python:
+
+    union(left ∪ right) sorted by (key, ts, side)
+    → last(right value, ignorenulls) over rows-unbounded-preceding
+    → keep left rows
+
+Scale: one shuffle on the key (same as any join), then a linear window
+pass per partition — no range-join explosion. Skewed keys behave like
+any windowed aggregation (AQE/salting applies). Semantics match DuckDB
+``ASOF LEFT JOIN`` given a right side deduplicated per (key, ts) —
+duplicate right timestamps are nondeterministic in ANY as-of engine,
+so dedup first (``dedup_subset``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str | Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: Sequence[str],
+    prefix: str = "asof_",
+) -> DataFrame:
+    """Backward as-of left join; right's ``value_cols`` (and its
+    timestamp, as ``{prefix}{right_ts}``) arrive prefixed."""
+    keys = [key] if isinstance(key, str) else list(key)
+    out_vals = [f"{prefix}{c}" for c in value_cols] + [f"{prefix}{right_ts}"]
+
+    l_tag = left.select(
+        *keys,
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_is_left"),
+        *[F.col(c) for c in left.columns if c not in keys and c != left_ts],
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"{prefix}{c}") for c in value_cols],
+        F.lit(None).cast(dict(right.dtypes)[right_ts]).alias(f"{prefix}{right_ts}"),
+    )
+    r_tag = right.select(
+        *keys,
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_is_left"),
+        *[F.lit(None).cast(t).alias(c) for c, t in left.dtypes if c not in keys and c != left_ts],
+        *[F.col(c).alias(f"{prefix}{c}") for c in value_cols],
+        F.col(right_ts).alias(f"{prefix}{right_ts}"),
+    )
+    unioned = l_tag.unionByName(r_tag)
+
+    # right rows sort BEFORE left rows at equal ts (_is_left asc) so a
+    # same-timestamp right row is visible to the left row (<= semantics)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("_ts").asc(), F.col("_is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        *keys,
+        "_ts",
+        "_is_left",
+        *[c for c in left.columns if c not in keys and c != left_ts],
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in out_vals],
+    )
+    return filled.filter(F.col("_is_left") == 1).select(
+        *keys,
+        F.col("_ts").alias(left_ts),
+        *[c for c in left.columns if c not in keys and c != left_ts],
+        *out_vals,
+    )

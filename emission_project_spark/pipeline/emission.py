@@ -1,0 +1,279 @@
+"""The emission star-schema ETL — the reference's primary product
+(``dags/emission-dag.py`` transform_and_load, 223 LoC of pandas)
+re-expressed as one lazy Spark job.
+
+Per-run shape (reference lifecycle, SURVEY §3.1): extract CSV feeds →
+incremental dimension loads (dedup → anti-join vs warehouse state →
+surrogate keys → append) → fact assembly (null-safe car join → derived
+total_emission → driver/date/city/country joins → 7-id dedup →
+incremental append) → roll-up views.
+
+Catalyst plans the whole fact assembly as broadcast-hash joins over a
+single scan of the logbook; at 100 TB the fact partition key is
+``date_id`` and every dimension broadcasts.
+
+Deliberate fixes over the reference (SURVEY §4.5, kept as engine
+semantics and covered by tests):
+- city keyed by (city_name, country_id), not city_name alone
+- city cold-start path reads the country *table*, not a dangling local
+- archive-after-commit instead of archive-before-load
+- cars incremental anti-join on the 7-col natural key (12-col in the
+  reference, which can fan out the fact join on re-delivery)
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from emission_project_spark.catalog import schemas as S
+from emission_project_spark.functions.datetime import date_dim
+from emission_project_spark.operators.dedup import dedup_subset
+from emission_project_spark.operators.incremental import incremental_insert
+from emission_project_spark.operators.joins import join_nullsafe
+from emission_project_spark.operators.keys import add_surrogate_key
+from emission_project_spark.sources.csv_feed import archive_consumed, read_feed
+from emission_project_spark.sources.warehouse import Warehouse
+
+
+@dataclass
+class RunStats:
+    inserted: dict[str, int] = field(default_factory=dict)
+    archived: list[str] = field(default_factory=list)
+
+
+class EmissionPipeline:
+    def __init__(self, spark: SparkSession, warehouse: Warehouse):
+        self.spark = spark
+        self.wh = warehouse
+
+    # --- DDL / init (reference create_tables task, S8) ---
+
+    def init_warehouse(self) -> None:
+        """Idempotent: build the generated date dim once
+        (create_tables.py:69-85)."""
+        if not self.wh.exists("date"):
+            self.wh.overwrite_atomic(date_dim(self.spark), "date")
+
+    # --- helpers ---
+
+    def _next_id(self, dim: DataFrame, id_col: str) -> int:
+        row = dim.agg(F.max(id_col).alias("m")).first()
+        return int(row.m) + 1 if row.m is not None else 1
+
+    def _load_dim(
+        self,
+        batch: DataFrame,
+        table: str,
+        schema,
+        id_col: str,
+        natural_key: list[str],
+        order_by: list[str],
+        stats: RunStats,
+    ) -> DataFrame:
+        """Incremental dimension load: dedup batch → anti-join vs
+        warehouse → SERIAL-style ids in sorted order → append.
+        Returns the refreshed dimension."""
+        current = self.wh.read(table, schema)
+        fresh = dedup_subset(batch, natural_key)
+        new_rows = incremental_insert(current, fresh, natural_key)
+        new_rows = add_surrogate_key(
+            new_rows, id_col, order_by=order_by, start=self._next_id(current, id_col)
+        )
+        n = new_rows.count()
+        if n:
+            self.wh.append(new_rows.select(*[f.name for f in schema.fields]), table)
+        stats.inserted[table] = n
+        return self.wh.read(table, schema)
+
+    # --- the run ---
+
+    def run(self, incoming_root: str, archive_root: str | None = None) -> RunStats:
+        """One scheduled run. ``incoming_root`` contains the three feed
+        dirs (``drivers_incoming_data`` etc. per README.md:58)."""
+        stats = RunStats()
+        self.init_warehouse()
+
+        drivers_raw, f1 = read_feed(
+            self.spark, os.path.join(incoming_root, "drivers_incoming_data"), S.DRIVERS_FEED
+        )
+        vehicles_raw, f2 = read_feed(
+            self.spark,
+            os.path.join(incoming_root, "vehicle_fuel_consumptions_incoming_data"),
+            S.VEHICLES_FEED_RAW,
+            rename=S.VEHICLES_RENAME,
+        )
+        logbook, f3 = read_feed(
+            self.spark, os.path.join(incoming_root, "drivers_logbook_incoming_data"), S.LOGBOOK_FEED
+        )
+
+        drivers = self._load_dim(
+            drivers_raw.select("name", "first_name"),
+            "drivers",
+            S.DRIVERS_DIM,
+            "driver_id",
+            S.DRIVERS_NK,
+            order_by=["name", "first_name"],  # SERIAL order = sort_values('name')
+            stats=stats,
+        )
+        cars = self._load_dim(
+            vehicles_raw,
+            "cars",
+            S.CARS_DIM,
+            "car_id",
+            S.CARS_NK,
+            order_by=["brand", "model", "vehicle_class", "engine_size_l"],
+            stats=stats,
+        )
+
+        # countries: set-union of start/target columns (U1)
+        countries_batch = (
+            logbook.select(F.col("start_country").alias("country_name"))
+            .unionByName(logbook.select(F.col("target_country").alias("country_name")))
+            .filter(F.col("country_name").isNotNull())
+        )
+        country = self._load_dim(
+            countries_batch,
+            "country",
+            S.COUNTRY_DIM,
+            "country_id",
+            ["country_name"],
+            order_by=["country_name"],
+            stats=stats,
+        )
+
+        # cities keyed by (city_name, country_id) — fixed key (§4.5)
+        cities_batch = (
+            logbook.select(
+                F.col("start_city").alias("city_name"),
+                F.col("start_country").alias("country_name"),
+            )
+            .unionByName(
+                logbook.select(
+                    F.col("target_city").alias("city_name"),
+                    F.col("target_country").alias("country_name"),
+                )
+            )
+            .filter(F.col("city_name").isNotNull())
+        )
+        cities_batch = join_nullsafe(
+            cities_batch, country, ["country_name"], how="left", broadcast_right=True
+        ).select("city_name", "country_id")
+        city = self._load_dim(
+            cities_batch,
+            "city",
+            S.CITY_DIM,
+            "city_id",
+            ["city_name", "country_id"],
+            order_by=["city_name", "country_id"],
+            stats=stats,
+        )
+
+        self._load_fact(logbook, drivers, cars, country, city, stats)
+
+        if archive_root:
+            # crash-safe ordering: archive only after all writes landed
+            for files, sub in ((f1, "drivers_used_data"), (f2, "vehicle_fuel_consumptions_used_data"), (f3, "drivers_logbook_used_data")):
+                stats.archived += archive_consumed(files, os.path.join(archive_root, sub))
+        return stats
+
+    def _load_fact(
+        self,
+        logbook: DataFrame,
+        drivers: DataFrame,
+        cars: DataFrame,
+        country: DataFrame,
+        city: DataFrame,
+        stats: RunStats,
+    ) -> None:
+        if logbook.isEmpty():
+            stats.inserted["car_driver_log"] = 0
+            return
+        dates = self.wh.read("date", S.DATE_DIM)
+
+        # J6: attach car_id + co2 over the 6-col null-safe attribute FK
+        # (pandas NaN==NaN parity — the §4.4 trap); cars broadcast
+        fact = join_nullsafe(
+            logbook,
+            cars.select(*S.CARS_LOGBOOK_KEYS, "car_id", "co2_emission_g_per_km"),
+            S.CARS_LOGBOOK_KEYS,
+            how="left",
+            broadcast_right=True,
+        )
+        # P4: THE derived measure (emission-dag.py:161-162)
+        fact = fact.withColumn(
+            "total_emission", F.col("distance_km") * F.col("co2_emission_g_per_km")
+        )
+        # J7: driver_id (orphans → null, preserved in the fact)
+        fact = join_nullsafe(fact, drivers, S.DRIVERS_NK, how="left", broadcast_right=True)
+        # J8: date_id via the date dim (out-of-range dates → null)
+        fact = join_nullsafe(
+            fact.withColumn("date", F.to_date("date")),
+            dates.select("date", "date_id"),
+            ["date"],
+            how="left",
+            broadcast_right=True,
+        )
+        # J10 then J9 (role-playing country/city, fixed city key)
+        for role in ("start", "target"):
+            fact = join_nullsafe(
+                fact,
+                country.select(
+                    F.col("country_name").alias(f"{role}_country"),
+                    F.col("country_id").alias(f"{role}_country_id"),
+                ),
+                [f"{role}_country"],
+                how="left",
+                broadcast_right=True,
+            )
+            fact = join_nullsafe(
+                fact,
+                city.select(
+                    F.col("city_name").alias(f"{role}_city"),
+                    F.col("country_id").alias(f"{role}_country_id"),
+                    F.col("city_id").alias(f"{role}_city_id"),
+                ),
+                [f"{role}_city", f"{role}_country_id"],
+                how="left",
+                broadcast_right=True,
+            )
+
+        fact = fact.select(*[f.name for f in S.FACT_CAR_DRIVER_LOG.fields])
+        # D1 + J11: in-batch dedup then incremental anti-join, both on
+        # the 7-id natural key (null-safe: orphan ids are null)
+        fact = dedup_subset(fact, S.FACT_NK, tiebreaker=["distance_km", "total_emission"])
+        current = self.wh.read("car_driver_log", S.FACT_CAR_DRIVER_LOG)
+        new_rows = incremental_insert(current, fact, S.FACT_NK)
+        n = new_rows.count()
+        if n:
+            self.wh.append(new_rows, "car_driver_log")
+        stats.inserted["car_driver_log"] = n
+
+    # --- consumption surface (README.md:3 roll-ups, A2) ---
+
+    def fact_df(self) -> DataFrame:
+        return self.wh.read("car_driver_log", S.FACT_CAR_DRIVER_LOG)
+
+    def emission_by_brand(self) -> DataFrame:
+        cars = self.wh.read("cars", S.CARS_DIM)
+        return (
+            self.fact_df()
+            .join(F.broadcast(cars.select("car_id", "brand")), "car_id", "left")
+            .groupBy("brand")
+            .agg(F.sum("total_emission").alias("total_emission"))
+        )
+
+    def emission_by_car(self) -> DataFrame:
+        return (
+            self.fact_df().groupBy("car_id").agg(F.sum("total_emission").alias("total_emission"))
+        )
+
+    def emission_by_driver(self) -> DataFrame:
+        return (
+            self.fact_df()
+            .groupBy("driver_id")
+            .agg(F.sum("total_emission").alias("total_emission"))
+        )

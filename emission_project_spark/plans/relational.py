@@ -551,3 +551,159 @@ def dim_fk_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_nationkey",
         take={"n_name": "nation_name"},
     ).select("s_suppkey", "s_name", "nation_name")
+
+
+# --- Session windows over the events stream (streaming/file_stream.py
+# twin; batch semantics oracle-checked via gaps-and-islands SQL).
+# Session break rule: new session when gap >= 30 min (session_window
+# windows are half-open [ts, ts+gap)).
+@register(
+    "events_sessionize",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+               CASE WHEN CAST(ts AS TIMESTAMP)
+                         - lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts)
+                         >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    tagged AS (
+        SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                    ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM ordered
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 4) AS total_value
+    FROM tagged
+    GROUP BY user_id, session_no
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emission_project_spark.streaming.file_stream import session_windows
+
+    e = load_table(spark, sf_dir, "events")
+    out = session_windows(e, gap="30 minutes", watermark=None)
+    return out.select(
+        "user_id",
+        "session_start",
+        "session_end",
+        "n_events",
+        F.round("total_value", 4).alias("total_value"),
+    )
+
+
+# --- As-of join (operators/asof.py): each click gets the most recent
+# prior-or-same-time purchase per user. Oracle: DuckDB native ASOF.
+@register(
+    "asof_join_clicks_purchases",
+    oracle="""
+    WITH purchases AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+        FROM (SELECT *, row_number() OVER (PARTITION BY user_id, ts
+                        ORDER BY event_id) AS rn
+              FROM events WHERE event_type = 'purchase')
+        WHERE rn = 1
+    ),
+    clicks AS (
+        SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        FROM events WHERE event_type = 'click'
+    )
+    SELECT c.event_id, c.user_id, c.ts,
+           round(p.value, 4) AS asof_value,
+           p.ts AS asof_ts
+    FROM clicks c
+    ASOF LEFT JOIN purchases p
+      ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+)
+def asof_join_clicks_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emission_project_spark.operators.asof import asof_join
+
+    e = load_table(spark, sf_dir, "events")
+    purchases = dedup_subset(
+        e.filter(F.col("event_type") == "purchase").select("user_id", "ts", "value"),
+        ["user_id", "ts"],
+        tiebreaker=["value"],
+    )
+    clicks = e.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    out = asof_join(clicks, purchases, "user_id", "ts", "ts", ["value"])
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round("asof_value", 4).alias("asof_value"),
+        "asof_ts",
+    )
+
+
+# --- Grouping sets / rollup (SURVEY §2.5 "free" Spark surface).
+@register(
+    "rollup_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS n_items,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+# --- Exact distinct-count (free Spark surface; expand-based plan).
+@register(
+    "distinct_count_customers",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def distinct_count_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count_distinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+# --- Set operations: INTERSECT / EXCEPT (free Spark surface).
+@register(
+    "set_ops_intersect_except",
+    oracle="""
+    SELECT 'both' AS bucket, CAST(count(*) AS BIGINT) AS n FROM (
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    )
+    UNION ALL
+    SELECT 'f_only' AS bucket, CAST(count(*) AS BIGINT) AS n FROM (
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        EXCEPT
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    )
+    """,
+)
+def set_ops_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    f_cust = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    o_cust = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    both = f_cust.intersect(o_cust).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("both").alias("bucket"), "n"
+    )
+    # subtract = EXCEPT (set) semantics; exceptAll would keep multiplicity
+    f_only = f_cust.subtract(o_cust).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("f_only").alias("bucket"), "n"
+    )
+    return both.unionByName(f_only)

@@ -1,0 +1,71 @@
+"""Parquet warehouse: the engine's persistent star-schema store.
+
+Replaces the reference's Postgres (SURVEY §2.1 S4/S7/S8): each table is
+a parquet directory; appends are plain parquet appends; keyed upserts
+go through an atomic directory swap (write new state to a temp dir,
+rename into place) — the pure-Spark stand-in for the reference's
+``LOCK; DELETE USING; INSERT`` transaction (``upsert_query.text:5-9``).
+On a real deployment the same API maps onto a transactional table
+format's MERGE; the swap keeps us dependency-free here.
+
+Partitioning: ``append``/``overwrite_atomic`` accept ``partition_by``
+(e.g. the fact partitioned by date_id) so scans prune at 100 TB.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+class Warehouse:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def path(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    def exists(self, table: str) -> bool:
+        """Catalog existence probe (reference S6:
+        information_schema.tables, create_tables.py:69-71)."""
+        p = self.path(table)
+        return os.path.isdir(p) and bool(os.listdir(p))
+
+    def read(self, table: str, schema: StructType | None = None) -> DataFrame:
+        """Table scan; absent table → empty schema-contract DataFrame
+        (the reference's empty-DF fallback, emission-dag.py:45)."""
+        if self.exists(table):
+            return self.spark.read.parquet(self.path(table))
+        if schema is None:
+            raise FileNotFoundError(f"table {table} absent and no schema contract given")
+        return self.spark.createDataFrame([], schema)
+
+    def append(self, df: DataFrame, table: str, partition_by: list[str] | None = None) -> None:
+        w = df.write.mode("append")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(self.path(table))
+
+    def overwrite_atomic(
+        self, df: DataFrame, table: str, partition_by: list[str] | None = None
+    ) -> None:
+        """Write to a temp dir, then swap — readers never observe a
+        half-written table; a crash leaves the old state intact."""
+        final = self.path(table)
+        tmp = f"{final}.__tmp_{uuid.uuid4().hex[:8]}"
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(tmp)
+        old = f"{final}.__old_{uuid.uuid4().hex[:8]}"
+        if os.path.exists(final):
+            os.rename(final, old)
+        os.rename(tmp, final)
+        if os.path.exists(old):
+            shutil.rmtree(old)

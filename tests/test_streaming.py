@@ -1,0 +1,84 @@
+"""Streaming twin tests: consume-once file stream with engine-side
+archival, and windowed/session aggregations."""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import functions as F
+
+from emission_project_spark.streaming.file_stream import (
+    run_available_now,
+    session_windows,
+    stream_feed,
+    windowed_counts,
+)
+from emission_project_spark.catalog.schemas import DRIVERS_FEED
+
+
+def test_stream_feed_available_now_consumes_and_archives(spark, tmp_path):
+    incoming = tmp_path / "incoming"
+    incoming.mkdir()
+    (incoming / "batch1.csv").write_text("name,first_name,city\nDoe,John,Oulu\nSmith,Anna,Turku\n")
+
+    stream = stream_feed(
+        spark, str(incoming), DRIVERS_FEED, archive_dir=str(tmp_path / "archived")
+    )
+    q = run_available_now(stream, str(tmp_path / "sink"), str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    out = spark.read.parquet(str(tmp_path / "sink"))
+    assert out.count() == 2
+
+    # second drain with a new file: only the new rows land (exactly-once)
+    (incoming / "batch2.csv").write_text("name,first_name,city\nNew,Guy,Vaasa\n")
+    stream2 = stream_feed(
+        spark, str(incoming), DRIVERS_FEED, archive_dir=str(tmp_path / "archived")
+    )
+    q2 = run_available_now(stream2, str(tmp_path / "sink"), str(tmp_path / "ckpt"))
+    q2.awaitTermination(120)
+    assert spark.read.parquet(str(tmp_path / "sink")).count() == 3
+
+    # engine-side archival of consumed source files (async; poll briefly)
+    deadline = time.time() + 30
+    while time.time() < deadline and (incoming / "batch1.csv").exists():
+        time.sleep(1)
+    assert not (incoming / "batch1.csv").exists()
+    archived = [
+        f for _, _, fs in os.walk(tmp_path / "archived") for f in fs
+    ]
+    assert "batch1.csv" in archived
+
+
+def test_windowed_counts_streaming_with_watermark(spark, tmp_path):
+    events = spark.createDataFrame(
+        [
+            ("2024-01-01 00:10:00", "click", 1.0),
+            ("2024-01-01 00:50:00", "click", 2.0),
+            ("2024-01-01 01:10:00", "view", 5.0),
+        ],
+        "ts_s string, event_type string, value double",
+    ).select(F.to_timestamp("ts_s").alias("ts"), "event_type", "value")
+    out = windowed_counts(events).collect()
+    got = {(str(r.window_start), r.event_type): (r.n_events, r.total_value) for r in out}
+    assert got[("2024-01-01 00:00:00", "click")] == (2, 3.0)
+    assert got[("2024-01-01 01:00:00", "view")] == (1, 5.0)
+
+
+def test_session_windows_gap_split(spark):
+    events = spark.createDataFrame(
+        [
+            ("2024-01-01 00:00:00", 1, 1.0),
+            ("2024-01-01 00:10:00", 1, 1.0),  # same session (10 min gap)
+            ("2024-01-01 01:00:00", 1, 1.0),  # new session (50 min gap)
+            ("2024-01-01 00:00:00", 2, 9.0),
+        ],
+        "ts_s string, user_id int, value double",
+    ).select(F.to_timestamp("ts_s").alias("ts"), "user_id", "value")
+    out = session_windows(events, watermark=None).collect()
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r.user_id, []).append((str(r.session_start), r.n_events))
+    assert sorted(by_user[1]) == [("2024-01-01 00:00:00", 2), ("2024-01-01 01:00:00", 1)]
+    assert by_user[2] == [("2024-01-01 00:00:00", 1)]
