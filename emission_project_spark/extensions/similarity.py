@@ -104,3 +104,132 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "vec_id", "cosine_sim")
     )
+
+
+def cosine_neardup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.9,
+    block_size: int = 1024,
+) -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs (doc-level dedup by
+    embedding): all (a < b) pairs with cosine ≥ threshold.
+
+    Vectorized block design: the full (n×d) matrix ships to executors
+    as a broadcast variable once; each ``mapInPandas`` batch of rows
+    computes its similarity block against it with one BLAS matmul and
+    emits only passing pairs. Arrow-batched, no per-pair Python, no
+    shuffle at all — a single map pass.
+
+    Scale bound: exact all-pairs is inherently O(n²); the broadcast
+    side must fit an executor (n×d×4 bytes — 1M×256d ≈ 1 GB). Beyond
+    that, use ``lsh_neardup_pairs`` (bucketed, subquadratic) or block
+    BOTH sides (grid of block pairs — same kernel, one extra join).
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = vectors.sparkSession
+    src = vectors.select("vec_id", "embedding")
+    mat_rows = src.collect()  # builds the broadcast side ONCE (bounded, see docstring)
+    ids = np.array([r.vec_id for r in mat_rows], dtype=np.int64)
+    mat = np.array([r.embedding for r in mat_rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = np.inf  # zero vectors match nothing
+    bc = spark.sparkContext.broadcast((ids, mat / norms[:, None]))
+
+    def block(batches):
+        b_ids, b_mat = bc.value
+        for pdf in batches:
+            a_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            a = np.array(list(pdf["embedding"]), dtype=np.float64)
+            an = np.linalg.norm(a, axis=1)
+            an[an == 0] = np.inf
+            sims = (a / an[:, None]) @ b_mat.T
+            ai, bi = np.where(sims >= threshold)
+            keep = a_ids[ai] < b_ids[bi]  # dedup + drop self-pairs
+            yield pd.DataFrame(
+                {
+                    "doc_a": a_ids[ai][keep],
+                    "doc_b": b_ids[bi][keep],
+                    "cosine_sim": np.round(sims[ai, bi][keep], ROUND),
+                }
+            )
+
+    return src.mapInPandas(block, schema="doc_a bigint, doc_b bigint, cosine_sim double")
+
+
+def lsh_neardup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.9,
+    n_planes: int = 16,
+) -> DataFrame:
+    """Approximate (subquadratic) embedding near-dup: random-hyperplane
+    LSH — the 100 TB path where exact all-pairs can't run.
+
+    Plane components are derived deterministically from md5(plane, dim)
+    so runs are reproducible with no RNG state. Vectors agreeing on all
+    sign bits land in one bucket; within-bucket pairs are verified with
+    the exact cosine. Recall is tunable via n_planes (fewer planes →
+    bigger buckets → higher recall, more compute). Candidate
+    generation is a hash-bucket group-by — same shape as minhash LSH.
+    """
+    from pyspark.sql import Window  # noqa: F401  (parity with module imports)
+
+    dim = len(vectors.select("embedding").first()[0])
+    # deterministic ±1 plane matrix: sign of a hash bit per (plane, dim)
+    planes = [
+        [
+            1.0 if int(_md5_hex(f"{p}:{d}"), 16) % 2 == 0 else -1.0
+            for d in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+    sig = None
+    emb = F.col("embedding")
+    for p, plane in enumerate(planes):
+        dot_p = F.aggregate(
+            F.zip_with(
+                emb,
+                F.array(*[F.lit(v) for v in plane]),
+                lambda x, w: x.cast("double") * w,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bit = F.when(dot_p >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = bit * F.lit(1 << p).cast("long")
+        sig = term if sig is None else sig + term
+    bucketed = vectors.select("vec_id", "embedding", sig.alias("bucket"))
+    buckets = bucketed.groupBy("bucket").agg(
+        F.collect_list(F.struct("vec_id", "embedding")).alias("members")
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.filter(
+                F.flatten(
+                    F.transform(
+                        F.col("members"),
+                        lambda x, i: F.transform(
+                            F.slice(F.col("members"), i + 2, F.size(F.col("members"))),
+                            lambda y: F.struct(x.alias("a"), y.alias("b")),
+                        ),
+                    )
+                ),
+                lambda s: s["a"]["vec_id"] != s["b"]["vec_id"],
+            )
+        ).alias("p")
+    )
+    scored = pairs.select(
+        F.least(F.col("p.a.vec_id"), F.col("p.b.vec_id")).alias("doc_a"),
+        F.greatest(F.col("p.a.vec_id"), F.col("p.b.vec_id")).alias("doc_b"),
+        F.round(cosine_similarity(F.col("p.a.embedding"), F.col("p.b.embedding")), ROUND).alias(
+            "cosine_sim"
+        ),
+    )
+    return scored.filter(F.col("cosine_sim") >= threshold).distinct()
+
+
+def _md5_hex(s: str) -> str:
+    import hashlib
+
+    return hashlib.md5(s.encode()).hexdigest()
