@@ -19,7 +19,12 @@ from emission_project_spark.extensions.dedup import (
     ngram_jaccard_pairs,
     simhash64,
 )
-from emission_project_spark.extensions.similarity import brute_force_topk, ivf_topk
+from emission_project_spark.extensions.similarity import (
+    brute_force_topk,
+    cosine_neardup_pairs,
+    ivf_topk,
+    lsh_neardup_pairs,
+)
 from emission_project_spark.functions.text import (
     LANG_MARKERS,
     char_count,
@@ -317,6 +322,65 @@ def similarity_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return ivf_topk(emb, emb.filter(F.col("vec_id") < 3), n_centroids=16, k=10)
+
+
+# --- embedding-cosine near-dup: exact all-pairs (blocked BLAS matmul).
+@register(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+    SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+           round(list_cosine_similarity(a.e, b.e), 6) AS cosine_sim
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.e, b.e) >= 0.35
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_neardup_pairs(emb, threshold=0.35)
+
+
+# --- embedding-cosine near-dup: random-hyperplane LSH (subquadratic).
+# Plane weights are md5-parity-derived, so the oracle replicates them:
+# sign of plane (p, d) = parity of md5("p:d") = parity of its last hex
+# digit. Bucket = 16-bit sign signature; within-bucket pairs verified
+# with exact cosine, mirroring the Spark operator step for step.
+@register(
+    "dedup_embedding_cosine_lsh",
+    oracle="""
+    WITH planes AS (
+        SELECT p, d,
+               CASE WHEN (strpos('0123456789abcdef',
+                      substring(md5(p::VARCHAR || ':' || d::VARCHAR), 32, 1)) - 1) % 2 = 0
+                    THEN 1.0 ELSE -1.0 END AS w
+        FROM (SELECT unnest(range(16)) AS p), (SELECT unnest(range(64)) AS d)
+    ),
+    v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    comps AS (
+        SELECT v.vec_id, pl.p, sum(v.e[pl.d + 1] * pl.w) AS dot
+        FROM v CROSS JOIN planes pl
+        GROUP BY 1, 2
+    ),
+    buckets AS (
+        SELECT vec_id,
+               sum(CASE WHEN dot >= 0 THEN (1::BIGINT << p) ELSE 0 END) AS bucket
+        FROM comps GROUP BY vec_id
+    ),
+    pairs AS (
+        SELECT a.vec_id AS ida, b.vec_id AS idb
+        FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    )
+    SELECT p.ida AS doc_a, p.idb AS doc_b,
+           round(list_cosine_similarity(va.e, vb.e), 6) AS cosine_sim
+    FROM pairs p
+    JOIN v va ON p.ida = va.vec_id
+    JOIN v vb ON p.idb = vb.vec_id
+    WHERE round(list_cosine_similarity(va.e, vb.e), 6) >= 0.2
+    """,
+)
+def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_neardup_pairs(emb, threshold=0.2, n_planes=16)
 
 
 # --- embedding column stats (array-typed analytics).

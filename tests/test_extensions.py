@@ -1,0 +1,110 @@
+"""Semantic unit tests for the training-data extension operators
+(dedup, similarity) on tiny in-memory frames. Value-level oracle
+parity runs in tools/compare.py; these pin algorithmic invariants."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from emission_project_spark.extensions.dedup import (
+    exact_duplicates,
+    minhash_band_signatures,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    shingles,
+    simhash64,
+)
+from emission_project_spark.extensions.similarity import (
+    cosine_neardup_pairs,
+    lsh_neardup_pairs,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_shingles_window(spark):
+    docs = _docs(spark, [(1, "a b c d"), (2, "a b"), (3, "x x x x x")])
+    out = {(r.doc_id, r.shingle) for r in shingles(docs, k=3).collect()}
+    assert out == {(1, "a b c"), (1, "b c d"), (3, "x x x")}  # doc 2 too short; doc 3 distinct
+
+
+def test_exact_duplicates_groups_normalized_text(spark):
+    docs = _docs(spark, [(1, "Hello, World!"), (2, "hello world"), (3, "other")])
+    out = exact_duplicates(docs).collect()
+    groups = {r.canonical_doc_id: r.n_docs for r in out}
+    assert groups == {1: 2, 3: 1}  # punctuation/case-normalized dupes collapse
+
+
+def test_identical_docs_share_all_band_signatures(spark):
+    docs = _docs(spark, [(1, "the quick brown fox jumps"), (2, "the quick brown fox jumps"), (3, "zz yy xx ww vv")])
+    sig = minhash_band_signatures(docs, bands=8)
+    s1 = {(r.band, r.signature) for r in sig.filter(F.col("doc_id") == 1).collect()}
+    s2 = {(r.band, r.signature) for r in sig.filter(F.col("doc_id") == 2).collect()}
+    assert s1 == s2 and len(s1) == 8
+    cand = minhash_lsh_candidates(docs, bands=8).collect()
+    assert [(r.doc_a, r.doc_b, r.bands_agree) for r in cand] == [(1, 2, 8)]
+
+
+def test_ngram_jaccard_exact_value(spark):
+    # doc1 shingles {a b c, b c d}; doc2 shingles {a b c, b c e} → J = 1/3
+    docs = _docs(spark, [(1, "a b c d"), (2, "a b c e")])
+    out = ngram_jaccard_pairs(docs, threshold=0.3).collect()
+    assert len(out) == 1
+    assert out[0].doc_a == 1 and out[0].doc_b == 2
+    assert abs(out[0].jaccard - 1 / 3) < 1e-6
+
+
+def test_max_doc_freq_drops_stop_shingles(spark):
+    # "common common common" shingle appears in all 3 docs → capped away
+    docs = _docs(
+        spark,
+        [(1, "common common common a"), (2, "common common common b"), (3, "common common common c")],
+    )
+    assert ngram_jaccard_pairs(docs, threshold=0.1).count() == 3
+    assert ngram_jaccard_pairs(docs, threshold=0.1, max_doc_freq=2).count() == 0
+
+
+def test_simhash_identical_docs_equal_similar_docs_close(spark):
+    docs = _docs(
+        spark,
+        [(1, "alpha beta gamma delta epsilon"), (2, "alpha beta gamma delta epsilon"), (3, "qq rr ss tt uu")],
+    )
+    rows = {r.doc_id: r.simhash for r in simhash64(docs).collect()}
+    assert rows[1] == rows[2]
+    assert rows[1] != rows[3]
+    assert 0 <= rows[1] < (1 << 32)
+
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+
+def test_cosine_neardup_exact_pairs(spark):
+    vecs = _vecs(
+        spark,
+        [
+            (1, [1.0, 0.0]),
+            (2, [2.0, 0.0]),     # parallel to 1 → cos=1
+            (3, [0.0, 1.0]),     # orthogonal
+            (4, [1.0, 1.0]),     # cos 45° to everything
+        ],
+    )
+    out = {(r.doc_a, r.doc_b): r.cosine_sim for r in cosine_neardup_pairs(vecs, threshold=0.9).collect()}
+    assert out == {(1, 2): 1.0}
+
+
+def test_lsh_neardup_subset_of_exact(spark):
+    import random
+
+    rng = random.Random(7)
+    base = [rng.gauss(0, 1) for _ in range(16)]
+    rows = [(1, base), (2, [x + rng.gauss(0, 0.01) for x in base])]  # near-dup pair
+    rows += [(i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(3, 20)]
+    vecs = _vecs(spark, [(i, [float(x) for x in v]) for i, v in rows])
+    exact = {(r.doc_a, r.doc_b) for r in cosine_neardup_pairs(vecs, threshold=0.9).collect()}
+    approx = {(r.doc_a, r.doc_b) for r in lsh_neardup_pairs(vecs, threshold=0.9, n_planes=8).collect()}
+    assert (1, 2) in exact
+    assert approx <= exact  # LSH verifies with exact cosine → no false positives
+    assert (1, 2) in approx  # near-identical vectors agree on every sign bit
