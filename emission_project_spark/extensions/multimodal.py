@@ -67,15 +67,7 @@ def fake_image_decoder(payload: bytes) -> tuple[int, int, int]:
     return (n % 640 + 1, n % 480 + 1, n % 16 + 1)
 
 
-def extract_features(
-    media: DataFrame,
-    decoder: Callable[[bytes], tuple[int, int, int]] = decode_image,
-    partitions: int | None = None,
-) -> DataFrame:
-    """Arrow-batched feature extraction over binary payloads."""
-    if partitions:
-        media = media.repartition(partitions)
-
+def _pickle_by_value() -> None:
     # ship this module's functions by VALUE: executors' Python workers
     # need no emission_project_spark on their PYTHONPATH (the driver may
     # have been launched from anywhere)
@@ -86,6 +78,17 @@ def extract_features(
         _cp.register_pickle_by_value(_sys.modules[__name__])
     except Exception:  # noqa: BLE001 - best-effort; repo-on-path still works
         pass
+
+
+def extract_features(
+    media: DataFrame,
+    decoder: Callable[[bytes], tuple[int, int, int]] = decode_image,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads."""
+    if partitions:
+        media = media.repartition(partitions)
+    _pickle_by_value()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -101,3 +104,83 @@ def extract_features(
             )
 
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+RESIZE_SCHEMA = (
+    "doc_id bigint, width int, height int, out_width int, out_height int, resized_md5 string"
+)
+
+
+def resize_images(
+    media: DataFrame,
+    target_w: int,
+    target_h: int,
+    decoder: Callable[[bytes], tuple[int, int, int]] = decode_image,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Aspect-preserving fit-within-box resize over binary payloads.
+
+    Real pipeline: decode → PIL/libvips ``thumbnail`` → re-encode bytes.
+    Here the *geometry* (scale = min(tw/w, th/h, 1), floor, never
+    upscale) and the Arrow/mapInPandas plumbing are real; the pixel
+    resample is stubbed — ``resized_md5`` digests the original payload
+    as a stand-in for the re-encoded image bytes.
+    """
+    if partitions:
+        media = media.repartition(partitions)
+    _pickle_by_value()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                buf = bytes(payload)
+                w, h, _nf = decoder(buf)
+                scale = min(target_w / w, target_h / h, 1.0)
+                ow, oh = max(1, int(w * scale)), max(1, int(h * scale))
+                rows.append((doc_id, w, h, ow, oh, hashlib.md5(buf).hexdigest()))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "out_width", "out_height", "resized_md5"],
+            )
+
+    return media.mapInPandas(run, schema=RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id bigint, n_frames int, frame_idx int, frame_md5 string"
+
+
+def sample_frames(
+    media: DataFrame,
+    every_n: int = 4,
+    decoder: Callable[[bytes], tuple[int, int, int]] = decode_image,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Every-Nth-frame sampling over video payloads — one output row per
+    sampled frame (a fan-out map, so mapInPandas not a scalar UDF).
+
+    Real pipeline: ffmpeg/pyav seek+decode per kept frame. Here the
+    frame *selection* (indices 0, N, 2N, … < n_frames) and the
+    batch-streaming plumbing are real; the decoded frame bytes are
+    stubbed as md5(payload ‖ ':' ‖ frame_idx).
+    """
+    if partitions:
+        media = media.repartition(partitions)
+    _pickle_by_value()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                buf = bytes(payload)
+                _w, _h, nf = decoder(buf)
+                for idx in range(0, nf, every_n):
+                    digest = hashlib.md5(buf + b":" + str(idx).encode()).hexdigest()
+                    rows.append((doc_id, nf, idx, digest))
+            yield pd.DataFrame(rows, columns=["doc_id", "n_frames", "frame_idx", "frame_md5"])
+
+    return media.mapInPandas(run, schema=FRAME_SCHEMA)

@@ -35,6 +35,13 @@ from emission_project_spark.functions.text import (
     fingerprint,
     token_count,
 )
+from emission_project_spark.extensions.multimodal import (
+    attach_payload,
+    extract_features,
+    fake_image_decoder,
+    resize_images,
+    sample_frames,
+)
 from emission_project_spark.functions.vectors import l2_norm
 from emission_project_spark.plans.registry import register
 
@@ -426,3 +433,69 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("text").alias("content_md5"),
         F.col("source").alias("media_source"),
     )
+
+
+# --- multimodal decode→feature-extract over mapInPandas. The fake
+# decoder derives (w, h, n_frames) from payload length, so the oracle
+# states the same arithmetic on octet_length — the Arrow/mapInPandas
+# plumbing under test is exactly what a real PIL decoder would ride.
+@register(
+    "multimodal_extract_features",
+    oracle="""
+    SELECT doc_id, 'image/fake' AS media_type,
+           CAST(octet_length(encode(text)) % 640 + 1 AS INT) AS width,
+           CAST(octet_length(encode(text)) % 480 + 1 AS INT) AS height,
+           CAST(octet_length(encode(text)) % 16 + 1 AS INT) AS n_frames,
+           TRUE AS ok
+    FROM documents
+    """,
+)
+def multimodal_extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_features(attach_payload(docs), decoder=fake_image_decoder)
+
+
+# --- multimodal aspect-preserving resize (fit within 256×256).
+@register(
+    "multimodal_resize",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id, text,
+               CAST(octet_length(encode(text)) % 640 + 1 AS INT) AS width,
+               CAST(octet_length(encode(text)) % 480 + 1 AS INT) AS height
+        FROM documents
+    )
+    SELECT doc_id, width, height,
+           GREATEST(1, CAST(FLOOR(width * LEAST(256.0 / width, 256.0 / height, 1.0)) AS INT)) AS out_width,
+           GREATEST(1, CAST(FLOOR(height * LEAST(256.0 / width, 256.0 / height, 1.0)) AS INT)) AS out_height,
+           md5(text) AS resized_md5
+    FROM dims
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return resize_images(attach_payload(docs), 256, 256, decoder=fake_image_decoder)
+
+
+# --- multimodal every-Nth frame sampling (fan-out map).
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH vids AS (
+        SELECT doc_id, text,
+               CAST(octet_length(encode(text)) % 16 + 1 AS INT) AS n_frames
+        FROM documents
+    ),
+    expanded AS (
+        SELECT doc_id, text, n_frames,
+               unnest(range(0, n_frames, 4)) AS frame_idx
+        FROM vids
+    )
+    SELECT doc_id, n_frames, CAST(frame_idx AS INT) AS frame_idx,
+           md5(text || ':' || frame_idx) AS frame_md5
+    FROM expanded
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return sample_frames(attach_payload(docs), every_n=4, decoder=fake_image_decoder)

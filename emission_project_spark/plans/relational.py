@@ -707,3 +707,132 @@ def set_ops_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("f_only").alias("bucket"), "n"
     )
     return both.unionByName(f_only)
+
+
+# --- JSON functions over the events.props column (semi-structured
+# surface Spark provides for free: get_json_object / from_json).
+@register(
+    "events_json_extract",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(min(CAST(json_extract(props, '$.k') AS INT)) AS INT) AS min_k,
+           CAST(max(CAST(json_extract(props, '$.k') AS INT)) AS INT) AS max_k,
+           round(avg(CAST(json_extract(props, '$.k') AS INT)), 4) AS avg_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+        F.round(F.avg(k), 4).alias("avg_k"),
+    )
+
+
+# --- Ranking + analytic window functions (rank / dense_rank / lag):
+# top-3 orders per priority with gap to the previous order's price.
+@register(
+    "window_rank_top3_per_priority",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey, rnk, dense_rnk,
+           round(price_gap, 2) AS price_gap
+    FROM (
+        SELECT o_orderpriority, o_orderkey,
+               CAST(rank() OVER w AS INT) AS rnk,
+               CAST(dense_rank() OVER w AS INT) AS dense_rnk,
+               o_totalprice - lag(o_totalprice) OVER w AS price_gap
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderpriority
+                     ORDER BY o_totalprice DESC, o_orderkey)
+    )
+    WHERE rnk <= 3
+    """,
+)
+def window_rank_top3_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    )
+    return (
+        o.select(
+            "o_orderpriority",
+            "o_orderkey",
+            F.rank().over(w).cast("int").alias("rnk"),
+            F.dense_rank().over(w).cast("int").alias("dense_rnk"),
+            (F.col("o_totalprice") - F.lag("o_totalprice").over(w)).alias("price_gap"),
+        )
+        .filter(F.col("rnk") <= 3)
+        .withColumn("price_gap", F.round("price_gap", 2))
+    )
+
+
+# --- CUBE aggregation (all grouping combinations; GROUPING() flags
+# disambiguate real nulls from subtotal rows).
+@register(
+    "rollup_cube_status_priority",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def rollup_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping("o_orderstatus").cast("int").alias("g_status"),
+        F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+# --- Regex extraction + string functions over document text.
+@register(
+    "regex_extract_long_words",
+    oracle="""
+    SELECT regexp_extract(lower(text), '([a-z]{6,})', 1) AS first_long_word,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def regex_extract_long_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy(
+        F.regexp_extract(F.lower("text"), r"([a-z]{6,})", 1).alias("first_long_word")
+    ).agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+# --- Array/map higher-order functions over embeddings (transform /
+# filter / aggregate — Catalyst-native, no UDF).
+@register(
+    "array_higher_order_fns",
+    oracle="""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+    SELECT vec_id,
+           CAST(len(list_filter(e, x -> x > 0)) AS INT) AS n_positive,
+           round(list_sum(list_transform(e, x -> x * x)), 4) AS sum_sq,
+           round(list_max(e), 4) AS max_val
+    FROM v
+    """,
+)
+def array_higher_order_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = F.col("embedding").cast("array<double>")
+    return emb.select(
+        "vec_id",
+        F.size(F.filter(e, lambda x: x > 0)).alias("n_positive"),
+        F.round(
+            F.aggregate(e, F.lit(0.0), lambda acc, x: acc + x * x), 4
+        ).alias("sum_sq"),
+        F.round(F.array_max(e), 4).alias("max_val"),
+    )

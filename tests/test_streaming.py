@@ -82,3 +82,42 @@ def test_session_windows_gap_split(spark):
         by_user.setdefault(r.user_id, []).append((str(r.session_start), r.n_events))
     assert sorted(by_user[1]) == [("2024-01-01 00:00:00", 2), ("2024-01-01 01:00:00", 1)]
     assert by_user[2] == [("2024-01-01 00:00:00", 1)]
+
+
+def test_stateful_running_totals_across_microbatches(spark, tmp_path):
+    """applyInPandasWithState carries per-key state across micro-batches:
+    with maxFilesPerTrigger=1 the two files become two batches, and the
+    second emitted row for user 1 must include the first batch's rows."""
+    from emission_project_spark.streaming.stateful import running_user_totals
+
+    incoming = tmp_path / "incoming"
+    incoming.mkdir()
+    (incoming / "a.csv").write_text("user_id,value\n1,10.0\n1,5.0\n2,1.0\n")
+    (incoming / "b.csv").write_text("user_id,value\n1,2.0\n")
+
+    stream = (
+        spark.readStream.format("csv")
+        .schema("user_id bigint, value double")
+        .option("header", "true")
+        .option("maxFilesPerTrigger", "1")
+        .load(str(incoming))
+    )
+    q = (
+        running_user_totals(stream)
+        .writeStream.format("memory")
+        .queryName("running_totals")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    rows = spark.sql("SELECT * FROM running_totals").collect()
+    per_user = {}
+    for r in rows:
+        per_user.setdefault(r.user_id, []).append((r.n_events, r.total_value))
+    # user 1 ends at 3 events / 17.0 total, cumulative across batches
+    assert max(per_user[1]) == (3, 17.0)
+    assert (2, 15.0) in per_user[1]  # first batch emitted the partial state
+    assert per_user[2] == [(1, 1.0)]
