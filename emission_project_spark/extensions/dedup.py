@@ -37,10 +37,42 @@ DEFAULT_SHINGLE = 3
 DEFAULT_BANDS = 8
 SIMHASH_BITS = 32
 
+# affine minhash family over one base hash — h_b = (A_b·h + B_b) mod P,
+# the standard construction (same as Spark ML's MinHashLSH); constants
+# are fixed so the DuckDB oracle can restate them
+BAND_A = (769, 1031, 1543, 2053, 3079, 6151, 12289, 24593)
+BAND_B = (
+    12582917,
+    25165843,
+    50331653,
+    100663319,
+    201326611,
+    402653189,
+    805306457,
+    1610612741,
+)
+MINHASH_MOD = 2147483647
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Widen narrow inputs before CPU-heavy fan-out work.
+
+    A small parquet table scans as 1-2 partitions (row-group bound), so
+    everything downstream of an explode/hash chain would run on 1-2
+    cores. Repartitioning a narrow input is a cheap shuffle locally and
+    a no-op at scale (inputs already have ≥ parallelism partitions)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
 
 def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Groups of exact (whitespace/punct-insensitive) duplicates:
-    one row per fingerprint with the canonical (min) doc id and count."""
+    one row per fingerprint with the canonical (min) doc id and count.
+
+    No ``_spread`` here: one fingerprint per doc is too cheap to repay
+    a repartition shuffle — unlike the shingle-explosion operators."""
     return (
         docs.select(F.col(id_col), fingerprint(text_col).alias("fingerprint"))
         .groupBy("fingerprint")
@@ -70,7 +102,8 @@ def shingles(
 ) -> DataFrame:
     """Distinct word k-shingles per document: (doc_id, shingle)."""
     return (
-        docs.select(
+        _spread(docs)
+        .select(
             F.col(id_col).alias("doc_id"), F.explode(_shingle_array(text_col, k)).alias("shingle")
         )
         .distinct()
@@ -143,20 +176,24 @@ def minhash_band_signatures(
 ) -> DataFrame:
     """Per-(doc, band) minhash signature: (doc_id, band, signature).
 
-    One md5 family per band (salted by band id); min over the doc's
-    shingles. The ``bands`` mins are computed as parallel aggregate
-    COLUMNS over a single shingle explosion — no band-row explosion,
-    one shuffle keyed by doc with map-side partial mins. Min is
-    duplicate-insensitive, so no distinct pass is needed. Equivalent to
-    r=1 rows/band: P[band match] = exact Jaccard.
+    ONE md5 per shingle → 28-bit base integer → ``bands`` affine
+    transforms (A_b·h + B_b mod P), min per band — the standard
+    minhash family (Spark ML's MinHashLSH uses the same construction),
+    ~8× less hashing than independent salted digests per band. The
+    band mins are parallel aggregate COLUMNS over a single shingle
+    explosion — no band-row explosion, one shuffle keyed by doc with
+    map-side partial mins. Min is duplicate-insensitive, so no
+    distinct pass is needed. Equivalent to r=1 rows/band:
+    P[band match] = exact Jaccard.
     """
-    exploded = docs.select(
+    exploded = _spread(docs).select(
         F.col(id_col).alias("doc_id"), F.explode(_shingle_array(text_col, k)).alias("shingle")
     )
+    base = F.conv(F.substring(F.md5("shingle"), 1, 7), 16, 10).cast("bigint")
     hashed = exploded.select(
         "doc_id",
         *[
-            F.md5(F.concat_ws("|", F.lit(str(b)), F.col("shingle"))).alias(f"_h{b}")
+            ((base * F.lit(BAND_A[b]) + F.lit(BAND_B[b])) % F.lit(MINHASH_MOD)).alias(f"_h{b}")
             for b in range(bands)
         ],
     )
@@ -209,7 +246,7 @@ def simhash64(
     — 32× less aggregation input), then one expression reassembles the
     fingerprint. Token multiplicity intentionally weights votes.
     """
-    toks = docs.select(
+    toks = _spread(docs).select(
         F.col(id_col).alias("doc_id"),
         F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"),
     )

@@ -13,6 +13,9 @@ from pyspark.sql import functions as F
 
 from emission_project_spark.catalog.tables import load_table
 from emission_project_spark.extensions.dedup import (
+    BAND_A,
+    BAND_B,
+    MINHASH_MOD,
     exact_duplicates,
     minhash_band_signatures,
     minhash_lsh_candidates,
@@ -200,18 +203,33 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, threshold=0.2)
 
 
+# affine band family restated in SQL (same constants as dedup.BAND_A/B)
+_BAND_VALUES = ", ".join(
+    f"({b}, {a}, {c})" for b, (a, c) in enumerate(zip(BAND_A, BAND_B))
+)
+_MINHASH_SIG_SQL = f"""
+    based AS (
+        SELECT doc_id, ('0x' || substring(md5(shingle), 1, 7))::BIGINT AS h
+        FROM sh
+    ),
+    banded AS (
+        SELECT doc_id, c.band, (h * c.a + c.bb) % {MINHASH_MOD} AS h2
+        FROM based CROSS JOIN (VALUES {_BAND_VALUES}) AS c(band, a, bb)
+    ),
+    sig AS (
+        SELECT doc_id, CAST(band AS INT) AS band, min(h2) AS signature
+        FROM banded GROUP BY doc_id, band
+    )
+"""
+
+
 # --- MinHash band signatures (oracle-checkable LSH internals).
 @register(
     "dedup_minhash_signatures",
     oracle=f"""
     WITH {_SHINGLE_SQL},
-    banded AS (
-        SELECT doc_id, band,
-               md5(CAST(band AS VARCHAR) || '|' || shingle) AS h
-        FROM sh CROSS JOIN (SELECT unnest(range(8)) AS band)
-    )
-    SELECT doc_id, CAST(band AS INT) AS band, min(h) AS signature
-    FROM banded GROUP BY doc_id, band
+    {_MINHASH_SIG_SQL}
+    SELECT doc_id, band, signature FROM sig
     """,
 )
 def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -224,12 +242,7 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_minhash_lsh",
     oracle=f"""
     WITH {_SHINGLE_SQL},
-    banded AS (
-        SELECT doc_id, band,
-               md5(CAST(band AS VARCHAR) || '|' || shingle) AS h
-        FROM sh CROSS JOIN (SELECT unnest(range(8)) AS band)
-    ),
-    sig AS (SELECT doc_id, band, min(h) AS signature FROM banded GROUP BY doc_id, band)
+    {_MINHASH_SIG_SQL}
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(count(*) AS BIGINT) AS bands_agree
     FROM sig a

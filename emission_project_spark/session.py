@@ -39,7 +39,13 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # 10 MB: big enough that every true dimension (nation, supplier,
+        # customer, date) broadcasts, small enough that Catalyst never
+        # auto-broadcasts a fact-side relation (at sf0.1 lineitem is
+        # ~19 MB and was being broadcast under a fatter threshold — a
+        # plan that cannot survive scale-up; dims are explicitly hinted
+        # with F.broadcast anyway)
+        .config("spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.session.timeZone", "UTC")
