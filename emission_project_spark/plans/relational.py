@@ -836,3 +836,63 @@ def array_higher_order_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("sum_sq"),
         F.round(F.array_max(e), 4).alias("max_val"),
     )
+
+
+# --- Skew mitigation: salted join / salted two-phase aggregate.
+# Oracles are the PLAIN join/group-by — proving the salted physical
+# shape is row-identical to the logical operation it replaces.
+@register(
+    "skew_salted_join_mktsegment",
+    oracle="""
+    SELECT c.c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o.o_totalprice), 2) AS total_price
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def skew_salted_join_mktsegment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emission_project_spark.operators.skew import salted_join
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").withColumnRenamed("c_custkey", "o_custkey")
+    return (
+        salted_join(o, c.select("o_custkey", "c_mktsegment"), ["o_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+@register(
+    "skew_salted_rollup_events",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 4) AS total_value,
+           round(avg(value), 4) AS avg_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def skew_salted_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emission_project_spark.operators.skew import salted_aggregate
+
+    e = load_table(spark, sf_dir, "events")
+    agg = salted_aggregate(
+        e,
+        ["event_type"],
+        {
+            "n_events": ("count", "value"),
+            "total_value": ("sum", "value"),
+            "avg_value": ("avg", "value"),
+        },
+    )
+    return agg.select(
+        "event_type",
+        "n_events",
+        F.round("total_value", 4).alias("total_value"),
+        F.round("avg_value", 4).alias("avg_value"),
+    )

@@ -102,3 +102,44 @@ def test_date_dim_shape(spark):
     row = dd.filter(F.col("date_id") == 20210101).collect()[0]
     # ISO week 53 of 2020, but calendar year 2021 (SURVEY §4.4)
     assert row.week == 53 and row.year == 2021 and row.week_day == "Friday"
+
+
+def test_salted_join_matches_plain_join(spark):
+    from emission_project_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c"), (3, "d")], "k int, v string"
+    )
+    small = spark.createDataFrame([(1, "X"), (2, "Y")], "k int, w string")
+    plain = big.join(small, "k", "left")
+    salted = salted_join(big, small, ["k"], how="left", salts=4)
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+    # inner variant too
+    assert sorted(map(tuple, salted_join(big, small, ["k"], salts=4).collect())) == sorted(
+        map(tuple, big.join(small, "k").collect())
+    )
+
+
+def test_salted_aggregate_matches_plain_groupby(spark):
+    from pyspark.sql import functions as F
+    from emission_project_spark.operators.skew import salted_aggregate
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 10.0)], "k string, x double"
+    )
+    got = {
+        r.k: (r.n, r.total, r.lo, r.hi, r.mean)
+        for r in salted_aggregate(
+            df,
+            ["k"],
+            {
+                "n": ("count", "x"),
+                "total": ("sum", "x"),
+                "lo": ("min", "x"),
+                "hi": ("max", "x"),
+                "mean": ("avg", "x"),
+            },
+            salts=4,
+        ).collect()
+    }
+    assert got == {"a": (3, 6.0, 1.0, 3.0, 2.0), "b": (1, 10.0, 10.0, 10.0, 10.0)}
