@@ -896,3 +896,19 @@ def skew_salted_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("total_value", 4).alias("total_value"),
         F.round("avg_value", 4).alias("avg_value"),
     )
+
+
+# --- Approximate aggregates (HLL++ distinct, quantile sketch). No SQL
+# oracle: sketch outputs are engine-specific (DuckDB's HLL and t-digest
+# produce different estimates than Spark's HLL++/GK) — the driver
+# records the weaker rows-only check; exact twins are oracle-checked in
+# distinct_count_customers / window queries.
+@register("approx_aggregates_events")
+def approx_aggregates_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.percentile_approx("value", F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99)), 10000).alias(
+            "value_quantiles"
+        ),
+    )

@@ -52,6 +52,33 @@ class Warehouse:
             w = w.partitionBy(*partition_by)
         w.parquet(self.path(table))
 
+    def save_bucketed(
+        self,
+        df: DataFrame,
+        table: str,
+        bucket_by: list[str],
+        n_buckets: int = 32,
+        sort_by: list[str] | None = None,
+    ) -> None:
+        """Hash-bucketed (optionally sorted) catalog table.
+
+        Both sides of a recurring big-big join bucketed by the join key
+        with the same bucket count read back ALREADY co-partitioned:
+        the join plans with no Exchange on either side (and no sort,
+        if ``sort_by`` matches) — the 100 TB answer to the reference's
+        repeated fact↔dim key resolutions. Bucket metadata lives in the
+        session catalog, so read back via ``read_bucketed``.
+        """
+        w = df.write.mode("overwrite").format("parquet").bucketBy(n_buckets, *bucket_by)
+        if sort_by:
+            w = w.sortBy(*sort_by)
+        w.option("path", self.path(table)).saveAsTable(table)
+
+    def read_bucketed(self, table: str) -> DataFrame:
+        """Catalog read that preserves bucketing metadata (a plain
+        ``spark.read.parquet`` of the same path would forget it)."""
+        return self.spark.table(table)
+
     def overwrite_atomic(
         self, df: DataFrame, table: str, partition_by: list[str] | None = None
     ) -> None:

@@ -143,3 +143,28 @@ def test_salted_aggregate_matches_plain_groupby(spark):
         ).collect()
     }
     assert got == {"a": (3, 6.0, 1.0, 3.0, 2.0), "b": (1, 10.0, 10.0, 10.0, 10.0)}
+
+
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
+    """Two tables bucketed on the join key with equal bucket counts must
+    join with NO Exchange in the physical plan (co-located join)."""
+    from emission_project_spark.sources.warehouse import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    facts = spark.range(0, 1000).selectExpr("id AS k", "id * 2 AS v")
+    dims = spark.range(0, 100).selectExpr("id AS k", "CAST(id AS STRING) AS name")
+    wh.save_bucketed(facts, "bt_facts", ["k"], n_buckets=4, sort_by=["k"])
+    wh.save_bucketed(dims, "bt_dims", ["k"], n_buckets=4, sort_by=["k"])
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force a big-big (sort-merge) join — the case bucketing serves;
+        # tiny tables would otherwise broadcast and sidestep the test
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = wh.read_bucketed("bt_facts").join(wh.read_bucketed("bt_dims"), "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan  # no shuffle on either side
+        assert joined.count() == 100
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bt_facts")
+        spark.sql("DROP TABLE IF EXISTS bt_dims")
