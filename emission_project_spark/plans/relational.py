@@ -912,3 +912,34 @@ def approx_aggregates_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value_quantiles"
         ),
     )
+
+
+# --- Range (interval) join: errors within 120 s after each signup.
+# Bucketed-equi-join strategy (operators/range_join.py) vs the oracle's
+# direct inequality join — identical pairs, scale-viable plan.
+@register(
+    "range_join_signup_errors",
+    oracle="""
+    SELECT s.event_id AS signup_id, e.event_id AS error_id,
+           CAST(epoch_us(CAST(e.ts AS TIMESTAMP)) - epoch_us(CAST(s.ts AS TIMESTAMP)) AS BIGINT)
+               AS delta_us
+    FROM events s
+    JOIN events e
+      ON CAST(e.ts AS TIMESTAMP) >= CAST(s.ts AS TIMESTAMP)
+     AND CAST(e.ts AS TIMESTAMP) <= CAST(s.ts AS TIMESTAMP) + INTERVAL 120 SECOND
+    WHERE s.event_type = 'signup' AND e.event_type = 'error'
+    """,
+)
+def range_join_signup_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emission_project_spark.operators.range_join import range_join
+
+    ev = load_table(spark, sf_dir, "events")
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"), F.col("ts").alias("s_ts")
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"), F.col("ts").alias("e_ts")
+    )
+    return range_join(signups, errors, "s_ts", "e_ts", 0, 120).select(
+        "signup_id", "error_id", "delta_us"
+    )

@@ -168,3 +168,29 @@ def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bt_facts")
         spark.sql("DROP TABLE IF EXISTS bt_dims")
+
+
+def test_range_join_window_semantics(spark):
+    from pyspark.sql import functions as F
+    from emission_project_spark.operators.range_join import range_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00")], "lid int, ts_s string"
+    ).select("lid", F.to_timestamp("ts_s").alias("l_ts"))
+    right = spark.createDataFrame(
+        [
+            (10, "2023-12-31 23:59:59"),  # before window
+            (11, "2024-01-01 00:00:00"),  # delta 0 (inclusive)
+            (12, "2024-01-01 00:01:30"),  # inside
+            (13, "2024-01-01 00:02:00"),  # delta == upper (inclusive)
+            (14, "2024-01-01 00:02:01"),  # after window
+        ],
+        "rid int, ts_s string",
+    ).select("rid", F.to_timestamp("ts_s").alias("r_ts"))
+    got = sorted(
+        (r.rid, r.delta_us)
+        for r in range_join(left, right, "l_ts", "r_ts", 0, 120).collect()
+    )
+    assert got == [(11, 0), (12, 90_000_000), (13, 120_000_000)]
+    # duplicate-free even when a pair's buckets overlap twice
+    assert range_join(left, right, "l_ts", "r_ts", 0, 120).count() == 3
