@@ -1,0 +1,143 @@
+"""Training-data curation operators: sampling, distribution stats,
+column profiling.
+
+A 100 TB corpus pipeline needs, beyond dedup/similarity/text-quality:
+
+- **Deterministic stratified sampling** — keep the top-k of each
+  stratum (language, source, quality bucket) ranked by a content hash.
+  Hash-ranked sampling is reproducible across runs, engines, and
+  partitionings (unlike ``df.sample``'s seed-and-partition-dependent
+  Bernoulli draw), which makes training mixtures auditable. md5 is the
+  shared Spark/DuckDB hash, so the sample is oracle-checkable.
+- **Exact distribution stats** — length percentiles per stratum drive
+  mixture and truncation decisions. Spark's ``percentile`` (exact) is
+  a sort-based aggregate; at 100 TB switch to ``percentile_approx``
+  (t-digest sketch, single pass, mergeable partials) — both are
+  registered here, the exact one oracle-checked, the sketch one
+  rows-only.
+- **Column profiling** — per-column null fraction / distinct count /
+  min / max over an arbitrary table, the data-quality gate before a
+  corpus joins the training mix. One wide aggregate pass: all columns
+  profiled in a single job with map-side partials, no per-column scan.
+
+The reference has no curation surface (its dedup is drop_duplicates,
+emission-dag.py:76,96); these follow the same query+oracle contract as
+the rest of the extension kit.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def stratified_sample_topk(
+    df: DataFrame,
+    strata: Sequence[str],
+    id_col: str,
+    k: int,
+) -> DataFrame:
+    """Keep the ``k`` rows of each stratum with the smallest
+    ``md5(id)`` — a deterministic, engine-portable pseudo-random
+    sample (md5 is uniform over ids, so this is an unbiased k-per-group
+    draw that any engine reproduces bit-for-bit).
+
+    Scale shape: one shuffle keyed by the strata; Spark plans the
+    rank-filter as ``WindowGroupLimit`` (top-k pushed below the sort),
+    so each partition keeps only k rows before the final window pass.
+    Skewed strata are the hazard at 100 TB — the group-limit pushdown
+    caps the damage since partial top-k runs map-side.
+    """
+    w = Window.partitionBy(*strata).orderBy(
+        F.md5(F.col(id_col).cast("string")).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
+def length_percentiles(
+    df: DataFrame,
+    strata: Sequence[str],
+    value_col: str,
+    percentiles: Sequence[float] = (0.25, 0.5, 0.75, 0.95),
+) -> DataFrame:
+    """Exact per-stratum percentiles of ``value_col`` plus count/mean.
+
+    Exact ``percentile`` is a sort-based aggregate — correct but
+    memory-bound per group; it is the oracle-checkable form. At 100 TB
+    use :func:`length_percentiles_approx` (mergeable t-digest sketch).
+    """
+    aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg(value_col), 6).alias("mean_val"),
+    ]
+    for p in percentiles:
+        aggs.append(
+            F.round(F.expr(f"percentile({value_col}, {p})"), 6).alias(
+                f"p{int(p * 100)}"
+            )
+        )
+    return df.groupBy(*strata).agg(*aggs)
+
+
+def length_percentiles_approx(
+    df: DataFrame,
+    strata: Sequence[str],
+    value_col: str,
+    percentiles: Sequence[float] = (0.25, 0.5, 0.75, 0.95),
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Sketch-based percentiles: single pass, fixed memory per group,
+    mergeable partials — the 100 TB path (no global sort)."""
+    aggs = [F.count(F.lit(1)).alias("n_docs")]
+    for p in percentiles:
+        aggs.append(
+            F.percentile_approx(value_col, p, accuracy).alias(f"p{int(p * 100)}")
+        )
+    return df.groupBy(*strata).agg(*aggs)
+
+
+def profile_columns(df: DataFrame, columns: Sequence[str] | None = None) -> DataFrame:
+    """Per-column profile: rows, nulls, null fraction, distinct count,
+    min, max (min/max rendered as strings so heterogeneous columns
+    stack into one tall result).
+
+    Single wide aggregate over one scan — every metric for every
+    column computed in the same job with map-side partial aggregation;
+    the per-column results are then unpivoted driver-free with a
+    ``stack`` projection. ``count(distinct)`` per column expands the
+    aggregate; at 100 TB swap in ``approx_count_distinct`` (HLL) to
+    keep the pass single-shuffle.
+    """
+    cols = list(columns) if columns else list(df.columns)
+    aggs = [F.count(F.lit(1)).alias("_rows")]
+    for c in cols:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"_nulls_{c}"),
+            F.countDistinct(c).alias(f"_dist_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"_min_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"_max_{c}"),
+        ]
+    wide = df.agg(*aggs)
+    stack_args = []
+    for c in cols:
+        stack_args.append(f"'{c}', _nulls_{c}, _dist_{c}, _min_{c}, _max_{c}")
+    stacked = wide.selectExpr(
+        "_rows",
+        f"stack({len(cols)}, {', '.join(stack_args)}) "
+        "AS (column_name, n_nulls, n_distinct, min_str, max_str)",
+    )
+    return stacked.select(
+        "column_name",
+        F.col("_rows").alias("n_rows"),
+        "n_nulls",
+        F.round(F.col("n_nulls") / F.col("_rows"), 6).alias("null_fraction"),
+        "n_distinct",
+        F.col("min_str").alias("min_value"),
+        F.col("max_str").alias("max_value"),
+    )

@@ -1,0 +1,75 @@
+"""Distributed connected components over an edge list.
+
+The dedup pipeline's clustering step: LSH candidate PAIRS become
+duplicate CLUSTERS (every doc labeled with the min doc id reachable
+through the pair graph), which is what "keep one canonical copy per
+near-dup group" needs at scale. The reference's dedup surface is
+single-table ``drop_duplicates`` (emission-dag.py:76,96); components
+is the 100 TB generalization the training-data extensions require.
+
+Algorithm: iterative min-label propagation — each round every node
+adopts the smallest label among itself and its neighbors, until
+fixpoint. Rounds required = graph diameter. Near-dup graphs are dense
+and shallow (cliques and short chains, diameter ≲ 3), so propagation
+beats the constant-factor-heavier alternating large-star/small-star
+scheme (Kiveris et al., "Connected Components in MapReduce and
+Beyond") on this workload while remaining a pure shuffle-on-key
+DataFrame program: each round is one equi-join plus one min-aggregate,
+both keyed on the node id, so partial (map-side) aggregation applies
+and AQE co-plans the stages. ``localCheckpoint`` per round truncates
+lineage — without it the logical plan doubles every round and the
+driver re-optimizes an exponentially growing tree.
+
+Determinism: the fixpoint (min reachable id per node) is independent
+of iteration order, so results are stable across partitionings — and
+oracle-checkable against a recursive-CTE transitive closure.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Label every node that appears in ``edges`` with the minimum node
+    id of its connected component. Returns ``(id, component_id)``.
+
+    ``max_iter`` bounds the rounds (= graph diameter); propagation
+    stops early at fixpoint, detected with a cheap ``limit(1)`` probe
+    for any changed label.
+    """
+    sym = edges.select(F.col(src).alias("id"), F.col(dst).alias("nbr")).unionByName(
+        edges.select(F.col(dst).alias("id"), F.col(src).alias("nbr"))
+    )
+    sym = sym.localCheckpoint()
+
+    labels = sym.select("id").distinct().withColumn("comp", F.col("id")).localCheckpoint()
+
+    for _ in range(max_iter):
+        nbr_labels = (
+            sym.join(labels.withColumnRenamed("id", "nbr"), "nbr")
+            .select("id", "comp")
+        )
+        new_labels = (
+            nbr_labels.unionByName(labels.select("id", "comp"))
+            .groupBy("id")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("comp", "_old"), "id")
+            .filter(F.col("comp") != F.col("_old"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+
+    return labels.select("id", F.col("comp").alias("component_id"))

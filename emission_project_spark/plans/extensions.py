@@ -512,3 +512,137 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return sample_frames(attach_payload(docs), every_n=4, decoder=fake_image_decoder)
+
+
+# --- dedup clustering: LSH candidate pairs → connected components.
+# The oracle is a recursive-CTE transitive closure (min reachable id);
+# the Spark side is iterative min-label propagation — both converge to
+# the same fixpoint, so values hash-match.
+@register(
+    "dedup_cluster_components",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLE_SQL},
+    {_MINHASH_SIG_SQL},
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sig a
+        JOIN sig b ON a.band = b.band AND a.signature = b.signature
+                  AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+        HAVING count(*) >= 4
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(node, comp) AS (
+        SELECT DISTINCT src, src FROM edges
+        UNION
+        SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    labeled AS (
+        SELECT node AS doc_id, min(comp) AS component_id
+        FROM reach GROUP BY node
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(component_id AS BIGINT) AS component_id,
+           CAST(count(*) OVER (PARTITION BY component_id) AS BIGINT) AS cluster_size
+    FROM labeled
+    """,
+)
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from emission_project_spark.operators.components import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_candidates(docs).filter(F.col("bands_agree") >= 4)
+    comp = connected_components(pairs, src="doc_a", dst="doc_b")
+    return comp.select(
+        F.col("id").alias("doc_id"),
+        "component_id",
+        F.count(F.lit(1)).over(Window.partitionBy("component_id")).alias("cluster_size"),
+    )
+
+
+# --- curation: deterministic hash-ranked stratified sample.
+@register(
+    "curation_stratified_sample",
+    oracle="""
+    SELECT doc_id, text, lang, source, n_chars
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY lang, source
+            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        ) AS rk
+        FROM documents
+    )
+    WHERE rk <= 5
+    """,
+)
+def curation_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emission_project_spark.extensions.curation import stratified_sample_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_sample_topk(docs, strata=["lang", "source"], id_col="doc_id", k=5)
+
+
+# --- curation: exact per-stratum length percentiles.
+@register(
+    "curation_length_percentiles",
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(n_chars), 6) AS mean_val,
+           round(quantile_cont(n_chars, 0.25), 6) AS p25,
+           round(quantile_cont(n_chars, 0.5), 6) AS p50,
+           round(quantile_cont(n_chars, 0.75), 6) AS p75,
+           round(quantile_cont(n_chars, 0.95), 6) AS p95
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def curation_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emission_project_spark.extensions.curation import length_percentiles
+
+    docs = load_table(spark, sf_dir, "documents")
+    return length_percentiles(docs, strata=["lang"], value_col="n_chars")
+
+
+# --- curation: one-pass column profiling (data-quality gate).
+@register(
+    "curation_profile_documents",
+    oracle="""
+    WITH wide AS (
+        SELECT count(*) AS n_rows,
+               sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS nulls_lang,
+               count(DISTINCT lang) AS dist_lang,
+               min(lang) AS min_lang, max(lang) AS max_lang,
+               sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS nulls_source,
+               count(DISTINCT source) AS dist_source,
+               min(source) AS min_source, max(source) AS max_source,
+               sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS nulls_n_chars,
+               count(DISTINCT n_chars) AS dist_n_chars,
+               CAST(min(n_chars) AS VARCHAR) AS min_n_chars,
+               CAST(max(n_chars) AS VARCHAR) AS max_n_chars
+        FROM documents
+    )
+    SELECT u.column_name,
+           CAST(wide.n_rows AS BIGINT) AS n_rows,
+           CAST(u.n_nulls AS BIGINT) AS n_nulls,
+           round(u.n_nulls / wide.n_rows, 6) AS null_fraction,
+           CAST(u.n_distinct AS BIGINT) AS n_distinct,
+           u.min_value, u.max_value
+    FROM wide, LATERAL (
+        VALUES ('lang', nulls_lang, dist_lang, min_lang, max_lang),
+               ('source', nulls_source, dist_source, min_source, max_source),
+               ('n_chars', nulls_n_chars, dist_n_chars, min_n_chars, max_n_chars)
+    ) AS u(column_name, n_nulls, n_distinct, min_value, max_value)
+    """,
+)
+def curation_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emission_project_spark.extensions.curation import profile_columns
+
+    docs = load_table(spark, sf_dir, "documents")
+    return profile_columns(docs, columns=["lang", "source", "n_chars"])

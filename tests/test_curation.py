@@ -1,0 +1,82 @@
+"""Unit tests for connected-components clustering and the curation
+operators (stratified sampling, percentiles, profiling). Value-level
+oracle parity runs in tools/compare.py; these pin the invariants."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from emission_project_spark.extensions.curation import (
+    length_percentiles,
+    length_percentiles_approx,
+    profile_columns,
+    stratified_sample_topk,
+)
+from emission_project_spark.operators.components import connected_components
+
+
+def _edges(spark, rows):
+    return spark.createDataFrame(rows, "src bigint, dst bigint")
+
+
+def test_components_chain_and_islands(spark):
+    # chain 1-2-3-4 (diameter 3, needs >1 round) + pair 10-11
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4), (10, 11)])
+    out = {r.id: r.component_id for r in connected_components(e).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_components_direction_insensitive(spark):
+    # same component regardless of edge orientation
+    e = _edges(spark, [(5, 2), (2, 9), (9, 1)])
+    out = {r.component_id for r in connected_components(e).collect()}
+    assert out == {1}
+
+
+def test_components_converges_on_cycle(spark):
+    e = _edges(spark, [(1, 2), (2, 3), (3, 1)])
+    out = {r.id: r.component_id for r in connected_components(e).collect()}
+    assert out == {1: 1, 2: 1, 3: 1}
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, lang string, n_chars int")
+
+
+def test_stratified_sample_is_deterministic_and_capped(spark):
+    rows = [(i, "en" if i % 2 == 0 else "de", 100 + i) for i in range(40)]
+    docs = _docs(spark, rows)
+    a = stratified_sample_topk(docs, ["lang"], "doc_id", 3)
+    b = stratified_sample_topk(docs, ["lang"], "doc_id", 3)
+    sa = sorted((r.lang, r.doc_id) for r in a.collect())
+    assert sa == sorted((r.lang, r.doc_id) for r in b.collect())  # reproducible
+    per_lang = {}
+    for lang, _ in sa:
+        per_lang[lang] = per_lang.get(lang, 0) + 1
+    assert per_lang == {"en": 3, "de": 3}
+
+
+def test_length_percentiles_exact(spark):
+    docs = _docs(spark, [(i, "en", v) for i, v in enumerate([10, 20, 30, 40])])
+    row = length_percentiles(docs, ["lang"], "n_chars", percentiles=(0.5,)).collect()[0]
+    assert row.n_docs == 4
+    assert row.mean_val == 25.0
+    assert row.p50 == 25.0  # interpolated median, matches quantile_cont
+
+
+def test_length_percentiles_approx_brackets_exact(spark):
+    docs = _docs(spark, [(i, "en", i) for i in range(101)])
+    row = length_percentiles_approx(docs, ["lang"], "n_chars", percentiles=(0.5,)).collect()[0]
+    assert 49 <= row.p50 <= 51
+
+
+def test_profile_columns_nulls_and_bounds(spark):
+    docs = spark.createDataFrame(
+        [(1, "en", 5), (2, None, 9), (3, "de", None)],
+        "doc_id bigint, lang string, n_chars int",
+    )
+    out = {r.column_name: r for r in profile_columns(docs, ["lang", "n_chars"]).collect()}
+    assert out["lang"].n_nulls == 1 and out["lang"].n_distinct == 2
+    assert out["n_chars"].min_value == "5" and out["n_chars"].max_value == "9"
+    assert abs(out["n_chars"].null_fraction - 1 / 3) < 1e-6
+    assert out["lang"].n_rows == 3
