@@ -141,3 +141,44 @@ def profile_columns(df: DataFrame, columns: Sequence[str] | None = None) -> Data
         F.col("min_str").alias("min_value"),
         F.col("max_str").alias("max_value"),
     )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Top-k characteristic terms per document by TF-IDF
+    (tf · ln(N/df)), ties broken by term — the classic corpus keyword
+    extractor (used for topic balancing / near-dup triage in curation).
+
+    Scale shape: one token explosion → (doc, term) count (shuffle #1,
+    map-side partial) → document frequency per term (shuffle #2 over
+    the much smaller distinct doc-term set) → corpus size N broadcast
+    as a 1-row cross join → per-doc top-k via WindowGroupLimit (partial
+    top-k runs map-side). No Python, no driver collection.
+    """
+    from emission_project_spark.functions.text import tokens
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.countDistinct(id_col).alias("n_docs"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .select("doc_id", F.col("_rk").alias("rank"), "term", "tf", "df", "tfidf")
+    )

@@ -1,0 +1,96 @@
+"""Fixed-iteration Lloyd k-means over an embedding column.
+
+Embedding-space clustering is the backbone of corpus curation
+(semantic dedup buckets, topic balancing, IVF cell assignment — the
+coarse quantizer of ``extensions/similarity.ivf_topk`` is exactly one
+assignment step of this loop). The reference has no vector surface at
+all; this follows the standard Lloyd iteration with engine-friendly
+choices:
+
+- **Deterministic**: centroids seeded from fixed vector ids, distance
+  ties broken by centroid id, centroid means rounded to a fixed grid —
+  so a fixed iteration count is exactly reproducible and
+  oracle-checkable in SQL (no RNG, no convergence wobble).
+- **Scale shape**: each iteration = one broadcast of k centroids (k·dim
+  doubles — tiny) against the full vector table (no shuffle for
+  assignment), then one position-exploded partial/final average
+  (shuffle keyed by (cluster, position), k·dim groups). At 100 TB the
+  vector table never moves; only k·dim·8 bytes circulate per round.
+- **JVM-side math**: distances via ``zip_with`` + ``aggregate`` fold —
+  whole-stage codegen, no Python in the loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+GRID = 6  # decimal rounding grid for recomputed centroids
+
+
+def _sq_dist(a, b):
+    """Left-to-right fold of squared component differences (summation
+    order fixed so the DuckDB oracle can reproduce it bitwise)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def assign_clusters(vecs: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment: broadcast the k centroids, rank by
+    squared L2 distance (tie → min centroid id). Adds ``cluster_id``
+    and ``d2`` to ``vecs`` (columns ``vec_id``, ``e``)."""
+    scored = vecs.crossJoin(F.broadcast(centroids)).withColumn(
+        "d2", _sq_dist(F.col("e"), F.col("ce"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("d2").asc(), F.col("cid").asc())
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("vec_id", "e", F.col("cid").alias("cluster_id"), "d2")
+    )
+
+
+def recompute_centroids(assigned: DataFrame) -> DataFrame:
+    """Per-cluster element-wise mean, rounded to the grid. Position
+    explosion → (cluster, pos) average (map-side partials) → array
+    rebuilt in position order via sorted struct collection."""
+    by_pos = assigned.select(
+        F.col("cluster_id").alias("cid"), F.posexplode("e").alias("pos", "val")
+    )
+    means = by_pos.groupBy("cid", "pos").agg(F.round(F.avg("val"), GRID).alias("m"))
+    return means.groupBy("cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+        ).alias("ce")
+    )
+
+
+def kmeans_lloyd(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iterations: int = 2,
+) -> DataFrame:
+    """Run ``iterations`` Lloyd steps seeded from the vectors with the
+    ``k`` smallest ids; return ``(vec_id, cluster_id, d2)`` of the
+    final assignment (``d2`` rounded to the grid)."""
+    vecs = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("e"),
+    )
+    centroids = vecs.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cid"), F.col("e").alias("ce")
+    )
+    assigned = assign_clusters(vecs, centroids)
+    for _ in range(iterations - 1):
+        centroids = recompute_centroids(assigned)
+        assigned = assign_clusters(vecs, centroids)
+    return assigned.select(
+        "vec_id",
+        F.col("cluster_id").cast("bigint").alias("cluster_id"),
+        F.round("d2", GRID).alias("d2"),
+    )

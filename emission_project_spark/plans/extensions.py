@@ -646,3 +646,125 @@ def curation_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return profile_columns(docs, columns=["lang", "source", "n_chars"])
+
+
+# --- curation: TF-IDF top terms per document.
+@register(
+    "curation_tfidf_top_terms",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf, df.df,
+               round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+        FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id,
+           CAST(rk AS INT) AS rank,
+           term,
+           CAST(tf AS BIGINT) AS tf,
+           CAST(df AS BIGINT) AS df,
+           tfidf
+    FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                     ORDER BY tfidf DESC, term) AS rk FROM scored)
+    WHERE rk <= 3
+    """,
+)
+def curation_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emission_project_spark.extensions.curation import tfidf_top_terms
+
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, k=3)
+
+
+# --- dedup end-to-end: near-dup clusters → keep one canonical doc.
+@register(
+    "dedup_keep_canonical",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLE_SQL},
+    {_MINHASH_SIG_SQL},
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sig a
+        JOIN sig b ON a.band = b.band AND a.signature = b.signature
+                  AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+        HAVING count(*) >= 4
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(node, comp) AS (
+        SELECT DISTINCT src, src FROM edges
+        UNION
+        SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    labeled AS (
+        SELECT node AS doc_id, min(comp) AS component_id
+        FROM reach GROUP BY node
+    )
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM labeled WHERE doc_id <> component_id)
+    """,
+)
+def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emission_project_spark.operators.components import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_candidates(docs).filter(F.col("bands_agree") >= 4)
+    comp = connected_components(pairs, src="doc_a", dst="doc_b")
+    non_canonical = comp.filter(F.col("id") != F.col("component_id")).select(
+        F.col("id").alias("doc_id")
+    )
+    return docs.join(non_canonical, "doc_id", "left_anti").select(
+        "doc_id", "lang", "source"
+    )
+
+
+# --- embedding clustering: fixed-iteration Lloyd k-means.
+@register(
+    "embedding_kmeans_lloyd",
+    oracle="""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    c0 AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < 8),
+    s1 AS (
+        SELECT v.vec_id, v.e, c0.cid,
+               list_sum(list_transform(range(1, 65), i -> (v.e[i] - c0.ce[i]) * (v.e[i] - c0.ce[i]))) AS d2
+        FROM v CROSS JOIN c0
+    ),
+    a1 AS (
+        SELECT vec_id, e, cid FROM
+            (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM s1)
+        WHERE rn = 1
+    ),
+    m1 AS (
+        SELECT cid, pos, round(avg(val), 6) AS m
+        FROM (SELECT cid, i AS pos, e[i] AS val
+              FROM a1, (SELECT unnest(range(1, 65)) AS i))
+        GROUP BY cid, pos
+    ),
+    c1 AS (SELECT cid, list(m ORDER BY pos) AS ce FROM m1 GROUP BY cid),
+    s2 AS (
+        SELECT v.vec_id, c1.cid,
+               list_sum(list_transform(range(1, 65), i -> (v.e[i] - c1.ce[i]) * (v.e[i] - c1.ce[i]))) AS d2
+        FROM v CROSS JOIN c1
+    )
+    SELECT vec_id,
+           CAST(cid AS BIGINT) AS cluster_id,
+           round(d2, 6) AS d2
+    FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM s2)
+    WHERE rn = 1
+    """,
+)
+def embedding_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emission_project_spark.extensions.kmeans import kmeans_lloyd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_lloyd(emb, k=8, iterations=2)

@@ -943,3 +943,45 @@ def range_join_signup_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return range_join(signups, errors, "s_ts", "e_ts", 0, 120).select(
         "signup_id", "error_id", "delta_us"
     )
+
+
+# --- sliding (overlapping) windows: 30-min windows every 15 min.
+# Spark's window(slide) assigns each event to size/slide windows; the
+# oracle reproduces the epoch-aligned window arithmetic explicitly.
+@register(
+    "events_sliding_30m15m",
+    oracle="""
+    WITH ev AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events),
+    w AS (
+        SELECT make_timestamp(((epoch_us(ts) // 900000000) - o.k) * 900000000) AS window_start,
+               event_type, value
+        FROM ev CROSS JOIN (VALUES (0), (1)) AS o(k)
+    )
+    SELECT window_start,
+           window_start + INTERVAL 30 MINUTE AS window_end,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 4) AS total_value
+    FROM w
+    GROUP BY 1, 2, 3
+    """,
+)
+def events_sliding_30m15m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "30 minutes", "15 minutes").alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )

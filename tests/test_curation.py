@@ -80,3 +80,39 @@ def test_profile_columns_nulls_and_bounds(spark):
     assert out["n_chars"].min_value == "5" and out["n_chars"].max_value == "9"
     assert abs(out["n_chars"].null_fraction - 1 / 3) < 1e-6
     assert out["lang"].n_rows == 3
+
+
+def test_tfidf_ubiquitous_term_scores_zero(spark):
+    from emission_project_spark.extensions.curation import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [(1, "apple banana"), (2, "apple cherry"), (3, "apple date")],
+        "doc_id bigint, text string",
+    )
+    out = tfidf_top_terms(docs, k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # 'apple' appears in every doc → idf = ln(1) = 0; unique terms rank first
+    for doc_id, rows in by_doc.items():
+        rows.sort(key=lambda r: r.rank)
+        assert rows[0].term != "apple"
+        assert rows[0].tfidf > 0
+        apple = [r for r in rows if r.term == "apple"]
+        assert all(r.tfidf == 0.0 for r in apple)
+
+
+def test_kmeans_separates_two_blobs(spark):
+    from emission_project_spark.extensions.kmeans import kmeans_lloyd
+
+    # ids 0,1 seed the centroids; blob A near (0,0), blob B near (10,10)
+    rows = [
+        (0, [0.1, 0.0]), (1, [10.0, 10.1]),
+        (2, [0.2, 0.1]), (3, [0.0, 0.3]),
+        (4, [9.9, 10.0]), (5, [10.2, 9.8]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    out = {r.vec_id: r.cluster_id for r in kmeans_lloyd(emb, k=2, iterations=3).collect()}
+    assert out[0] == out[2] == out[3]
+    assert out[1] == out[4] == out[5]
+    assert out[0] != out[1]
