@@ -28,6 +28,12 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "similarity_bruteforce_topk",
     "text_quality_score",
+    "dedup_cluster_components",
+    "curation_stratified_sample",
+    "curation_tfidf_top_terms",
+    "embedding_kmeans_lloyd",
+    "events_sliding_30m15m",
+    "sql_gateway_rollup",
 ]
 
 

@@ -985,3 +985,37 @@ def events_sliding_30m15m(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+# --- §3.3 consumption path: the analyst-facing SQL gateway. The
+# reference outsources this to Postgres/pgadmin (README.md:16,
+# pgadmin_steps/); here the same roll-up SQL runs through Catalyst
+# over registered views — parse → analyze → optimize → Tungsten.
+@register(
+    "sql_gateway_rollup",
+    oracle="""
+    SELECT c.c_mktsegment AS segment,
+           n.n_name AS nation,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o.o_totalprice), 2) AS total_price
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY 1, 2
+    """,
+)
+def sql_gateway_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("orders", "customer", "nation"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        SELECT c.c_mktsegment AS segment,
+               n.n_name AS nation,
+               count(*) AS n_orders,
+               round(sum(o.o_totalprice), 2) AS total_price
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY 1, 2
+        """
+    )
