@@ -50,26 +50,25 @@ def connected_components(
     sym = sym.localCheckpoint()
 
     labels = sym.select("id").distinct().withColumn("comp", F.col("id")).localCheckpoint()
+    # labels only ever decrease, so sum(comp) strictly decreases until
+    # fixpoint — an aggregate-only convergence probe (no join per round);
+    # decimal(38,0) so the probe can't overflow at 10^9+ nodes
+    prev_sum = labels.agg(F.sum(F.col("comp").cast("decimal(38,0)"))).first()[0]
 
     for _ in range(max_iter):
         nbr_labels = (
             sym.join(labels.withColumnRenamed("id", "nbr"), "nbr")
             .select("id", "comp")
         )
-        new_labels = (
+        labels = (
             nbr_labels.unionByName(labels.select("id", "comp"))
             .groupBy("id")
             .agg(F.min("comp").alias("comp"))
             .localCheckpoint()
         )
-        changed = (
-            new_labels.join(labels.withColumnRenamed("comp", "_old"), "id")
-            .filter(F.col("comp") != F.col("_old"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        new_sum = labels.agg(F.sum(F.col("comp").cast("decimal(38,0)"))).first()[0]
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
 
     return labels.select("id", F.col("comp").alias("component_id"))
