@@ -1019,3 +1019,49 @@ def sql_gateway_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1, 2
         """
     )
+
+
+# --- analytic frame: 7-row centered-trailing moving average per
+# customer (rowsBetween frame; "for free" Spark surface per §2.5).
+@register(
+    "window_moving_avg",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(avg(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS moving_avg_price
+    FROM orders
+    """,
+)
+def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-6, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.avg("o_totalprice").over(w), 4).alias("moving_avg_price"),
+    )
+
+
+# --- analytic: ntile quartiles of order value within each priority.
+@register(
+    "window_ntile_quartiles",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           CAST(ntile(4) OVER (PARTITION BY o_orderpriority
+                ORDER BY o_totalprice, o_orderkey) AS INT) AS price_quartile
+    FROM orders
+    """,
+)
+def window_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).alias("price_quartile"),
+    )
