@@ -1,0 +1,155 @@
+"""Property-based tests (hypothesis) for the pandas-parity traps of
+SURVEY.md §4.4 and the engine's determinism invariants.
+
+Each property runs on small random frames (Spark job per example →
+small max_examples, no deadline). The pandas comparisons use the same
+pandas library class the reference runs on, so these ARE the parity
+oracle for null-key joins and dedup-survivor semantics.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from emission_project_spark.operators.components import connected_components
+from emission_project_spark.operators.dedup import dedup_subset
+from emission_project_spark.operators.joins import anti_join, join_nullsafe
+from emission_project_spark.operators.keys import (
+    add_surrogate_key,
+    add_surrogate_key_distributed,
+)
+
+SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+# nullable string keys (None ≙ pandas NaN join keys), small value domain
+# to force both matches and misses
+key = st.one_of(st.none(), st.sampled_from(["a", "b", "c"]))
+left_rows = st.lists(st.tuples(st.integers(0, 99), key), min_size=0, max_size=12)
+right_rows = st.lists(st.tuples(key, st.integers(0, 99)), min_size=0, max_size=8)
+
+
+@settings(**SETTINGS)
+@given(left=left_rows, right=right_rows)
+def test_nullsafe_left_join_matches_pandas_merge(spark, left, right):
+    """§4.4 trap: pandas merge matches NaN keys; join_nullsafe must too."""
+    pl = pd.DataFrame(left, columns=["lid", "k"])
+    pr = pd.DataFrame(right, columns=["k", "v"]).drop_duplicates(subset=["k"])
+    expected = pl.merge(pr, how="left", on="k")
+
+    sl = spark.createDataFrame(pl.astype(object).where(pd.notnull(pl), None).values.tolist() or [], "lid bigint, k string") if left else spark.createDataFrame([], "lid bigint, k string")
+    sr = spark.createDataFrame(pr.astype(object).where(pd.notnull(pr), None).values.tolist() or [], "k string, v bigint") if len(pr) else spark.createDataFrame([], "k string, v bigint")
+    got = join_nullsafe(sl, sr, ["k"], how="left").collect()
+
+    def canon(rows):
+        from collections import Counter
+
+        return Counter(
+            (
+                int(r[0]),
+                None if r[1] is None or (isinstance(r[1], float) and math.isnan(r[1])) else r[1],
+                None if r[2] is None or (isinstance(r[2], float) and math.isnan(r[2])) else int(r[2]),
+            )
+            for r in rows
+        )
+
+    assert canon([(r.lid, r.k, r.v) for r in got]) == canon(
+        expected[["lid", "k", "v"]].itertuples(index=False, name=None)
+    )
+
+
+@settings(**SETTINGS)
+@given(left=left_rows, right=right_rows)
+def test_anti_join_complements_semi(spark, left, right):
+    sl = spark.createDataFrame(left or [], "lid bigint, k string")
+    sr = spark.createDataFrame(right or [], "k string, v bigint")
+    anti = anti_join(sl, sr, ["k"]).count()
+    from emission_project_spark.operators.joins import semi_join
+
+    semi = semi_join(sl, sr, ["k"]).count()
+    assert anti + semi == len(left)
+
+
+dedup_rows = st.lists(
+    st.tuples(st.sampled_from(["x", "y"]), st.integers(0, 5), st.integers(0, 99)),
+    min_size=1,
+    max_size=15,
+)
+
+
+@settings(**SETTINGS)
+@given(rows=dedup_rows)
+def test_dedup_subset_keeps_min_tiebreaker_per_key(spark, rows):
+    """§4.4 trap: survivor must be deterministic — the tiebreaker-min
+    row, matching sorted-pandas drop_duplicates(keep='first')."""
+    df = spark.createDataFrame(rows, "k string, sub int, payload int")
+    got = {(r.k, r.sub, r.payload) for r in dedup_subset(df, ["k", "sub"]).collect()}
+    expected = {
+        tuple(t)
+        for t in pd.DataFrame(rows, columns=["k", "sub", "payload"])
+        .sort_values(["k", "sub", "payload"])
+        .drop_duplicates(subset=["k", "sub"], keep="first")
+        .itertuples(index=False, name=None)
+    }
+    assert got == expected
+
+
+sk_rows = st.lists(st.integers(0, 10_000), min_size=1, max_size=20, unique=True)
+
+
+@settings(**SETTINGS)
+@given(vals=sk_rows)
+def test_surrogate_keys_dense_and_order_stable(spark, vals):
+    df = spark.createDataFrame([(v,) for v in vals], "v bigint")
+    exact = {(r.v, r.sk) for r in add_surrogate_key(df, "sk", ["v"]).collect()}
+    dist = {
+        (r.v, r.sk)
+        for r in add_surrogate_key_distributed(df, "sk", ["v"], num_partitions=3).collect()
+    }
+    expected = {(v, i + 1) for i, v in enumerate(sorted(vals))}
+    assert exact == expected  # dense 1..N in sort order
+    assert dist == expected  # partition-offset path identical
+
+
+edge_lists = st.lists(
+    st.tuples(st.integers(0, 9), st.integers(0, 9)), min_size=1, max_size=12
+)
+
+
+@settings(**SETTINGS)
+@given(edges=edge_lists)
+def test_components_match_union_find(spark, edges):
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = {r.id: r.component_id for r in connected_components(df).collect()}
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    expected = {n: find(n) for n in parent}
+    # canonical label = min node of component
+    mins: dict[int, int] = {}
+    for n, root in expected.items():
+        mins[root] = min(mins.get(root, n), n)
+    expected = {n: mins[find(n)] for n in parent}
+    assert got == expected
