@@ -38,22 +38,29 @@ def asof_join(
     timestamp, as ``{prefix}{right_ts}``) arrive prefixed."""
     keys = [key] if isinstance(key, str) else list(key)
     out_vals = [f"{prefix}{c}" for c in value_cols] + [f"{prefix}{right_ts}"]
+    rtypes = dict(right.dtypes)
+    # the right row travels as ONE struct so the as-of match is atomic:
+    # per-column last(ignorenulls) would stitch columns from DIFFERENT
+    # right rows whenever a value column is null
+    struct_type = (
+        "struct<"
+        + ",".join([f"`{c}`:{rtypes[c]}" for c in value_cols] + [f"`{right_ts}`:{rtypes[right_ts]}"])
+        + ">"
+    )
 
     l_tag = left.select(
         *keys,
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_is_left"),
         *[F.col(c) for c in left.columns if c not in keys and c != left_ts],
-        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"{prefix}{c}") for c in value_cols],
-        F.lit(None).cast(dict(right.dtypes)[right_ts]).alias(f"{prefix}{right_ts}"),
+        F.lit(None).cast(struct_type).alias("_rrow"),
     )
     r_tag = right.select(
         *keys,
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_is_left"),
         *[F.lit(None).cast(t).alias(c) for c, t in left.dtypes if c not in keys and c != left_ts],
-        *[F.col(c).alias(f"{prefix}{c}") for c in value_cols],
-        F.col(right_ts).alias(f"{prefix}{right_ts}"),
+        F.struct(*value_cols, right_ts).cast(struct_type).alias("_rrow"),
     )
     unioned = l_tag.unionByName(r_tag)
 
@@ -69,11 +76,12 @@ def asof_join(
         "_ts",
         "_is_left",
         *[c for c in left.columns if c not in keys and c != left_ts],
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in out_vals],
+        F.last("_rrow", ignorenulls=True).over(w).alias("_rrow"),
     )
     return filled.filter(F.col("_is_left") == 1).select(
         *keys,
         F.col("_ts").alias(left_ts),
         *[c for c in left.columns if c not in keys and c != left_ts],
-        *out_vals,
+        *[F.col(f"_rrow.{c}").alias(f"{prefix}{c}") for c in value_cols],
+        F.col(f"_rrow.{right_ts}").alias(f"{prefix}{right_ts}"),
     )

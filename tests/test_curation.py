@@ -116,3 +116,20 @@ def test_kmeans_separates_two_blobs(spark):
     assert out[0] == out[2] == out[3]
     assert out[1] == out[4] == out[5]
     assert out[0] != out[1]
+
+
+def test_asof_join_attaches_whole_row_atomically(spark):
+    """A null in one right value column must NOT back-fill from an
+    older right row — the as-of match attaches one row, atomically."""
+    from emission_project_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([("k", 10), ("k", 25)], "key string, ts int")
+    right = spark.createDataFrame(
+        [("k", 5, 1.0, "first"), ("k", 20, 2.0, None)],
+        "key string, ts int, price double, note string",
+    )
+    out = {r.ts: r for r in asof_join(left, right, "key", "ts", "ts", ["price", "note"]).collect()}
+    assert out[10].asof_price == 1.0 and out[10].asof_note == "first"
+    assert out[25].asof_price == 2.0
+    assert out[25].asof_note is None  # NOT "first" — no cross-row stitching
+    assert out[25].asof_ts == 20
