@@ -28,7 +28,7 @@ Min over hex strings = min over the underlying 128-bit integers.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from emission_project_spark.functions.text import fingerprint, tokens
@@ -268,3 +268,68 @@ def simhash64(
         )
         simhash = term if simhash is None else simhash + term
     return agg.select("doc_id", simhash.alias("simhash"))
+
+
+WINNOW_K = 5   # char k-gram length
+WINNOW_W = 4   # winnowing window (grams per window)
+_POS_BITS = 20  # pos packs below the hash: docs up to ~1M grams
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = WINNOW_K,
+    window: int = WINNOW_W,
+) -> DataFrame:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken '03, the MOSS
+    local document fingerprinting): hash every char k-gram, slide a
+    w-gram window, keep each window's minimum hash (rightmost on ties).
+    Guarantees any match of length ≥ k+w-1 shares a fingerprint, at
+    ~2/(w+1) selection density — the rolling-hash fingerprint surface
+    for partial-overlap/plagiarism-style dedup (whole-doc md5 in
+    ``text_fingerprint`` only catches full-document dupes).
+
+    Engine shape: one posexplode over gram positions (narrow), one
+    windowed MIN per doc with a [0, w-1] FOLLOWING row frame, one
+    distinct — all JVM-side. The argmin-with-rightmost-tie-break is one
+    integer MIN: ``gram_hash·2^20 + (2^20-1-pos)`` packs (hash asc,
+    pos desc) into a single orderable BIGINT that both Spark and the
+    DuckDB oracle minimize identically.
+    """
+    n_grams = F.length(text_col) - k + 1
+    grams = _spread(docs.filter(n_grams >= 1)).select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("_text"),
+        n_grams.alias("_n"),
+        F.posexplode(F.sequence(F.lit(1), n_grams)).alias("_x", "pos"),
+    )
+    h = F.conv(F.substring(F.md5(F.substring("_text", F.col("pos"), k)), 1, 7), 16, 10).cast(
+        "bigint"
+    )
+    packed = grams.select(
+        "doc_id",
+        "_n",
+        "pos",
+        (h * F.lit(1 << _POS_BITS) + (F.lit((1 << _POS_BITS) - 1) - F.col("pos"))).alias(
+            "_packed"
+        ),
+    )
+    frame = (
+        Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, window - 1)
+    )
+    # only full windows select (window starts: pos <= n - w + 1); short
+    # docs (< w grams) contribute their single partial window at pos 1
+    sel = packed.withColumn("_win_min", F.min("_packed").over(frame)).filter(
+        (F.col("pos") <= F.col("_n") - window + 1) | (F.col("pos") == 1)
+    )
+    return (
+        sel.select(
+            "doc_id",
+            (F.lit((1 << _POS_BITS) - 1) - (F.col("_win_min") % F.lit(1 << _POS_BITS))).alias(
+                "pos"
+            ),
+            F.expr(f"_win_min div {1 << _POS_BITS}").alias("gram_hash"),
+        )
+        .distinct()
+    )

@@ -768,3 +768,37 @@ def embedding_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return kmeans_lloyd(emb, k=8, iterations=2)
+
+
+# --- winnowing (MOSS) rolling-hash document fingerprints.
+@register(
+    "text_winnow_fingerprints",
+    oracle="""
+    WITH g AS (
+        SELECT doc_id, text, length(text) - 4 AS n, unnest(range(1, length(text) - 3)) AS pos
+        FROM documents WHERE length(text) >= 5
+    ),
+    packed AS (
+        SELECT doc_id, n, pos,
+               ('0x' || substring(md5(substring(text, pos, 5)), 1, 7))::BIGINT * 1048576
+                   + (1048575 - pos) AS p
+        FROM g
+    ),
+    sel AS (
+        SELECT doc_id, n, pos,
+               min(p) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS win_min
+        FROM packed
+    )
+    SELECT DISTINCT doc_id,
+           CAST(1048575 - (win_min % 1048576) AS BIGINT) AS pos,
+           CAST(win_min // 1048576 AS BIGINT) AS gram_hash
+    FROM sel
+    WHERE pos <= n - 3 OR pos = 1
+    """,
+)
+def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emission_project_spark.extensions.dedup import winnow_fingerprints
+
+    docs = load_table(spark, sf_dir, "documents")
+    return winnow_fingerprints(docs)

@@ -108,3 +108,35 @@ def test_lsh_neardup_subset_of_exact(spark):
     assert (1, 2) in exact
     assert approx <= exact  # LSH verifies with exact cosine → no false positives
     assert (1, 2) in approx  # near-identical vectors agree on every sign bit
+
+
+def test_winnow_shared_substring_shares_fingerprint(spark):
+    """Winnowing guarantee: a common substring of length >= k+w-1 (=8)
+    yields at least one identical (hash) fingerprint in both docs."""
+    from emission_project_spark.extensions.dedup import winnow_fingerprints
+
+    docs = _docs(
+        spark,
+        [(1, "xxxCOMMONSEGMENTyyy"), (2, "aaaaCOMMONSEGMENTbb"), (3, "zzzzzzzzzzzz")],
+    )
+    fp = winnow_fingerprints(docs).collect()
+    by_doc = {}
+    for r in fp:
+        by_doc.setdefault(r.doc_id, set()).add(r.gram_hash)
+    assert by_doc[1] & by_doc[2]          # shared segment → shared fingerprint
+    assert not (by_doc[1] & by_doc[3])    # disjoint text → disjoint prints
+
+
+def test_winnow_density_and_short_docs(spark):
+    from emission_project_spark.extensions.dedup import winnow_fingerprints
+
+    docs = _docs(spark, [(1, "abcdefgh" * 8), (2, "abcde"), (3, "abc")])
+    fp = winnow_fingerprints(docs).collect()
+    by_doc = {}
+    for r in fp:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    n_grams = 64 - 5 + 1
+    # ~2/(w+1) density: far fewer fingerprints than grams
+    assert 1 <= len(by_doc[1]) < n_grams / 2
+    assert len(by_doc[2]) == 1  # exactly one gram, one partial window
+    assert 3 not in by_doc      # shorter than k: no grams at all
