@@ -333,3 +333,37 @@ def winnow_fingerprints(
         )
         .distinct()
     )
+
+
+def winnow_overlap_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = WINNOW_K,
+    window: int = WINNOW_W,
+    min_shared: int = 2,
+    max_bucket: int | None = 64,
+) -> DataFrame:
+    """Partial-overlap candidate pairs: documents sharing ≥ ``min_shared``
+    winnowing fingerprints, with the shared count (overlap evidence).
+
+    Catches plagiarism-style PARTIAL overlap that whole-document
+    hashing misses and that minhash under-weights (Jaccard dilutes a
+    short shared segment inside long documents). Same bucket-join shape
+    as the LSH pipeline: group by fingerprint hash, pair within bucket,
+    count per pair — shuffle-on-key all the way; ``max_bucket`` drops
+    stop-gram buckets (boilerplate shared by everything) before the
+    quadratic pair step, the standard guard at corpus scale.
+    """
+    fp = winnow_fingerprints(docs, text_col, id_col, k, window).select(
+        "doc_id", "gram_hash"
+    ).distinct()
+    buckets = fp.groupBy("gram_hash").agg(F.collect_list("doc_id").alias("ids"))
+    if max_bucket:
+        buckets = buckets.filter(F.size("ids") <= max_bucket)
+    return (
+        buckets.select(F.explode(_pairs_from_bucket(F.col("ids"))).alias("p"))
+        .groupBy(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("shared_fingerprints"))
+        .filter(F.col("shared_fingerprints") >= min_shared)
+    )

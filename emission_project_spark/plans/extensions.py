@@ -802,3 +802,45 @@ def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return winnow_fingerprints(docs)
+
+
+# --- winnow-fingerprint overlap pairs (partial-overlap near-dup).
+@register(
+    "dedup_winnow_pairs",
+    oracle="""
+    WITH g AS (
+        SELECT doc_id, text, length(text) - 4 AS n, unnest(range(1, length(text) - 3)) AS pos
+        FROM documents WHERE length(text) >= 5
+    ),
+    packed AS (
+        SELECT doc_id, n, pos,
+               ('0x' || substring(md5(substring(text, pos, 5)), 1, 7))::BIGINT * 1048576
+                   + (1048575 - pos) AS p
+        FROM g
+    ),
+    sel AS (
+        SELECT doc_id, n, pos,
+               min(p) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS win_min
+        FROM packed
+    ),
+    fp AS (
+        SELECT DISTINCT doc_id, CAST(win_min // 1048576 AS BIGINT) AS gram_hash
+        FROM sel WHERE pos <= n - 3 OR pos = 1
+    ),
+    ok AS (SELECT gram_hash FROM fp GROUP BY 1 HAVING count(*) <= 64),
+    fpo AS (SELECT fp.doc_id, fp.gram_hash FROM fp JOIN ok USING (gram_hash))
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(count(*) AS BIGINT) AS shared_fingerprints
+    FROM fpo a JOIN fpo b ON a.gram_hash = b.gram_hash AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING count(*) >= 16
+    """,
+)
+def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # min_shared=16: the elbow between genuine partial overlap and
+    # common-phrase noise on the synthetic corpus (147 vs 80k pairs)
+    from emission_project_spark.extensions.dedup import winnow_overlap_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return winnow_overlap_pairs(docs, min_shared=16)

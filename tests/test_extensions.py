@@ -140,3 +140,17 @@ def test_winnow_density_and_short_docs(spark):
     assert 1 <= len(by_doc[1]) < n_grams / 2
     assert len(by_doc[2]) == 1  # exactly one gram, one partial window
     assert 3 not in by_doc      # shorter than k: no grams at all
+
+
+def test_winnow_overlap_pairs_finds_shared_segment(spark):
+    from emission_project_spark.extensions.dedup import winnow_overlap_pairs
+
+    seg = "the quick brown fox jumps over the lazy dog again and again"
+    docs = _docs(
+        spark,
+        [(1, "prefix one " + seg), (2, seg + " suffix two"), (3, "completely different text here")],
+    )
+    out = {(r.doc_a, r.doc_b): r.shared_fingerprints for r in winnow_overlap_pairs(
+        docs, min_shared=2, max_bucket=None).collect()}
+    assert (1, 2) in out and out[(1, 2)] >= 2
+    assert not any(3 in pair for pair in out)
