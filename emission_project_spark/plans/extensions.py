@@ -844,3 +844,45 @@ def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return winnow_overlap_pairs(docs, min_shared=16)
+
+
+# --- curation capstone: the quality gate a corpus passes before
+# joining a training mix (quality score + token-count band), composed
+# from the same scalar kit the individual queries expose.
+@register(
+    "curation_quality_filter",
+    oracle="""
+    WITH m AS (
+        SELECT doc_id, lang, source,
+               CAST(len(regexp_extract_all(lower(text), '\\w+')) AS BIGINT) AS n_tokens,
+               CAST(length(text) AS DOUBLE) AS n_chars,
+               CAST(length(regexp_replace(text, '[\\w ]', '', 'g')) AS DOUBLE) AS n_punct,
+               CAST(len(list_filter(regexp_extract_all(lower(text), '\\w+'),
+                    t -> t IN ('the','and','of','to','is'))) AS DOUBLE) AS n_stop
+        FROM documents
+    ),
+    scored AS (
+        SELECT doc_id, lang, source, n_tokens,
+               round(least(n_chars / 500.0, 1.0) * 0.4
+                     + (1.0 - least((CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END) * 5.0, 1.0)) * 0.3
+                     + (1.0 - abs((CASE WHEN n_tokens > 0 THEN n_stop / n_tokens ELSE 0.0 END) - 0.4)) * 0.3,
+                     6) AS quality
+        FROM m
+    )
+    SELECT doc_id, lang, source, n_tokens, quality
+    FROM scored
+    WHERE quality >= 0.7 AND n_tokens BETWEEN 20 AND 2000
+    """,
+)
+def curation_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            "source",
+            token_count("text").alias("n_tokens"),
+            F.round(quality_score("text"), 6).alias("quality"),
+        )
+        .filter((F.col("quality") >= 0.7) & F.col("n_tokens").between(20, 2000))
+    )
