@@ -902,15 +902,26 @@ def skew_salted_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # oracle: sketch outputs are engine-specific (DuckDB's HLL and t-digest
 # produce different estimates than Spark's HLL++/GK) — the driver
 # records the weaker rows-only check; exact twins are oracle-checked in
-# distinct_count_customers / window queries.
+# distinct_count_customers / window queries. Quantiles are emitted as
+# scalar columns (not array<double>) so the driver's pandas-based
+# canonicalizer can hash the result.
 @register("approx_aggregates_events")
 def approx_aggregates_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
-    return e.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id").alias("approx_users"),
-        F.percentile_approx("value", F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99)), 10000).alias(
-            "value_quantiles"
-        ),
+    q = F.percentile_approx("value", F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99)), 10000)
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id").alias("approx_users"),
+            q.alias("_q"),
+        )
+        .select(
+            "event_type",
+            "approx_users",
+            F.round(F.col("_q")[0], 6).alias("p50"),
+            F.round(F.col("_q")[1], 6).alias("p95"),
+            F.round(F.col("_q")[2], 6).alias("p99"),
+        )
     )
 
 
