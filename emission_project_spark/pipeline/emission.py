@@ -35,6 +35,7 @@ from emission_project_spark.operators.dedup import dedup_subset
 from emission_project_spark.operators.incremental import incremental_insert
 from emission_project_spark.operators.joins import join_nullsafe
 from emission_project_spark.operators.keys import add_surrogate_key
+from emission_project_spark.operators.validation import validate_fks
 from emission_project_spark.sources.csv_feed import archive_consumed, read_feed
 from emission_project_spark.sources.warehouse import Warehouse
 
@@ -43,6 +44,7 @@ from emission_project_spark.sources.warehouse import Warehouse
 class RunStats:
     inserted: dict[str, int] = field(default_factory=dict)
     archived: list[str] = field(default_factory=list)
+    fk_violations: dict[str, int] = field(default_factory=dict)
 
 
 class EmissionPipeline:
@@ -249,7 +251,25 @@ class EmissionPipeline:
         new_rows = incremental_insert(current, fact, S.FACT_NK)
         n = new_rows.count()
         if n:
-            self.wh.append(new_rows, "car_driver_log")
+            # FK enforcement (SURVEY §1.3: the reference's DDL constraints
+            # become an anti-join orphan check): validate the batch being
+            # appended — one pass, all FKs, broadcast dim keys.
+            stats.fk_violations = validate_fks(
+                new_rows,
+                [
+                    ("fact.car_id->cars", "car_id", cars, "car_id"),
+                    ("fact.driver_id->drivers", "driver_id", drivers, "driver_id"),
+                    ("fact.start_city_id->city", "start_city_id", city, "city_id"),
+                    ("fact.target_city_id->city", "target_city_id", city, "city_id"),
+                    ("fact.start_country_id->country", "start_country_id", country, "country_id"),
+                    ("fact.target_country_id->country", "target_country_id", country, "country_id"),
+                    ("fact.date_id->date", "date_id", dates, "date_id"),
+                ],
+            )
+            # Fact partitioned by date_id (module docstring / SURVEY §3.1):
+            # date-bounded roll-ups prune to the touched partitions instead
+            # of scanning the whole 100 TB fact.
+            self.wh.append(new_rows, "car_driver_log", partition_by=["date_id"])
         stats.inserted["car_driver_log"] = n
 
     # --- consumption surface (README.md:3 roll-ups, A2) ---

@@ -886,3 +886,28 @@ def curation_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter((F.col("quality") >= 0.7) & F.col("n_tokens").between(20, 2000))
     )
+
+
+# --- Batch twin of the stateful streaming operator
+# (streaming/stateful.py:27 running_user_totals): the whole-history
+# per-user (count, sum) that applyInPandasWithState maintains
+# incrementally is, over a bounded input, exactly this grouped
+# aggregate — registering it gives the stateful surface an
+# oracle-checked correctness row (tests/test_streaming.py proves the
+# micro-batch path converges to the same totals).
+@register(
+    "stream_user_totals_batch",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 4) AS total_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def stream_user_totals_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )

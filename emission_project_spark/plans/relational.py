@@ -1076,3 +1076,76 @@ def window_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
         F.ntile(4).over(w).alias("price_quartile"),
     )
+
+
+# --- FK enforcement as validation (SURVEY §1.3): the reference's DDL
+# constraints (create_tables.py:61-64,98-125) become anti-join orphan
+# checks. All FKs of one child table are counted in a SINGLE scan of
+# that child (operators/validation.py) — broadcast parent key sets +
+# one conditional-sum aggregate, so the 100 TB fact is read once no
+# matter how many FKs it carries.
+@register(
+    "fk_orphan_check",
+    oracle="""
+    SELECT 'lineitem.l_orderkey->orders' AS fk_name,
+           (SELECT count(*) FROM lineitem l WHERE l.l_orderkey IS NOT NULL
+             AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+               AS violations
+    UNION ALL
+    SELECT 'lineitem.l_partkey->part',
+           (SELECT count(*) FROM lineitem l WHERE l.l_partkey IS NOT NULL
+             AND NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+    UNION ALL
+    SELECT 'lineitem.l_suppkey->supplier',
+           (SELECT count(*) FROM lineitem l WHERE l.l_suppkey IS NOT NULL
+             AND NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey))
+    UNION ALL
+    SELECT 'orders.o_custkey->customer',
+           (SELECT count(*) FROM orders o WHERE o.o_custkey IS NOT NULL
+             AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+    UNION ALL
+    SELECT 'customer.c_nationkey->nation',
+           (SELECT count(*) FROM customer c WHERE c.c_nationkey IS NOT NULL
+             AND NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey))
+    UNION ALL
+    SELECT 'supplier.s_nationkey->nation',
+           (SELECT count(*) FROM supplier s WHERE s.s_nationkey IS NOT NULL
+             AND NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = s.s_nationkey))
+    UNION ALL
+    SELECT 'nation.n_regionkey->region',
+           (SELECT count(*) FROM nation n WHERE n.n_regionkey IS NOT NULL
+             AND NOT EXISTS (SELECT 1 FROM region r WHERE r.r_regionkey = n.n_regionkey))
+    """,
+)
+def fk_orphan_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emission_project_spark.operators.validation import fk_violation_counts
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    per_child = [
+        fk_violation_counts(
+            li,
+            [
+                ("lineitem.l_orderkey->orders", "l_orderkey", o, "o_orderkey"),
+                ("lineitem.l_partkey->part", "l_partkey", p, "p_partkey"),
+                ("lineitem.l_suppkey->supplier", "l_suppkey", s, "s_suppkey"),
+            ],
+        ),
+        fk_violation_counts(o, [("orders.o_custkey->customer", "o_custkey", c, "c_custkey")]),
+        fk_violation_counts(
+            c, [("customer.c_nationkey->nation", "c_nationkey", n, "n_nationkey")]
+        ),
+        fk_violation_counts(
+            s, [("supplier.s_nationkey->nation", "s_nationkey", n, "n_nationkey")]
+        ),
+        fk_violation_counts(n, [("nation.n_regionkey->region", "n_regionkey", r, "r_regionkey")]),
+    ]
+    out = per_child[0]
+    for d in per_child[1:]:
+        out = out.unionByName(d)
+    return out

@@ -39,9 +39,21 @@ class Warehouse:
 
     def read(self, table: str, schema: StructType | None = None) -> DataFrame:
         """Table scan; absent table → empty schema-contract DataFrame
-        (the reference's empty-DF fallback, emission-dag.py:45)."""
+        (the reference's empty-DF fallback, emission-dag.py:45).
+
+        With a schema contract, the scan is normalized to it: partitioned
+        tables read back with partition columns last and their types
+        inferred from directory names (e.g. int for a date_id key), so
+        reorder + cast to keep the contract stable either way."""
         if self.exists(table):
-            return self.spark.read.parquet(self.path(table))
+            df = self.spark.read.parquet(self.path(table))
+            if schema is not None:
+                from pyspark.sql import functions as F
+
+                df = df.select(
+                    *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
+                )
+            return df
         if schema is None:
             raise FileNotFoundError(f"table {table} absent and no schema contract given")
         return self.spark.createDataFrame([], schema)

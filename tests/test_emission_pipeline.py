@@ -88,6 +88,11 @@ def test_cold_start_run(pipeline):
     assert not os.listdir(f"{incoming}/drivers_incoming_data")
     assert len(stats.archived) == 3
 
+    # FK validation ran on the appended batch: all 7 FKs clean (the
+    # orphan driver lands as NULL driver_id, which is not a violation)
+    assert len(stats.fk_violations) == 7
+    assert all(v == 0 for v in stats.fk_violations.values())
+
     fact = pipe.fact_df()
     rows = {
         (r.car_id, r.driver_id): r for r in fact.collect()
@@ -147,6 +152,28 @@ def test_empty_run_is_noop(pipeline):
     pipe.run(incoming, archive)
     stats = pipe.run(incoming, archive)  # nothing pending
     assert all(v == 0 for v in stats.inserted.values())
+
+
+def test_fact_partitioned_by_date_and_pruned(pipeline):
+    """The fact lands partitioned by date_id, and a date-bounded scan
+    prunes to the touched partition directory (the 100 TB contract:
+    roll-ups over a date range never scan the whole fact)."""
+    pipe, incoming, archive = pipeline
+    _batch1(incoming)
+    pipe.run(incoming, archive)
+
+    # layout: one Hive-style directory per date_id
+    fact_dir = pipe.wh.path("car_driver_log")
+    parts = sorted(d for d in os.listdir(fact_dir) if d.startswith("date_id="))
+    assert parts == ["date_id=20140307", "date_id=20141120", "date_id=20150110"]
+
+    # pruning: the date filter lands in PartitionFilters (metadata-only),
+    # not as a post-scan row filter over all partitions
+    pruned = pipe.fact_df().filter(F.col("date_id") == 20140307)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters", 1)
+    assert len(pf) == 2 and "date_id" in pf[1].split("]", 1)[0]
+    assert pruned.count() == 1
 
 
 def test_rollups(pipeline):

@@ -194,3 +194,30 @@ def test_range_join_window_semantics(spark):
     assert got == [(11, 0), (12, 90_000_000), (13, 120_000_000)]
     # duplicate-free even when a pair's buckets overlap twice
     assert range_join(left, right, "l_ts", "r_ts", 0, 120).count() == 3
+
+
+def test_fk_violation_counts(spark):
+    from emission_project_spark.operators.validation import (
+        fk_violation_counts,
+        validate_fks,
+    )
+
+    child = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 99), (4, None), (5, 20)],  # 99 is an orphan
+        "id int, dim_id int",
+    )
+    parent = spark.createDataFrame([(10, "a"), (20, "b")], "pk int, name string")
+    out = fk_violation_counts(child, [("child.dim_id->parent", "dim_id", parent, "pk")])
+    rows = out.collect()
+    assert out.columns == ["fk_name", "violations"]
+    assert [(r.fk_name, r.violations) for r in rows] == [("child.dim_id->parent", 1)]
+    # null child keys are NOT violations; multiple FKs in one pass
+    other = spark.createDataFrame([(1, "x")], "ok int, v string")
+    got = validate_fks(
+        child,
+        [
+            ("fk_a", "dim_id", parent, "pk"),
+            ("fk_b", "id", other, "ok"),  # ids 2..5 orphaned vs other
+        ],
+    )
+    assert got == {"fk_a": 1, "fk_b": 4}
