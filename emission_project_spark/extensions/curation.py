@@ -115,18 +115,26 @@ def profile_columns(df: DataFrame, columns: Sequence[str] | None = None) -> Data
     keep the pass single-shuffle.
     """
     cols = list(columns) if columns else list(df.columns)
+    # internal aliases are index-based and source columns resolve
+    # backtick-quoted, so arbitrary column names (spaces, quotes, dots)
+    # neither break the parsed stack() expression nor misresolve as
+    # nested-field paths
+    def qcol(c: str):
+        return F.col("`" + c.replace("`", "``") + "`")
+
     aggs = [F.count(F.lit(1)).alias("_rows")]
-    for c in cols:
+    for i, c in enumerate(cols):
         aggs += [
-            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"_nulls_{c}"),
-            F.countDistinct(c).alias(f"_dist_{c}"),
-            F.min(F.col(c)).cast("string").alias(f"_min_{c}"),
-            F.max(F.col(c)).cast("string").alias(f"_max_{c}"),
+            F.sum(F.when(qcol(c).isNull(), 1).otherwise(0)).alias(f"_nulls_{i}"),
+            F.countDistinct(qcol(c)).alias(f"_dist_{i}"),
+            F.min(qcol(c)).cast("string").alias(f"_min_{i}"),
+            F.max(qcol(c)).cast("string").alias(f"_max_{i}"),
         ]
     wide = df.agg(*aggs)
     stack_args = []
-    for c in cols:
-        stack_args.append(f"'{c}', _nulls_{c}, _dist_{c}, _min_{c}, _max_{c}")
+    for i, c in enumerate(cols):
+        name_lit = c.replace("'", "''")  # SQL string-literal escape
+        stack_args.append(f"'{name_lit}', _nulls_{i}, _dist_{i}, _min_{i}, _max_{i}")
     stacked = wide.selectExpr(
         "_rows",
         f"stack({len(cols)}, {', '.join(stack_args)}) "

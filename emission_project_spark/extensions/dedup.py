@@ -131,7 +131,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     k: int = DEFAULT_SHINGLE,
     threshold: float = 0.8,
-    max_doc_freq: int | None = None,
+    max_doc_freq: int | None = 64,
 ) -> DataFrame:
     """Near-duplicate pairs by exact shingle-set Jaccard ≥ threshold.
 
@@ -139,7 +139,11 @@ def ngram_jaccard_pairs(
     generation → per-pair intersection count → Jaccard against set
     sizes. ``max_doc_freq`` drops shingles appearing in more than that
     many docs — the document-frequency cap that bounds the quadratic
-    bucket blow-up at scale (a stop-shingle carries no signal).
+    bucket blow-up at scale (a boilerplate shingle shared by k docs
+    would otherwise emit k²/2 pairs; a stop-shingle carries no
+    signal). ON BY DEFAULT — pass ``None`` only for small exact runs;
+    intersection counts then exclude capped shingles, so Jaccard is a
+    lower bound for pairs that share stop-shingles.
     """
     sh = shingles(docs, text_col, id_col, k).cache()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
@@ -298,7 +302,11 @@ def winnow_fingerprints(
     DuckDB oracle minimize identically.
     """
     n_grams = F.length(text_col) - k + 1
-    grams = _spread(docs.filter(n_grams >= 1)).select(
+    # pos packs into _POS_BITS bits below the hash; a doc with >= 2^20
+    # grams would wrap (negative pos complement corrupts the packed
+    # argmin), so such docs are excluded rather than silently corrupted.
+    # Chunk multi-MB documents upstream if they must be fingerprinted.
+    grams = _spread(docs.filter((n_grams >= 1) & (n_grams < (1 << _POS_BITS)))).select(
         F.col(id_col).alias("doc_id"),
         F.col(text_col).alias("_text"),
         n_grams.alias("_n"),

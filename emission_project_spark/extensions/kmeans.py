@@ -82,8 +82,13 @@ def kmeans_lloyd(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("e"),
     )
-    centroids = vecs.filter(F.col("vec_id") < k).select(
-        F.col("vec_id").alias("cid"), F.col("e").alias("ce")
+    # seed = the k smallest ids (matching the documented contract even
+    # when ids are sparse or non-zero-based; a filter(id < k) would
+    # silently under-seed such inputs)
+    centroids = (
+        vecs.orderBy("vec_id")
+        .limit(k)
+        .select(F.col("vec_id").alias("cid"), F.col("e").alias("ce"))
     )
     assigned = assign_clusters(vecs, centroids)
     for _ in range(iterations - 1):

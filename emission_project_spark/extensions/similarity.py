@@ -109,59 +109,92 @@ def ivf_topk(
 def cosine_neardup_pairs(
     vectors: DataFrame,
     threshold: float = 0.9,
-    block_size: int = 1024,
+    n_blocks: int = 8,
 ) -> DataFrame:
     """Exact embedding-cosine near-duplicate pairs (doc-level dedup by
     embedding): all (a < b) pairs with cosine ≥ threshold.
 
-    Vectorized block design: the full (n×d) matrix ships to executors
-    as a broadcast variable once; each ``mapInPandas`` batch of rows
-    computes its similarity block against it with one BLAS matmul and
-    emits only passing pairs. Arrow-batched, no per-pair Python, no
-    shuffle at all — a single map pass.
-
-    Scale bound: exact all-pairs is inherently O(n²); the broadcast
-    side must fit an executor (n×d×4 bytes — 1M×256d ≈ 1 GB). Beyond
-    that, use ``lsh_neardup_pairs`` (bucketed, subquadratic) or block
-    BOTH sides (grid of block pairs — same kernel, one extra join).
+    Both sides blocked — no driver materialization anywhere. Vectors
+    hash into ``n_blocks`` blocks; every unordered block pair (i ≤ j)
+    becomes one ``applyInPandas`` group holding block i as the left
+    matrix and block j as the right, scored with a single BLAS matmul.
+    Exact all-pairs is inherently O(n²) compute, but memory per task is
+    two blocks (n/n_blocks × d doubles) and shuffle is n_blocks× the
+    input — both tunable, neither driver-bound. Size ``n_blocks`` so a
+    block fits an executor core's memory (e.g. 1M×256d ≈ 2 GB total →
+    32 blocks ≈ 64 MB per side). The subquadratic sibling for corpus
+    scale is ``lsh_neardup_pairs``.
     """
     import numpy as np
     import pandas as pd
 
-    spark = vectors.sparkSession
     src = vectors.select("vec_id", "embedding")
-    mat_rows = src.collect()  # builds the broadcast side ONCE (bounded, see docstring)
-    ids = np.array([r.vec_id for r in mat_rows], dtype=np.int64)
-    mat = np.array([r.embedding for r in mat_rows], dtype=np.float64)
-    norms = np.linalg.norm(mat, axis=1)
-    norms[norms == 0] = np.inf  # zero vectors match nothing
-    bc = spark.sparkContext.broadcast((ids, mat / norms[:, None]))
+    nb = F.lit(n_blocks)
+    blocked = src.withColumn("_blk", F.pmod(F.hash("vec_id"), nb))
+    # replicate: block b is the LEFT side of pairs (b, j≥b) and the
+    # RIGHT side of pairs (i<b, b) — (b, b) appears once, as left.
+    left = blocked.select(
+        F.col("_blk").alias("_pi"),
+        F.explode(F.sequence(F.col("_blk"), nb - 1)).alias("_pj"),
+        F.lit("L").alias("_side"),
+        "vec_id",
+        "embedding",
+    )
+    right = blocked.filter(F.col("_blk") > 0).select(
+        F.explode(F.sequence(F.lit(0), F.col("_blk") - 1)).alias("_pi"),
+        F.col("_blk").alias("_pj"),
+        F.lit("R").alias("_side"),
+        "vec_id",
+        "embedding",
+    )
 
-    def block(batches):
-        b_ids, b_mat = bc.value
-        for pdf in batches:
-            a_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            a = np.array(list(pdf["embedding"]), dtype=np.float64)
-            an = np.linalg.norm(a, axis=1)
-            an[an == 0] = np.inf
-            sims = (a / an[:, None]) @ b_mat.T
-            ai, bi = np.where(sims >= threshold)
-            keep = a_ids[ai] < b_ids[bi]  # dedup + drop self-pairs
-            yield pd.DataFrame(
-                {
-                    "doc_a": a_ids[ai][keep],
-                    "doc_b": b_ids[bi][keep],
-                    "cosine_sim": np.round(sims[ai, bi][keep], ROUND),
-                }
-            )
+    def score_block_pair(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        i, j = key
 
-    return src.mapInPandas(block, schema="doc_a bigint, doc_b bigint, cosine_sim double")
+        def norm_mat(part: pd.DataFrame):
+            ids = part["vec_id"].to_numpy(dtype=np.int64)
+            if not len(ids):  # a block-pair whose partner block is empty
+                return ids, np.zeros((0, 1))
+            mat = np.array(list(part["embedding"]), dtype=np.float64)
+            n = np.linalg.norm(mat, axis=1)
+            n[n == 0] = np.inf  # zero vectors match nothing
+            return ids, mat / n[:, None]
+
+        l_ids, l_mat = norm_mat(pdf[pdf["_side"] == "L"])
+        if i == j:
+            r_ids, r_mat = l_ids, l_mat
+        else:
+            r_ids, r_mat = norm_mat(pdf[pdf["_side"] == "R"])
+        if not len(l_ids) or not len(r_ids):
+            return pd.DataFrame({"doc_a": [], "doc_b": [], "cosine_sim": []})
+        sims = l_mat @ r_mat.T
+        ai, bi = np.where(sims >= threshold)
+        if i == j:
+            # self-block: each unordered pair appears twice → keep a < b
+            keep = l_ids[ai] < r_ids[bi]
+            a, b = l_ids[ai][keep], r_ids[bi][keep]
+        else:
+            # cross-block: blocks are disjoint, every pair appears once —
+            # keep all, canonicalize to doc_a < doc_b
+            keep = np.ones(len(ai), dtype=bool)
+            a = np.minimum(l_ids[ai], r_ids[bi])
+            b = np.maximum(l_ids[ai], r_ids[bi])
+        return pd.DataFrame(
+            {"doc_a": a, "doc_b": b, "cosine_sim": np.round(sims[ai, bi][keep], ROUND)}
+        )
+
+    return (
+        left.unionByName(right)
+        .groupBy("_pi", "_pj")
+        .applyInPandas(score_block_pair, schema="doc_a bigint, doc_b bigint, cosine_sim double")
+    )
 
 
 def lsh_neardup_pairs(
     vectors: DataFrame,
     threshold: float = 0.9,
     n_planes: int = 16,
+    max_bucket: int | None = 64,
 ) -> DataFrame:
     """Approximate (subquadratic) embedding near-dup: random-hyperplane
     LSH — the 100 TB path where exact all-pairs can't run.
@@ -172,6 +205,13 @@ def lsh_neardup_pairs(
     the exact cosine. Recall is tunable via n_planes (fewer planes →
     bigger buckets → higher recall, more compute). Candidate
     generation is a hash-bucket group-by — same shape as minhash LSH.
+
+    ``max_bucket`` (ON BY DEFAULT) skips buckets holding more members
+    than the cap: with correlated embeddings one bucket can attract a
+    large corpus fraction, and an uncapped ``collect_list`` of full
+    embedding structs is both a quadratic pair explosion and an
+    executor OOM. A hot bucket means the planes don't separate that
+    region — raise n_planes rather than the cap.
     """
     from pyspark.sql import Window  # noqa: F401  (parity with module imports)
 
@@ -200,6 +240,17 @@ def lsh_neardup_pairs(
         term = bit * F.lit(1 << p).cast("long")
         sig = term if sig is None else sig + term
     bucketed = vectors.select("vec_id", "embedding", sig.alias("bucket"))
+    if max_bucket:
+        # Drop hot buckets BEFORE collecting embedding structs — the
+        # count pass carries only (bucket) keys, so the cap is enforced
+        # without ever materializing an oversized members array.
+        kept = (
+            bucketed.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") <= max_bucket)
+            .select("bucket")
+        )
+        bucketed = bucketed.join(kept, "bucket")
     buckets = bucketed.groupBy("bucket").agg(
         F.collect_list(F.struct("vec_id", "embedding")).alias("members")
     )

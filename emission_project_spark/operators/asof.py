@@ -37,7 +37,6 @@ def asof_join(
     """Backward as-of left join; right's ``value_cols`` (and its
     timestamp, as ``{prefix}{right_ts}``) arrive prefixed."""
     keys = [key] if isinstance(key, str) else list(key)
-    out_vals = [f"{prefix}{c}" for c in value_cols] + [f"{prefix}{right_ts}"]
     rtypes = dict(right.dtypes)
     # the right row travels as ONE struct so the as-of match is atomic:
     # per-column last(ignorenulls) would stitch columns from DIFFERENT

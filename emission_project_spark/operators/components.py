@@ -41,19 +41,27 @@ def connected_components(
     id of its connected component. Returns ``(id, component_id)``.
 
     ``max_iter`` bounds the rounds (= graph diameter); propagation
-    stops early at fixpoint, detected with a cheap ``limit(1)`` probe
-    for any changed label.
+    stops early at fixpoint, detected by the sum-of-labels probe:
+    labels only ever decrease, so ``sum(comp)`` strictly decreases
+    until fixpoint (decimal(38,0) so the probe can't overflow at
+    10^9+ nodes). The probe is FUSED with the round's materialization:
+    each round's labels are lazily local-checkpointed and the probe
+    aggregate is the action that materializes them — one Spark job per
+    round, no separate convergence pass.
+
+    Raises ``RuntimeError`` if ``max_iter`` rounds pass without
+    reaching the fixpoint — partially-propagated labels are wrong
+    labels, never returned silently.
     """
     sym = edges.select(F.col(src).alias("id"), F.col(dst).alias("nbr")).unionByName(
         edges.select(F.col(dst).alias("id"), F.col(src).alias("nbr"))
     )
     sym = sym.localCheckpoint()
 
-    labels = sym.select("id").distinct().withColumn("comp", F.col("id")).localCheckpoint()
-    # labels only ever decrease, so sum(comp) strictly decreases until
-    # fixpoint — an aggregate-only convergence probe (no join per round);
-    # decimal(38,0) so the probe can't overflow at 10^9+ nodes
-    prev_sum = labels.agg(F.sum(F.col("comp").cast("decimal(38,0)"))).first()[0]
+    probe = F.sum(F.col("comp").cast("decimal(38,0)"))
+    labels = sym.select("id").distinct().withColumn("comp", F.col("id"))
+    labels = labels.localCheckpoint(eager=False)
+    prev_sum = labels.agg(probe).first()[0]
 
     for _ in range(max_iter):
         nbr_labels = (
@@ -64,11 +72,16 @@ def connected_components(
             nbr_labels.unionByName(labels.select("id", "comp"))
             .groupBy("id")
             .agg(F.min("comp").alias("comp"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)  # materialized by the probe below
         )
-        new_sum = labels.agg(F.sum(F.col("comp").cast("decimal(38,0)"))).first()[0]
+        new_sum = labels.agg(probe).first()[0]
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds; "
+            "raise max_iter (graph diameter exceeds the bound)"
+        )
 
     return labels.select("id", F.col("comp").alias("component_id"))

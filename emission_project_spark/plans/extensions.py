@@ -185,9 +185,15 @@ _SHINGLE_SQL = """
     oracle=f"""
     WITH {_SHINGLE_SQL},
     sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    -- document-frequency cap mirrors the operator's default
+    -- max_doc_freq=64 (stop-shingles generate no candidate pairs)
+    kept AS (
+        SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 64
+    ),
     inter AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
         FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        WHERE a.shingle IN (SELECT shingle FROM kept)
         GROUP BY 1, 2
     )
     SELECT i.doc_a, i.doc_b,
@@ -386,9 +392,14 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
                sum(CASE WHEN dot >= 0 THEN (1::BIGINT << p) ELSE 0 END) AS bucket
         FROM comps GROUP BY vec_id
     ),
+    -- hot-bucket cap mirrors the operator's default max_bucket=64
+    kept AS (
+        SELECT bucket FROM buckets GROUP BY bucket HAVING count(*) <= 64
+    ),
     pairs AS (
         SELECT a.vec_id AS ida, b.vec_id AS idb
         FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE a.bucket IN (SELECT bucket FROM kept)
     )
     SELECT p.ida AS doc_a, p.idb AS doc_b,
            round(list_cosine_similarity(va.e, vb.e), 6) AS cosine_sim
@@ -733,7 +744,7 @@ def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding_kmeans_lloyd",
     oracle="""
     WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-    c0 AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < 8),
+    c0 AS (SELECT vec_id AS cid, e AS ce FROM v ORDER BY vec_id LIMIT 8),
     s1 AS (
         SELECT v.vec_id, v.e, c0.cid,
                list_sum(list_transform(range(1, 65), i -> (v.e[i] - c0.ce[i]) * (v.e[i] - c0.ce[i]))) AS d2
@@ -776,7 +787,7 @@ def embedding_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH g AS (
         SELECT doc_id, text, length(text) - 4 AS n, unnest(range(1, length(text) - 3)) AS pos
-        FROM documents WHERE length(text) >= 5
+        FROM documents WHERE length(text) >= 5 AND length(text) - 4 < 1048576
     ),
     packed AS (
         SELECT doc_id, n, pos,
@@ -810,7 +821,7 @@ def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH g AS (
         SELECT doc_id, text, length(text) - 4 AS n, unnest(range(1, length(text) - 3)) AS pos
-        FROM documents WHERE length(text) >= 5
+        FROM documents WHERE length(text) >= 5 AND length(text) - 4 < 1048576
     ),
     packed AS (
         SELECT doc_id, n, pos,

@@ -133,3 +133,16 @@ def test_asof_join_attaches_whole_row_atomically(spark):
     assert out[25].asof_price == 2.0
     assert out[25].asof_note is None  # NOT "first" — no cross-row stitching
     assert out[25].asof_ts == 20
+
+
+def test_profile_columns_weird_names(spark):
+    """Column names with spaces, quotes, and dots must neither break the
+    stack() parse nor misresolve as nested-field paths."""
+    df = spark.createDataFrame(
+        [(1, "x"), (2, None)],
+        ["the col", "o'brien.v"],
+    )
+    out = {r.column_name: r for r in profile_columns(df).collect()}
+    assert set(out) == {"the col", "o'brien.v"}
+    assert out["o'brien.v"].n_nulls == 1
+    assert out["the col"].min_value == "1" and out["the col"].max_value == "2"
