@@ -68,6 +68,25 @@ def recompute_centroids(assigned: DataFrame) -> DataFrame:
     )
 
 
+def lloyd_centroids(vecs: DataFrame, k: int = 8, iterations: int = 2) -> DataFrame:
+    """The centroid set ``(cid, ce)`` the final Lloyd assignment uses:
+    seeded from the vectors with the ``k`` smallest ids, then
+    ``iterations - 1`` recompute/assign rounds. ``vecs`` must carry
+    ``(vec_id, e)``. This is the trained coarse quantizer — reused by
+    ``similarity.ivf_topk_kmeans`` as its cell dictionary."""
+    # seed = the k smallest ids (matching the documented contract even
+    # when ids are sparse or non-zero-based; a filter(id < k) would
+    # silently under-seed such inputs)
+    centroids = (
+        vecs.orderBy("vec_id")
+        .limit(k)
+        .select(F.col("vec_id").alias("cid"), F.col("e").alias("ce"))
+    )
+    for _ in range(iterations - 1):
+        centroids = recompute_centroids(assign_clusters(vecs, centroids))
+    return centroids
+
+
 def kmeans_lloyd(
     emb: DataFrame,
     id_col: str = "vec_id",
@@ -82,18 +101,7 @@ def kmeans_lloyd(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("e"),
     )
-    # seed = the k smallest ids (matching the documented contract even
-    # when ids are sparse or non-zero-based; a filter(id < k) would
-    # silently under-seed such inputs)
-    centroids = (
-        vecs.orderBy("vec_id")
-        .limit(k)
-        .select(F.col("vec_id").alias("cid"), F.col("e").alias("ce"))
-    )
-    assigned = assign_clusters(vecs, centroids)
-    for _ in range(iterations - 1):
-        centroids = recompute_centroids(assigned)
-        assigned = assign_clusters(vecs, centroids)
+    assigned = assign_clusters(vecs, lloyd_centroids(vecs, k, iterations))
     return assigned.select(
         "vec_id",
         F.col("cluster_id").cast("bigint").alias("cluster_id"),

@@ -106,6 +106,74 @@ def ivf_topk(
     )
 
 
+def ivf_topk_kmeans(
+    vectors: DataFrame,
+    query: DataFrame,
+    n_centroids: int = 8,
+    k: int = 10,
+    iterations: int = 2,
+    n_probe: int = 1,
+) -> DataFrame:
+    """IVF top-k with a k-means coarse quantizer — the production
+    variant of ``ivf_topk`` (whose docstring promises exactly this
+    upgrade): cells come from fixed-iteration Lloyd centroids
+    (extensions/kmeans.py) instead of the first ``n_centroids`` raw
+    vectors, so cell populations track the data distribution and
+    per-cell candidate counts stay balanced.
+
+    ``n_probe`` searches the query's nearest ``n_probe`` cells
+    (L2-ranked, ties by centroid id) — the standard IVF recall knob.
+    Everything is deterministic (seeded quantizer, grid-rounded
+    means, tie-broken ranks), so the whole operator is SQL-expressible
+    and oracle-checked. Scale shape: quantizer = broadcast of
+    n_centroids·dim doubles; assignment is map-side; search reads
+    ≈ n_probe/n_centroids of the corpus.
+    """
+    from emission_project_spark.extensions.kmeans import (
+        _sq_dist,
+        assign_clusters,
+        lloyd_centroids,
+    )
+
+    vecs = vectors.select(
+        F.col("vec_id"), F.col("embedding").cast("array<double>").alias("e")
+    )
+    centroids = lloyd_centroids(vecs, n_centroids, iterations)
+    assigned = assign_clusters(vecs, centroids).select("vec_id", "e", "cluster_id")
+
+    q = query.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("_q_e"),
+    )
+    qscored = q.crossJoin(F.broadcast(centroids)).select(
+        "query_id", "_q_e", "cid", _sq_dist(F.col("_q_e"), F.col("ce")).alias("_qd2")
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("_qd2").asc(), F.col("cid").asc())
+    qcells = (
+        qscored.withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= n_probe)
+        .select("query_id", "_q_e", "cid")
+    )
+    cand = assigned.join(
+        F.broadcast(qcells),
+        (assigned["cluster_id"] == qcells["cid"])
+        & (assigned["vec_id"] != qcells["query_id"]),
+    )
+    scored = cand.select(
+        "query_id",
+        "vec_id",
+        F.round(cosine_similarity("e", "_q_e"), ROUND).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cosine_sim")
+    )
+
+
 def cosine_neardup_pairs(
     vectors: DataFrame,
     threshold: float = 0.9,

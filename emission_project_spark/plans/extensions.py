@@ -350,6 +350,71 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, emb.filter(F.col("vec_id") < 3), n_centroids=16, k=10)
 
 
+# --- similarity: IVF with a k-means coarse quantizer (multi-probe).
+# The oracle replays the deterministic Lloyd rounds (same CTE stack as
+# embedding_kmeans_lloyd) and then the 2-probe cell search in SQL.
+@register(
+    "similarity_ivf_kmeans_topk",
+    oracle="""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    c0 AS (SELECT vec_id AS cid, e AS ce FROM v ORDER BY vec_id LIMIT 8),
+    s1 AS (
+        SELECT v.vec_id, v.e, c0.cid,
+               list_sum(list_transform(range(1, 65), i -> (v.e[i] - c0.ce[i]) * (v.e[i] - c0.ce[i]))) AS d2
+        FROM v CROSS JOIN c0
+    ),
+    a1 AS (
+        SELECT vec_id, e, cid FROM
+            (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM s1)
+        WHERE rn = 1
+    ),
+    m1 AS (
+        SELECT cid, pos, round(avg(val), 6) AS m
+        FROM (SELECT cid, i AS pos, e[i] AS val
+              FROM a1, (SELECT unnest(range(1, 65)) AS i))
+        GROUP BY cid, pos
+    ),
+    c1 AS (SELECT cid, list(m ORDER BY pos) AS ce FROM m1 GROUP BY cid),
+    s2 AS (
+        SELECT v.vec_id, c1.cid,
+               list_sum(list_transform(range(1, 65), i -> (v.e[i] - c1.ce[i]) * (v.e[i] - c1.ce[i]))) AS d2
+        FROM v CROSS JOIN c1
+    ),
+    a2 AS (
+        SELECT vec_id, cid FROM
+            (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM s2)
+        WHERE rn = 1
+    ),
+    qc AS (
+        SELECT vec_id AS query_id, cid FROM
+            (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+             FROM s2 WHERE vec_id < 3)
+        WHERE rn <= 2
+    ),
+    scored AS (
+        SELECT qc.query_id, a2.vec_id,
+               round(list_cosine_similarity(av.e, qv.e), 6) AS cosine_sim
+        FROM a2 JOIN qc ON a2.cid = qc.cid AND a2.vec_id <> qc.query_id
+        JOIN v av ON av.vec_id = a2.vec_id
+        JOIN v qv ON qv.vec_id = qc.query_id
+    )
+    SELECT query_id,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY cosine_sim DESC, vec_id) AS BIGINT) AS rank,
+           vec_id, cosine_sim
+    FROM scored
+    QUALIFY rank <= 10
+    """,
+)
+def similarity_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emission_project_spark.extensions.similarity import ivf_topk_kmeans
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk_kmeans(
+        emb, emb.filter(F.col("vec_id") < 3), n_centroids=8, k=10, iterations=2, n_probe=2
+    )
+
+
 # --- embedding-cosine near-dup: exact all-pairs (blocked BLAS matmul).
 @register(
     "dedup_embedding_cosine",

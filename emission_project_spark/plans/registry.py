@@ -49,6 +49,7 @@ _PRIORITY: list[str] = [
     "curation_tfidf_top_terms",
     "curation_quality_filter",
     "similarity_ivf_topk",
+    "similarity_ivf_kmeans_topk",
     "dedup_embedding_cosine",
     "dedup_embedding_cosine_lsh",
     "embedding_stats",

@@ -154,3 +154,30 @@ def test_winnow_overlap_pairs_finds_shared_segment(spark):
         docs, min_shared=2, max_bucket=None).collect()}
     assert (1, 2) in out and out[(1, 2)] >= 2
     assert not any(3 in pair for pair in out)
+
+
+def test_ivf_kmeans_recall_vs_bruteforce(spark):
+    """The k-means-quantized IVF must recover most of the exact top-10
+    (recall@10), and more probes must never hurt recall."""
+    from pyspark.sql import functions as F
+    from emission_project_spark.catalog.tables import load_table
+    from emission_project_spark.extensions.similarity import (
+        brute_force_topk,
+        ivf_topk_kmeans,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = {(r.query_id, r.vec_id) for r in brute_force_topk(emb, q, 10).collect()}
+
+    def recall(n_probe):
+        got = {
+            (r.query_id, r.vec_id)
+            for r in ivf_topk_kmeans(emb, q, n_centroids=8, k=10, n_probe=n_probe).collect()
+        }
+        return len(exact & got) / len(exact)
+
+    r1, r4 = recall(1), recall(4)
+    assert r1 >= 0.6  # single-probe searches 1/8 of the corpus
+    assert r4 >= r1
+    assert r4 >= 0.85  # measured 0.91; margin for data regeneration
