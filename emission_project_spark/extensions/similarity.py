@@ -193,31 +193,49 @@ def cosine_neardup_pairs(
     32 blocks ≈ 64 MB per side). The subquadratic sibling for corpus
     scale is ``lsh_neardup_pairs``.
     """
+    return _blocked_cosine_pairs(
+        vectors.select("vec_id", "embedding"), threshold, n_blocks, group_cols=[]
+    )
+
+
+def _blocked_cosine_pairs(
+    src: DataFrame,
+    threshold: float,
+    n_blocks: int,
+    group_cols: list[str],
+) -> DataFrame:
+    """Block-pair grid kernel shared by exact and cluster-scoped cosine
+    pair search. ``src`` carries (vec_id, embedding, *group_cols); pairs
+    are only formed WITHIN a group (empty ``group_cols`` = whole input
+    is one group), with both sides blocked so no matrix ever
+    materializes beyond two blocks per task.
+    """
     import numpy as np
     import pandas as pd
 
-    src = vectors.select("vec_id", "embedding")
     nb = F.lit(n_blocks)
     blocked = src.withColumn("_blk", F.pmod(F.hash("vec_id"), nb))
+    base = group_cols + ["vec_id", "embedding"]
     # replicate: block b is the LEFT side of pairs (b, j≥b) and the
     # RIGHT side of pairs (i<b, b) — (b, b) appears once, as left.
     left = blocked.select(
         F.col("_blk").alias("_pi"),
         F.explode(F.sequence(F.col("_blk"), nb - 1)).alias("_pj"),
         F.lit("L").alias("_side"),
-        "vec_id",
-        "embedding",
+        *base,
     )
     right = blocked.filter(F.col("_blk") > 0).select(
         F.explode(F.sequence(F.lit(0), F.col("_blk") - 1)).alias("_pi"),
         F.col("_blk").alias("_pj"),
         F.lit("R").alias("_side"),
-        "vec_id",
-        "embedding",
+        *base,
     )
+    n_group = len(group_cols)
+    out_prefix = [f"{c} bigint" for c in group_cols]
+    schema = ", ".join(out_prefix + ["doc_a bigint", "doc_b bigint", "cosine_sim double"])
 
     def score_block_pair(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        i, j = key
+        i, j = key[n_group], key[n_group + 1]
 
         def norm_mat(part: pd.DataFrame):
             ids = part["vec_id"].to_numpy(dtype=np.int64)
@@ -233,29 +251,69 @@ def cosine_neardup_pairs(
             r_ids, r_mat = l_ids, l_mat
         else:
             r_ids, r_mat = norm_mat(pdf[pdf["_side"] == "R"])
-        if not len(l_ids) or not len(r_ids):
-            return pd.DataFrame({"doc_a": [], "doc_b": [], "cosine_sim": []})
-        sims = l_mat @ r_mat.T
-        ai, bi = np.where(sims >= threshold)
-        if i == j:
-            # self-block: each unordered pair appears twice → keep a < b
-            keep = l_ids[ai] < r_ids[bi]
-            a, b = l_ids[ai][keep], r_ids[bi][keep]
+        empty = not len(l_ids) or not len(r_ids)
+        if empty:
+            a = b = sims_out = []
         else:
-            # cross-block: blocks are disjoint, every pair appears once —
-            # keep all, canonicalize to doc_a < doc_b
-            keep = np.ones(len(ai), dtype=bool)
-            a = np.minimum(l_ids[ai], r_ids[bi])
-            b = np.maximum(l_ids[ai], r_ids[bi])
-        return pd.DataFrame(
-            {"doc_a": a, "doc_b": b, "cosine_sim": np.round(sims[ai, bi][keep], ROUND)}
-        )
+            sims = l_mat @ r_mat.T
+            ai, bi = np.where(sims >= threshold)
+            if i == j:
+                # self-block: each unordered pair appears twice → keep a < b
+                keep = l_ids[ai] < r_ids[bi]
+                a, b = l_ids[ai][keep], r_ids[bi][keep]
+            else:
+                # cross-block: blocks are disjoint, every pair appears once —
+                # keep all, canonicalize to doc_a < doc_b
+                keep = np.ones(len(ai), dtype=bool)
+                a = np.minimum(l_ids[ai], r_ids[bi])
+                b = np.maximum(l_ids[ai], r_ids[bi])
+            sims_out = np.round(sims[ai, bi][keep], ROUND)
+        out = {c: np.full(len(a), key[ix]) for ix, c in enumerate(group_cols)}
+        out.update({"doc_a": a, "doc_b": b, "cosine_sim": sims_out})
+        return pd.DataFrame(out)
 
     return (
         left.unionByName(right)
-        .groupBy("_pi", "_pj")
-        .applyInPandas(score_block_pair, schema="doc_a bigint, doc_b bigint, cosine_sim double")
+        .groupBy(*group_cols, "_pi", "_pj")
+        .applyInPandas(score_block_pair, schema=schema)
     )
+
+
+def semantic_neardup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.9,
+    n_clusters: int = 8,
+    iterations: int = 2,
+    n_blocks: int = 4,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: k-means-cluster the
+    embedding space (deterministic Lloyd quantizer), then search for
+    cosine near-duplicate pairs ONLY within each cluster.
+
+    This is the published recipe for semantic dedup at corpus scale
+    (Abbas et al., "SemDeDup"): clustering bounds the quadratic pair
+    search to within-cluster blocks, trading recall of cross-cluster
+    near-dups (rare by construction) for an n²/C compute bound. The
+    within-cluster search reuses the blocked BLAS kernel — grouping
+    keys are (cluster, block_i, block_j), so even a giant cluster
+    never materializes more than two blocks per task.
+
+    Returns (cluster_id, doc_a, doc_b, cosine_sim); deterministic and
+    fully SQL-expressible (Lloyd rounds + within-cluster self-join).
+    """
+    from emission_project_spark.extensions.kmeans import assign_clusters, lloyd_centroids
+
+    vecs = vectors.select(
+        F.col("vec_id"), F.col("embedding").cast("array<double>").alias("e")
+    )
+    assigned = assign_clusters(vecs, lloyd_centroids(vecs, n_clusters, iterations)).select(
+        "vec_id",
+        F.col("e").alias("embedding"),
+        F.col("cluster_id").cast("bigint").alias("cluster_id"),
+    )
+    return _blocked_cosine_pairs(
+        assigned, threshold, n_blocks, group_cols=["cluster_id"]
+    ).select("cluster_id", "doc_a", "doc_b", "cosine_sim")
 
 
 def lsh_neardup_pairs(

@@ -83,3 +83,53 @@ def fingerprint(c: Column | str) -> Column:
     """Canonical document fingerprint: md5 of lowercased text with all
     non-word chars removed — whitespace/punct-insensitive identity."""
     return F.md5(F.regexp_replace(F.lower(_c(c)), r"\W", ""))
+
+
+# --- Gopher-style repetition signals (Rae et al., "Scaling Language
+# Models", table A1: repetitious documents are low-quality). All
+# array-HOF/JVM expressions over one tokenization.
+
+
+def distinct_token_ratio(c: Column | str) -> Column:
+    """distinct tokens / tokens — collapses toward 0 on loops of the
+    same words (the most common crawl-spam shape)."""
+    toks = tokens(F.lower(_c(c)))
+    n = F.size(toks)
+    return F.when(n > 0, F.size(F.array_distinct(toks)) / n).otherwise(F.lit(0.0))
+
+
+def duplicate_line_fraction(c: Column | str) -> Column:
+    """Fraction of lines that are exact repeats of an earlier line —
+    boilerplate/navigation detection for crawled pages."""
+    lines = F.filter(F.split(_c(c), "\n"), lambda x: F.length(x) > 0)
+    n = F.size(lines)
+    return F.when(n > 0, (n - F.size(F.array_distinct(lines))) / n).otherwise(F.lit(0.0))
+
+
+# --- PII scrubbing: pattern detection + redaction counts. Patterns are
+# deliberately simple (regex-recall, not production NER) and restricted
+# to Java/RE2-common syntax so the oracle replicates them exactly.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9][0-9()\- ]{7,}[0-9]",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+}
+
+
+def pii_counts(c: Column | str) -> dict[str, Column]:
+    """Per-category PII match counts (long)."""
+    col = _c(c)
+    return {
+        name: F.size(F.regexp_extract_all(col, F.lit(pat), 0)).cast("long")
+        for name, pat in PII_PATTERNS.items()
+    }
+
+
+def scrub_pii(c: Column | str) -> Column:
+    """Text with every PII match replaced by its [CATEGORY] tag —
+    category order is fixed so overlapping patterns resolve
+    deterministically (email before phone before ipv4)."""
+    out = _c(c)
+    for name, pat in PII_PATTERNS.items():
+        out = F.regexp_replace(out, pat, f"[{name.upper()}]")
+    return out

@@ -431,6 +431,57 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_neardup_pairs(emb, threshold=0.35)
 
 
+# --- semantic dedup (SemDeDup): k-means clusters bound the pair
+# search; within-cluster exact cosine via the blocked BLAS kernel. The
+# oracle replays the Lloyd rounds then self-joins within clusters.
+@register(
+    "dedup_semantic_pairs",
+    oracle="""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    c0 AS (SELECT vec_id AS cid, e AS ce FROM v ORDER BY vec_id LIMIT 8),
+    s1 AS (
+        SELECT v.vec_id, v.e, c0.cid,
+               list_sum(list_transform(range(1, 65), i -> (v.e[i] - c0.ce[i]) * (v.e[i] - c0.ce[i]))) AS d2
+        FROM v CROSS JOIN c0
+    ),
+    a1 AS (
+        SELECT vec_id, e, cid FROM
+            (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM s1)
+        WHERE rn = 1
+    ),
+    m1 AS (
+        SELECT cid, pos, round(avg(val), 6) AS m
+        FROM (SELECT cid, i AS pos, e[i] AS val
+              FROM a1, (SELECT unnest(range(1, 65)) AS i))
+        GROUP BY cid, pos
+    ),
+    c1 AS (SELECT cid, list(m ORDER BY pos) AS ce FROM m1 GROUP BY cid),
+    s2 AS (
+        SELECT v.vec_id, c1.cid,
+               list_sum(list_transform(range(1, 65), i -> (v.e[i] - c1.ce[i]) * (v.e[i] - c1.ce[i]))) AS d2
+        FROM v CROSS JOIN c1
+    ),
+    a2 AS (
+        SELECT vec_id, cid FROM
+            (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM s2)
+        WHERE rn = 1
+    )
+    SELECT CAST(x.cid AS BIGINT) AS cluster_id,
+           x.vec_id AS doc_a, y.vec_id AS doc_b,
+           round(list_cosine_similarity(vx.e, vy.e), 6) AS cosine_sim
+    FROM a2 x JOIN a2 y ON x.cid = y.cid AND x.vec_id < y.vec_id
+    JOIN v vx ON vx.vec_id = x.vec_id
+    JOIN v vy ON vy.vec_id = y.vec_id
+    WHERE list_cosine_similarity(vx.e, vy.e) >= 0.35
+    """,
+)
+def dedup_semantic_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emission_project_spark.extensions.similarity import semantic_neardup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_neardup_pairs(emb, threshold=0.35, n_clusters=8, iterations=2)
+
+
 # --- embedding-cosine near-dup: random-hyperplane LSH (subquadratic).
 # Plane weights are md5-parity-derived, so the oracle replicates them:
 # sign of plane (p, d) = parity of md5("p:d") = parity of its last hex
@@ -986,4 +1037,108 @@ def stream_user_totals_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 4).alias("total_value"),
+    )
+
+
+# --- Gopher-style repetition metrics (Rae et al., table A1): the
+# repetition signals used to gate crawl corpora. top-token fraction is
+# computed RELATIONALLY (explode → (doc, token) counts → per-doc
+# max/sum) rather than as a per-row HOF: one scan, one shuffle keyed
+# (doc_id, token) with map-side partials — the shape that survives
+# multi-MB documents, where a nested array scan per row would be
+# quadratic. Zero-token docs are preserved via left join.
+@register(
+    "text_repetition_metrics",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\w+')) AS tok
+        FROM documents
+    ),
+    pt AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+    pd AS (
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+               CAST(count(*) AS BIGINT) AS n_distinct,
+               CAST(max(c) AS BIGINT) AS top_c
+        FROM pt GROUP BY 1
+    ),
+    lines AS (
+        SELECT doc_id,
+               list_filter(string_split(text, chr(10)), x -> length(x) > 0) AS ls
+        FROM documents
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(pd.n_tokens, 0) AS BIGINT) AS n_tokens,
+           round(coalesce(CAST(pd.n_distinct AS DOUBLE) / pd.n_tokens, 0.0), 6)
+               AS distinct_token_ratio,
+           round(coalesce(CAST(pd.top_c AS DOUBLE) / pd.n_tokens, 0.0), 6)
+               AS top_token_fraction,
+           round(CASE WHEN len(l.ls) > 0
+                 THEN CAST(len(l.ls) - len(list_distinct(l.ls)) AS DOUBLE) / len(l.ls)
+                 ELSE 0.0 END, 6) AS duplicate_line_fraction
+    FROM documents d
+    LEFT JOIN pd ON d.doc_id = pd.doc_id
+    JOIN lines l ON d.doc_id = l.doc_id
+    """,
+)
+def text_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emission_project_spark.functions.text import duplicate_line_fraction, tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokens(F.lower("text"))).alias("tok"))
+    per_tok = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = per_tok.groupBy("doc_id").agg(
+        F.sum("c").alias("_n"),
+        F.count(F.lit(1)).alias("_d"),
+        F.max("c").alias("_t"),
+    )
+    return (
+        docs.select("doc_id", duplicate_line_fraction("text").alias("_dlf"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("_n"), F.lit(0)).cast("bigint").alias("n_tokens"),
+            F.round(
+                F.coalesce(F.col("_d").cast("double") / F.col("_n"), F.lit(0.0)), 6
+            ).alias("distinct_token_ratio"),
+            F.round(
+                F.coalesce(F.col("_t").cast("double") / F.col("_n"), F.lit(0.0)), 6
+            ).alias("top_token_fraction"),
+            F.round(F.col("_dlf"), 6).alias("duplicate_line_fraction"),
+        )
+    )
+
+
+# --- PII scrubbing: detection counts + deterministic redaction.
+# Patterns and replacement ORDER are the contract (email → phone →
+# ipv4), mirrored exactly in the oracle; the scrubbed text is compared
+# via md5 so redaction is verified end-to-end without shipping text.
+@register(
+    "text_pii_scrub",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(text,
+                '\\+?[0-9][0-9()\\- ]{7,}[0-9]')) AS BIGINT) AS n_phone,
+           CAST(len(regexp_extract_all(text,
+                '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) AS BIGINT) AS n_ipv4,
+           md5(regexp_replace(regexp_replace(regexp_replace(text,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+                '\\+?[0-9][0-9()\\- ]{7,}[0-9]', '[PHONE]', 'g'),
+                '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '[IPV4]', 'g'))
+               AS scrubbed_md5
+    FROM documents
+    """,
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emission_project_spark.functions.text import pii_counts, scrub_pii
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = pii_counts("text")
+    return docs.select(
+        "doc_id",
+        counts["email"].alias("n_email"),
+        counts["phone"].alias("n_phone"),
+        counts["ipv4"].alias("n_ipv4"),
+        F.md5(scrub_pii("text")).alias("scrubbed_md5"),
     )

@@ -51,6 +51,7 @@ _PRIORITY: list[str] = [
     "similarity_ivf_topk",
     "similarity_ivf_kmeans_topk",
     "dedup_embedding_cosine",
+    "dedup_semantic_pairs",
     "dedup_embedding_cosine_lsh",
     "embedding_stats",
     "embedding_kmeans_lloyd",
@@ -65,6 +66,8 @@ _PRIORITY: list[str] = [
     # -- new round-2 queries ---------------------------------------------
     "fk_orphan_check",
     "stream_user_totals_batch",
+    "text_repetition_metrics",
+    "text_pii_scrub",
     # -- round-1 green, most complex first: re-verify while slots remain -
     "dedup_minhash_lsh",
     "dedup_minhash_signatures",
