@@ -171,6 +171,39 @@ def ngram_jaccard_pairs(
     )
 
 
+def contamination_overlap(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = DEFAULT_SHINGLE,
+    min_shared: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination: count word-``k``-gram overlap between
+    every corpus document and every benchmark document, keeping pairs
+    sharing at least ``min_shared`` distinct shingles — the standard
+    train/eval contamination check (eval questions verbatim inside a
+    crawl page taint the benchmark).
+
+    Scale shape: the benchmark side is an eval set — thousands of docs,
+    not billions — so its shingle set broadcasts and the whole check is
+    one map-side hash join over the corpus shingle stream plus one
+    count aggregate keyed (doc, bench). The corpus is never shuffled by
+    shingle. Returns ``(doc_id, bench_id, n_shared)``.
+    """
+    doc_sh = shingles(docs, text_col, id_col, k)
+    bench_sh = shingles(benchmark, text_col, id_col, k).select(
+        F.col("doc_id").alias("bench_id"), "shingle"
+    )
+    return (
+        doc_sh.join(F.broadcast(bench_sh), "shingle")
+        .filter(F.col("doc_id") != F.col("bench_id"))
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 def minhash_band_signatures(
     docs: DataFrame,
     text_col: str = "text",

@@ -1142,3 +1142,24 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts["ipv4"].alias("n_ipv4"),
         F.md5(scrub_pii("text")).alias("scrubbed_md5"),
     )
+
+
+# --- benchmark decontamination: word-shingle overlap vs an eval set
+# (docs 0-9 stand in for the benchmark). The benchmark shingle set
+# broadcasts; the corpus is never shuffled by shingle.
+@register(
+    "text_decontaminate_overlap",
+    oracle=f"""
+    WITH {_SHINGLE_SQL},
+    b AS (SELECT doc_id AS bench_id, shingle FROM sh WHERE doc_id < 10)
+    SELECT s.doc_id, b.bench_id, CAST(count(*) AS BIGINT) AS n_shared
+    FROM sh s JOIN b ON s.shingle = b.shingle AND s.doc_id <> b.bench_id
+    GROUP BY 1, 2
+    HAVING count(*) >= 3
+    """,
+)
+def text_decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emission_project_spark.extensions.dedup import contamination_overlap
+
+    docs = load_table(spark, sf_dir, "documents")
+    return contamination_overlap(docs, docs.filter(F.col("doc_id") < 10), min_shared=3)

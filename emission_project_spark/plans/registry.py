@@ -68,6 +68,7 @@ _PRIORITY: list[str] = [
     "stream_user_totals_batch",
     "text_repetition_metrics",
     "text_pii_scrub",
+    "text_decontaminate_overlap",
     # -- round-1 green, most complex first: re-verify while slots remain -
     "dedup_minhash_lsh",
     "dedup_minhash_signatures",

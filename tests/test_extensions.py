@@ -181,3 +181,27 @@ def test_ivf_kmeans_recall_vs_bruteforce(spark):
     assert r1 >= 0.6  # single-probe searches 1/8 of the corpus
     assert r4 >= r1
     assert r4 >= 0.85  # measured 0.91; margin for data regeneration
+
+
+def test_contamination_overlap_planted(spark):
+    """A corpus doc embedding a benchmark passage verbatim must be
+    flagged; unrelated docs must not. The benchmark side broadcasts."""
+    from emission_project_spark.extensions.dedup import contamination_overlap
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog every single day")],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "intro text then the quick brown fox jumps over the lazy dog every single day and more"),
+            (2, "completely unrelated content with no overlap whatsoever here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = contamination_overlap(docs, bench, min_shared=5)
+    rows = out.collect()
+    assert [(r.doc_id, r.bench_id) for r in rows] == [(1, 100)]
+    assert rows[0].n_shared >= 8
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan

@@ -221,3 +221,39 @@ def test_fk_violation_counts(spark):
         ],
     )
     assert got == {"fk_a": 1, "fk_b": 4}
+
+
+def test_jsonl_corpus_roundtrip_and_quarantine(spark, tmp_path):
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from emission_project_spark.sources.jsonl_corpus import (
+        read_jsonl_corpus,
+        write_jsonl_corpus,
+    )
+
+    src = tmp_path / "corpus"
+    src.mkdir()
+    (src / "part1.jsonl").write_text(
+        '{"doc_id": 1, "text": "hello world", "lang": "en"}\n'
+        '{"doc_id": 2, "text": "hola", "lang": "es"}\n'
+        "this line is not json\n"
+        '{"doc_id": 3, "text": "no lang field"}\n'
+    )
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("lang", StringType()),
+        ]
+    )
+    good, bad = read_jsonl_corpus(spark, str(src), schema)
+    rows = {r.doc_id: r for r in good.collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[3].lang is None  # missing optional field parses, not quarantined
+    assert good.columns == ["doc_id", "text", "lang"]
+    assert [r.raw_line for r in bad.collect()] == ["this line is not json"]
+
+    out = tmp_path / "out"
+    write_jsonl_corpus(good, str(out), partitions=2)
+    back, bad2 = read_jsonl_corpus(spark, str(out), schema)
+    assert back.count() == 3 and bad2.count() == 0
