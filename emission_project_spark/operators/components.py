@@ -59,7 +59,11 @@ def connected_components(
     sym = sym.localCheckpoint()
 
     probe = F.sum(F.col("comp").cast("decimal(38,0)"))
-    labels = sym.select("id").distinct().withColumn("comp", F.col("id"))
+    # init fused with round 1: the distinct-ids pass IS a shuffle on id,
+    # so fold the first min-propagation (min of self and direct
+    # neighbors) into that same shuffle instead of starting from the
+    # identity labeling — one round less for the same shuffle count
+    labels = sym.groupBy("id").agg(F.min(F.least(F.col("id"), F.col("nbr"))).alias("comp"))
     labels = labels.localCheckpoint(eager=False)
     prev_sum = labels.agg(probe).first()[0]
 

@@ -34,6 +34,8 @@ SCALAR_CROSS_OK = {
     "embedding_kmeans_lloyd",      # k-centroid broadcast
     "dedup_embedding_cosine",      # all-pairs baseline (LSH variant is the scale path)
     "dedup_embedding_cosine_lsh",
+    "similarity_ivf_kmeans_topk",  # Lloyd rounds: k-centroid broadcast per assignment
+    "dedup_semantic_pairs",        # same Lloyd quantizer feeds the cluster key
 }
 
 
