@@ -69,6 +69,7 @@ _PRIORITY: list[str] = [
     "text_repetition_metrics",
     "text_pii_scrub",
     "text_decontaminate_overlap",
+    "pivot_daily_event_counts",
     # -- round-1 green, most complex first: re-verify while slots remain -
     "dedup_minhash_lsh",
     "dedup_minhash_signatures",

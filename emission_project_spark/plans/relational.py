@@ -1149,3 +1149,36 @@ def fk_orphan_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     for d in per_child[1:]:
         out = out.unionByName(d)
     return out
+
+
+# --- pivot: long→wide reshaping (daily event-type matrix). Pivot
+# values are DECLARED, not discovered — at 100 TB an undeclared pivot
+# first runs a distinct scan AND can explode the schema; declaring the
+# columns keeps it one pass (a grouped conditional aggregate).
+@register(
+    "pivot_daily_event_counts",
+    oracle="""
+    SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+           CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT)    AS click,
+           CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT)    AS error,
+           CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase,
+           CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT)   AS signup,
+           CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT)     AS view,
+           round(sum(value) FILTER (WHERE event_type = 'purchase'), 4)     AS purchase_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def pivot_daily_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    day = F.to_date("ts").alias("day")
+    kinds = ["click", "error", "purchase", "signup", "view"]
+    counts = [
+        F.count(F.when(F.col("event_type") == k, 1)).alias(k) for k in kinds
+    ]
+    return e.groupBy(day).agg(
+        *counts,
+        F.round(
+            F.sum(F.when(F.col("event_type") == "purchase", F.col("value"))), 4
+        ).alias("purchase_value"),
+    )

@@ -1,0 +1,55 @@
+"""Streaming deduplication — the streaming twin of the batch dedup
+surface (extensions/dedup.py).
+
+A corpus ingest stream re-delivers documents (at-least-once sources,
+crawler re-fetches); the engine must emit each identity exactly once
+without ever holding the full history. Two regimes:
+
+- ``dedup_stream``: exact streaming dedup on a key via
+  ``dropDuplicates`` — state grows with distinct keys (bounded by the
+  keyspace; the right choice for id-keyed feeds).
+- ``dedup_stream_within_watermark``: ``dropDuplicatesWithinWatermark``
+  — state is bounded by the watermark horizon, the 100 TB answer when
+  the keyspace is unbounded but re-deliveries arrive within a known
+  lateness (re-fetches cluster in hours, not months). Spark evicts
+  per-key state once the watermark passes it.
+
+Both are engine-maintained state in the state store (RocksDB-backed on
+a cluster), partitioned by key — never driver-resident.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def dedup_stream(stream: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """Exact streaming dedup: first arrival per key wins, forever.
+    State = one entry per distinct key."""
+    return stream.dropDuplicates(list(keys))
+
+
+def dedup_stream_within_watermark(
+    stream: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    lateness: str = "10 minutes",
+) -> DataFrame:
+    """Streaming dedup with bounded state: duplicates are suppressed
+    only while their key is within the watermark horizon; state for
+    keys older than ``lateness`` is evicted. Use when re-deliveries
+    have bounded skew and the keyspace is unbounded."""
+    return stream.withWatermark(ts_col, lateness).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
+def content_keyed(stream: DataFrame, text_col: str = "text") -> DataFrame:
+    """Add the canonical content fingerprint as a dedup key (the
+    streaming analog of exact_duplicates' md5 identity)."""
+    from emission_project_spark.functions.text import fingerprint
+
+    return stream.withColumn("fingerprint", fingerprint(F.col(text_col)))

@@ -121,3 +121,70 @@ def test_stateful_running_totals_across_microbatches(spark, tmp_path):
     assert max(per_user[1]) == (3, 17.0)
     assert (2, 15.0) in per_user[1]  # first batch emitted the partial state
     assert per_user[2] == [(1, 1.0)]
+
+
+def test_streaming_dedup_exact_across_batches(spark, tmp_path):
+    """dropDuplicates state persists across micro-batches: a document
+    re-delivered in a later file is suppressed; content fingerprinting
+    dedups re-delivery under a different doc_id."""
+    from emission_project_spark.streaming.dedup import content_keyed, dedup_stream
+
+    incoming = tmp_path / "incoming"
+    incoming.mkdir()
+    (incoming / "a.csv").write_text("doc_id,text\n1,hello world\n2,other text\n")
+    (incoming / "b.csv").write_text("doc_id,text\n3,Hello   WORLD!\n4,fresh content\n")
+
+    stream = (
+        spark.readStream.format("csv")
+        .schema("doc_id bigint, text string")
+        .option("header", "true")
+        .option("maxFilesPerTrigger", "1")
+        .load(str(incoming))
+    )
+    q = (
+        dedup_stream(content_keyed(stream), ["fingerprint"])
+        .writeStream.format("memory")
+        .queryName("dedup_stream_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    kept = sorted(r.doc_id for r in spark.sql("SELECT * FROM dedup_stream_out").collect())
+    # doc 3 is doc 1 re-delivered (same canonical fingerprint) → suppressed
+    assert kept == [1, 2, 4]
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark keeps state only inside the
+    lateness horizon: a near-in-time duplicate is suppressed, and the
+    operator appears with an eviction watermark in the plan."""
+    from emission_project_spark.streaming.dedup import dedup_stream_within_watermark
+
+    incoming = tmp_path / "incoming"
+    incoming.mkdir()
+    (incoming / "a.csv").write_text(
+        "doc_id,ts,text\n"
+        "1,2024-01-01 00:00:00,alpha\n"
+        "1,2024-01-01 00:00:30,alpha again\n"  # dup within horizon
+        "2,2024-01-01 00:05:00,beta\n"
+    )
+    stream = (
+        spark.readStream.format("csv")
+        .schema("doc_id bigint, ts timestamp, text string")
+        .option("header", "true")
+        .load(str(incoming))
+    )
+    q = (
+        dedup_stream_within_watermark(stream, ["doc_id"], "ts", "2 minutes")
+        .writeStream.format("memory")
+        .queryName("dedup_wm_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT doc_id, text FROM dedup_wm_out").collect()
+    assert sorted((r.doc_id, r.text) for r in rows) == [(1, "alpha"), (2, "beta")]
