@@ -33,6 +33,36 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def token_budget_select(
+    df: DataFrame,
+    strata: Sequence[str],
+    id_col: str,
+    token_col: str,
+    budget: int,
+) -> DataFrame:
+    """Fill a per-stratum token budget: rank each stratum's docs by
+    ``md5(id)`` (the same auditable pseudo-random order as
+    ``stratified_sample_topk``) and keep docs while the running token
+    sum stays within ``budget`` — the mixture-building primitive
+    ("200B tokens of web, 50B of code") expressed as one window
+    cumulative sum, no driver loop, no second pass.
+
+    A doc that would cross the budget is excluded (its successors too:
+    selection is a prefix of the hash order, so the output is stable
+    under re-runs and engine changes). One shuffle keyed by strata.
+    """
+    w = (
+        Window.partitionBy(*strata)
+        .orderBy(F.md5(F.col(id_col).cast("string")).asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.withColumn("_cum", F.sum(token_col).over(w))
+        .filter(F.col("_cum") <= budget)
+        .drop("_cum")
+    )
+
+
 def stratified_sample_topk(
     df: DataFrame,
     strata: Sequence[str],

@@ -32,6 +32,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from emission_project_spark.functions.text import fingerprint, tokens
+from emission_project_spark.operators.dedup import dedup_subset
 
 DEFAULT_SHINGLE = 3
 DEFAULT_BANDS = 8
@@ -407,4 +408,65 @@ def winnow_overlap_pairs(
         .groupBy(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("shared_fingerprints"))
         .filter(F.col("shared_fingerprints") >= min_shared)
+    )
+
+
+# --- incremental dedup: new batch vs stored corpus state ------------
+# The daily-drop workflow at 100 TB: a crawl batch (GBs) arrives, the
+# corpus state (PBs, reduced to fingerprints/signatures) is already on
+# disk — only the BATCH is hashed; the state side is a key-only scan.
+
+
+def incremental_exact_dedup(
+    batch: DataFrame,
+    state_fingerprints: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Split a batch into (fresh, duplicate) against a stored
+    fingerprint state, then dedup fresh in-batch (first id wins).
+
+    ``state_fingerprints`` carries one column ``fingerprint`` (the
+    canonical md5 identity of ``exact_duplicates``) — the only thing
+    the warehouse must retain per historical doc. Both splits are
+    anti/semi joins shuffled on the fingerprint; the batch is hashed
+    once (cached upstream by the caller if both outputs are consumed).
+    """
+    fp = batch.withColumn("fingerprint", fingerprint(F.col(text_col)))
+    state = state_fingerprints.select("fingerprint").distinct()
+    dup = fp.join(state, "fingerprint", "left_semi")
+    fresh = fp.join(state, "fingerprint", "left_anti")
+    fresh = dedup_subset(fresh, ["fingerprint"], tiebreaker=[id_col])
+    return fresh, dup
+
+
+def incremental_minhash_candidates(
+    batch: DataFrame,
+    state_signatures: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = DEFAULT_SHINGLE,
+    bands: int = DEFAULT_BANDS,
+    min_bands: int = 4,
+) -> DataFrame:
+    """Near-dup candidates of a NEW batch against the stored corpus:
+    (batch_doc_id, state_doc_id, bands_agree). Signatures are computed
+    for the batch only; ``state_signatures`` is the persisted
+    ``minhash_band_signatures`` output (doc_id, band, signature) —
+    tiny relative to text (bands × 8 bytes per doc).
+
+    Join is keyed (band, signature): exactly the LSH bucket equality,
+    shuffled on the composite key, never quadratic in either side.
+    """
+    bsig = minhash_band_signatures(batch, text_col, id_col, k, bands).select(
+        F.col("doc_id").alias("batch_doc_id"), "band", "signature"
+    )
+    ssig = state_signatures.select(
+        F.col("doc_id").alias("state_doc_id"), "band", "signature"
+    )
+    return (
+        bsig.join(ssig, ["band", "signature"])
+        .groupBy("batch_doc_id", "state_doc_id")
+        .agg(F.count(F.lit(1)).alias("bands_agree"))
+        .filter(F.col("bands_agree") >= min_bands)
     )

@@ -1163,3 +1163,149 @@ def text_decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return contamination_overlap(docs, docs.filter(F.col("doc_id") < 10), min_shared=3)
+
+
+# --- incremental dedup: today's batch (doc_id >= 250) against the
+# stored corpus state (doc_id < 250). Only the batch is hashed at run
+# time; the state side is the persisted fingerprint/signature table.
+@register(
+    "dedup_incremental_exact",
+    oracle=f"""
+    WITH state AS (
+        SELECT DISTINCT {_FP_SQL} AS fingerprint FROM documents WHERE doc_id < 250
+    ),
+    batch AS (
+        SELECT doc_id, {_FP_SQL} AS fingerprint FROM documents WHERE doc_id >= 250
+    )
+    SELECT doc_id, fingerprint FROM (
+        SELECT b.doc_id, b.fingerprint,
+               row_number() OVER (PARTITION BY b.fingerprint ORDER BY b.doc_id) AS rn
+        FROM batch b
+        WHERE b.fingerprint NOT IN (SELECT fingerprint FROM state)
+    ) WHERE rn = 1
+    """,
+)
+def dedup_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emission_project_spark.extensions.dedup import (
+        exact_duplicates,
+        incremental_exact_dedup,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    state = exact_duplicates(docs.filter(F.col("doc_id") < 250)).select("fingerprint")
+    batch = docs.filter(F.col("doc_id") >= 250)
+    fresh, _dup = incremental_exact_dedup(batch, state)
+    return fresh.select("doc_id", "fingerprint")
+
+
+@register(
+    "dedup_incremental_minhash",
+    oracle=f"""
+    WITH {_SHINGLE_SQL},
+    {_MINHASH_SIG_SQL}
+    SELECT b.doc_id AS batch_doc_id, s.doc_id AS state_doc_id,
+           CAST(count(*) AS BIGINT) AS bands_agree
+    FROM sig b
+    JOIN sig s ON b.band = s.band AND b.signature = s.signature
+              AND b.doc_id >= 250 AND s.doc_id < 250
+    GROUP BY 1, 2
+    HAVING count(*) >= 4
+    """,
+)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emission_project_spark.extensions.dedup import (
+        incremental_minhash_candidates,
+        minhash_band_signatures,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    # the state's persisted signature table (computed once, stored)
+    state_sigs = minhash_band_signatures(docs.filter(F.col("doc_id") < 250))
+    batch = docs.filter(F.col("doc_id") >= 250)
+    return incremental_minhash_candidates(batch, state_sigs, min_bands=4)
+
+
+# --- curation: fill a per-language token budget (mixture building —
+# "N tokens of each source"): hash-ordered prefix under a window
+# cumulative sum. One shuffle keyed by the stratum.
+@register(
+    "curation_token_budget",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, lang,
+               CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, lang, n_tokens,
+               sum(n_tokens) OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM t
+    )
+    SELECT doc_id, lang, n_tokens FROM c WHERE cum <= 5000
+    """,
+)
+def curation_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emission_project_spark.extensions.curation import token_budget_select
+
+    docs = load_table(spark, sf_dir, "documents")
+    with_tokens = docs.select("doc_id", "lang", token_count("text").alias("n_tokens"))
+    return token_budget_select(
+        with_tokens, strata=["lang"], id_col="doc_id", token_col="n_tokens", budget=5000
+    )
+
+
+# --- embedding cluster quality: per-cluster population and inertia
+# (mean squared distance) over the Lloyd assignment — the metric that
+# drives "is k right / which clusters are garbage" curation decisions.
+@register(
+    "embedding_cluster_quality",
+    oracle="""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    c0 AS (SELECT vec_id AS cid, e AS ce FROM v ORDER BY vec_id LIMIT 8),
+    s1 AS (
+        SELECT v.vec_id, v.e, c0.cid,
+               list_sum(list_transform(range(1, 65), i -> (v.e[i] - c0.ce[i]) * (v.e[i] - c0.ce[i]))) AS d2
+        FROM v CROSS JOIN c0
+    ),
+    a1 AS (
+        SELECT vec_id, e, cid FROM
+            (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM s1)
+        WHERE rn = 1
+    ),
+    m1 AS (
+        SELECT cid, pos, round(avg(val), 6) AS m
+        FROM (SELECT cid, i AS pos, e[i] AS val
+              FROM a1, (SELECT unnest(range(1, 65)) AS i))
+        GROUP BY cid, pos
+    ),
+    c1 AS (SELECT cid, list(m ORDER BY pos) AS ce FROM m1 GROUP BY cid),
+    s2 AS (
+        SELECT v.vec_id, c1.cid,
+               list_sum(list_transform(range(1, 65), i -> (v.e[i] - c1.ce[i]) * (v.e[i] - c1.ce[i]))) AS d2
+        FROM v CROSS JOIN c1
+    ),
+    a2 AS (
+        SELECT vec_id, cid, round(d2, 6) AS d2 FROM
+            (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM s2)
+        WHERE rn = 1
+    )
+    SELECT CAST(cid AS BIGINT) AS cluster_id,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           round(avg(d2), 4) AS mean_d2,
+           round(max(d2), 4) AS max_d2
+    FROM a2 GROUP BY cid
+    """,
+)
+def embedding_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emission_project_spark.extensions.kmeans import kmeans_lloyd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = kmeans_lloyd(emb, k=8, iterations=2)
+    return assigned.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.round(F.avg("d2"), 4).alias("mean_d2"),
+        F.round(F.max("d2"), 4).alias("max_d2"),
+    )

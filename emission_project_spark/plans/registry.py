@@ -70,6 +70,10 @@ _PRIORITY: list[str] = [
     "text_pii_scrub",
     "text_decontaminate_overlap",
     "pivot_daily_event_counts",
+    "dedup_incremental_exact",
+    "dedup_incremental_minhash",
+    "curation_token_budget",
+    "embedding_cluster_quality",
     # -- round-1 green, most complex first: re-verify while slots remain -
     "dedup_minhash_lsh",
     "dedup_minhash_signatures",

@@ -146,3 +146,23 @@ def test_profile_columns_weird_names(spark):
     assert set(out) == {"the col", "o'brien.v"}
     assert out["o'brien.v"].n_nulls == 1
     assert out["the col"].min_value == "1" and out["the col"].max_value == "2"
+
+
+def test_token_budget_select_prefix_semantics(spark):
+    """Selection is a prefix of the hash order per stratum: the doc
+    that would cross the budget is excluded, later docs too."""
+    from emission_project_spark.extensions.curation import token_budget_select
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, "en", 100) for i in range(10)] + [(i, "fr", 400) for i in range(10, 14)],
+        "doc_id long, lang string, n_tokens long",
+    )
+    out = token_budget_select(df, ["lang"], "doc_id", "n_tokens", budget=500)
+    got = {r.lang: sorted(x.doc_id for x in out.filter(F.col("lang") == r.lang).collect())
+           for r in out.select("lang").distinct().collect()}
+    # en: 5 docs of 100 fit exactly; fr: only 1 doc of 400 fits
+    assert len(got["en"]) == 5 and len(got["fr"]) == 1
+    # total tokens within budget per stratum
+    sums = {r.lang: r.s for r in out.groupBy("lang").agg(F.sum("n_tokens").alias("s")).collect()}
+    assert sums["en"] <= 500 and sums["fr"] <= 500

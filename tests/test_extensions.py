@@ -205,3 +205,52 @@ def test_contamination_overlap_planted(spark):
     assert rows[0].n_shared >= 8
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_blocked_cosine_invariant_to_block_count(spark):
+    """The block-pair grid is an execution detail: results must be
+    identical for any n_blocks (including 1 = single self-block)."""
+    from emission_project_spark.catalog.tables import load_table
+    from emission_project_spark.extensions.similarity import cosine_neardup_pairs
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+
+    def result(nb):
+        return sorted(
+            (r.doc_a, r.doc_b, r.cosine_sim)
+            for r in cosine_neardup_pairs(emb, threshold=0.35, n_blocks=nb).collect()
+        )
+
+    r1, r3, r8 = result(1), result(3), result(8)
+    assert r1 == r3 == r8
+    assert len(r1) > 0
+
+
+def test_incremental_exact_dedup_split(spark):
+    """Batch splits into (fresh, duplicate) vs stored fingerprints:
+    a re-delivered doc is a dup, in-batch repeats collapse to one."""
+    from emission_project_spark.extensions.dedup import incremental_exact_dedup
+
+    state = spark.createDataFrame(
+        [("d41d8cd98f00b204e9800998ecf8427e",)], "fingerprint string"
+    ).union(
+        spark.createDataFrame([("x",)], "fingerprint string")
+    )
+    # compute the real fingerprint of "known doc" for the state
+    from emission_project_spark.functions.text import fingerprint
+    from pyspark.sql import functions as F
+
+    known = spark.createDataFrame([("known doc",)], "text string").select(
+        fingerprint("text").alias("fingerprint")
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "known doc"),        # already in state → dup
+            (11, "brand new text"),   # fresh
+            (12, "Brand NEW text!"),  # same canonical identity as 11 → collapsed
+        ],
+        "doc_id long, text string",
+    )
+    fresh, dup = incremental_exact_dedup(batch, known)
+    assert [r.doc_id for r in dup.collect()] == [10]
+    assert sorted(r.doc_id for r in fresh.collect()) == [11]  # min id survives
