@@ -33,6 +33,35 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def hash_rate_sample(
+    df: DataFrame,
+    stratum_col: str,
+    id_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Per-stratum Bernoulli sampling at declared rates ("keep 50% of
+    en, 10% of fr"), deterministic via the content hash: a row is kept
+    iff uniform(md5(id)) < rate(stratum). Unlike ``df.sample`` the
+    draw is independent of partitioning and engine, so the mixture is
+    auditable and each doc's in/out decision is stable across runs —
+    rerunning with a HIGHER rate strictly grows the sample (nested
+    samples, the property mixture tuning needs).
+
+    Pure map-side filter: no shuffle at any size.
+    """
+    u = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 7), 16, 10).cast(
+            "double"
+        )
+        / float(16**7)
+    )
+    rate = F.lit(float(default_rate))
+    for value, r in rates.items():
+        rate = F.when(F.col(stratum_col) == value, F.lit(float(r))).otherwise(rate)
+    return df.filter(u < rate)
+
+
 def token_budget_select(
     df: DataFrame,
     strata: Sequence[str],

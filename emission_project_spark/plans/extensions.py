@@ -1309,3 +1309,29 @@ def embedding_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("d2"), 4).alias("mean_d2"),
         F.round(F.max("d2"), 4).alias("max_d2"),
     )
+
+
+# --- curation: declared-rate mixture sampling (keep 50% en / 25% es /
+# 10% fr / 5% de / 0% zh) — deterministic hash-thresholded Bernoulli,
+# a pure map-side filter (no shuffle at any scale).
+@register(
+    "curation_mixture_sample",
+    oracle="""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT
+          / 268435456.0
+          < CASE lang WHEN 'en' THEN 0.5 WHEN 'es' THEN 0.25
+                      WHEN 'fr' THEN 0.1 WHEN 'de' THEN 0.05 ELSE 0.0 END
+    """,
+)
+def curation_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emission_project_spark.extensions.curation import hash_rate_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return hash_rate_sample(
+        docs.select("doc_id", "lang", "source"),
+        stratum_col="lang",
+        id_col="doc_id",
+        rates={"en": 0.5, "es": 0.25, "fr": 0.1, "de": 0.05},
+    ).select("doc_id", "lang", "source")

@@ -73,7 +73,10 @@ _PRIORITY: list[str] = [
     "dedup_incremental_exact",
     "dedup_incremental_minhash",
     "curation_token_budget",
+    "curation_mixture_sample",
     "embedding_cluster_quality",
+    "join_topk_shipping_priority",
+    "join_having_large_orders",
     # -- round-1 green, most complex first: re-verify while slots remain -
     "dedup_minhash_lsh",
     "dedup_minhash_signatures",

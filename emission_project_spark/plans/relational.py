@@ -1182,3 +1182,97 @@ def pivot_daily_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("event_type") == "purchase", F.col("value"))), 4
         ).alias("purchase_value"),
     )
+
+
+# --- multi-way join + filtered aggregate + top-k (TPC-H Q3 shape):
+# unshipped-order revenue by priority. Catalyst broadcasts customer,
+# shuffles only for the (orderkey) aggregate; the date filters push to
+# the parquet scans.
+@register(
+    "join_topk_shipping_priority",
+    oracle="""
+    SELECT l.l_orderkey,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+           CAST(o.o_orderdate AS DATE) AS o_orderdate,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND CAST(o.o_orderdate AS DATE) < DATE '1995-03-15'
+      AND CAST(l.l_shipdate AS DATE) > DATE '1995-03-15'
+    GROUP BY 1, 3, 4
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 10
+    """,
+)
+def join_topk_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.to_date("o_orderdate") < F.lit("1995-03-15")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.to_date("l_shipdate") > F.lit("1995-03-15")
+    )
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy(
+            "l_orderkey",
+            F.to_date("o_orderdate").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+# --- grouped HAVING over a join (TPC-H Q18 shape): customers with
+# large-volume orders. The HAVING subquery is a grouped filter joined
+# back — one lineitem aggregate feeds both the filter and the detail.
+@register(
+    "join_having_large_orders",
+    oracle="""
+    WITH big AS (
+        SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+        FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 300
+    )
+    SELECT c.c_name, o.o_orderkey,
+           CAST(o.o_orderdate AS DATE) AS o_orderdate,
+           round(o.o_totalprice, 2) AS o_totalprice,
+           b.total_qty
+    FROM big b
+    JOIN orders o ON o.o_orderkey = b.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+)
+def join_having_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+            F.sum("l_quantity").alias("_raw_qty"),
+        )
+        .filter(F.col("_raw_qty") > 300)
+        .drop("_raw_qty")
+    )
+    return (
+        big.join(o, big["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.to_date("o_orderdate").alias("o_orderdate"),
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "total_qty",
+        )
+    )

@@ -91,6 +91,52 @@ class Warehouse:
         ``spark.read.parquet`` of the same path would forget it)."""
         return self.spark.table(table)
 
+    def compact(
+        self,
+        table: str,
+        target_file_mb: int = 128,
+        partition_by: list[str] | None = None,
+        schema: StructType | None = None,
+    ) -> int:
+        """Rewrite a table's many small files into ~``target_file_mb``
+        files — the small-files maintenance every append-heavy parquet
+        warehouse needs (each incremental append adds a file per
+        partition; scans degrade as the file count grows).
+
+        Repartition count is sized from the table's on-disk bytes, the
+        rewrite goes through the atomic swap (readers never see a
+        half-compacted table), and partitioning is preserved when
+        ``partition_by`` is given. Returns the file count after."""
+        path = self.path(table)
+        total = 0
+        for root, _dirs, files in os.walk(path):
+            total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+        n_files = max(1, round(total / (target_file_mb * 1024 * 1024)))
+        df = self.read(table, schema)
+        if partition_by:
+            # co-locate rows of each partition value into one task so the
+            # writer emits one file per (task, value) — repartition by the
+            # partition key, not round-robin
+            df = df.repartition(n_files, *partition_by)
+        else:
+            df = df.repartition(n_files)
+        self.overwrite_atomic(df, table, partition_by=partition_by)
+        count = 0
+        for _root, _dirs, files in os.walk(path):
+            count += sum(1 for f in files if f.endswith(".parquet"))
+        return count
+
+    def drop_stale_tmp(self) -> list[str]:
+        """Remove leftover ``.__tmp_*`` / ``.__old_*`` directories from
+        crashed atomic swaps. Safe anytime: a live swap's dirs exist
+        only within ``overwrite_atomic``'s call window."""
+        removed = []
+        for name in os.listdir(self.root):
+            if ".__tmp_" in name or ".__old_" in name:
+                shutil.rmtree(os.path.join(self.root, name))
+                removed.append(name)
+        return removed
+
     def overwrite_atomic(
         self, df: DataFrame, table: str, partition_by: list[str] | None = None
     ) -> None:

@@ -166,3 +166,20 @@ def test_token_budget_select_prefix_semantics(spark):
     # total tokens within budget per stratum
     sums = {r.lang: r.s for r in out.groupBy("lang").agg(F.sum("n_tokens").alias("s")).collect()}
     assert sums["en"] <= 500 and sums["fr"] <= 500
+
+
+def test_hash_rate_sample_nested_and_deterministic(spark):
+    """Raising a stratum's rate strictly grows the sample (nested
+    property); same rates → identical sample across runs."""
+    from emission_project_spark.extensions.curation import hash_rate_sample
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "fr") for i in range(400)],
+        "doc_id long, lang string",
+    )
+    small = {r.doc_id for r in hash_rate_sample(df, "lang", "doc_id", {"en": 0.2, "fr": 0.1}).collect()}
+    large = {r.doc_id for r in hash_rate_sample(df, "lang", "doc_id", {"en": 0.6, "fr": 0.4}).collect()}
+    again = {r.doc_id for r in hash_rate_sample(df, "lang", "doc_id", {"en": 0.2, "fr": 0.1}).collect()}
+    assert small <= large
+    assert small == again
+    assert 0 < len(small) < len(large) < 400

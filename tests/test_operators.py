@@ -257,3 +257,37 @@ def test_jsonl_corpus_roundtrip_and_quarantine(spark, tmp_path):
     write_jsonl_corpus(good, str(out), partitions=2)
     back, bad2 = read_jsonl_corpus(spark, str(out), schema)
     assert back.count() == 3 and bad2.count() == 0
+
+
+def test_warehouse_compact_and_stale_tmp(spark, tmp_path):
+    from emission_project_spark.sources.warehouse import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    df = spark.range(0, 1000).withColumn("v", F.col("id") * 2)
+    # simulate append-heavy history: many small files
+    for _ in range(5):
+        wh.append(df.repartition(8), "t")
+    import glob as _glob
+
+    before = len(_glob.glob(str(tmp_path / "wh" / "t" / "*.parquet")))
+    assert before >= 40
+    after = wh.compact("t")
+    assert after < before and wh.read("t").count() == 5000
+
+    # partitioned table keeps its layout through compaction
+    pdf = df.withColumn("p", (F.col("id") % 3).cast("int"))
+    for _ in range(3):
+        wh.append(pdf.repartition(4), "tp", partition_by=["p"])
+    n = wh.compact("tp", partition_by=["p"])
+    import os as _os
+
+    parts = sorted(d for d in _os.listdir(tmp_path / "wh" / "tp") if d.startswith("p="))
+    assert parts == ["p=0", "p=1", "p=2"]
+    assert wh.read("tp").count() == 3000 and n >= 3
+
+    # stale swap debris is removed, live tables untouched
+    (_os.makedirs(tmp_path / "wh" / "t.__tmp_dead"))
+    (_os.makedirs(tmp_path / "wh" / "t.__old_dead"))
+    removed = wh.drop_stale_tmp()
+    assert sorted(removed) == ["t.__old_dead", "t.__tmp_dead"]
+    assert wh.exists("t") and wh.exists("tp")
