@@ -1335,3 +1335,33 @@ def curation_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="doc_id",
         rates={"en": 0.5, "es": 0.25, "fr": 0.1, "de": 0.05},
     ).select("doc_id", "lang", "source")
+
+
+# --- text analysis: URL extraction + domain counting (crawl-curation
+# staple: per-doc link density and domain profile). Pattern restricted
+# to Java/RE2-common syntax; domains lowercased for a canonical count.
+@register(
+    "text_url_extract",
+    oracle="""
+    WITH u AS (
+        SELECT doc_id,
+               regexp_extract_all(text, 'https?://([A-Za-z0-9.-]+)', 1) AS domains
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(domains) AS BIGINT) AS n_urls,
+           CAST(len(list_distinct(list_transform(domains, d -> lower(d)))) AS BIGINT)
+               AS n_domains
+    FROM u
+    """,
+)
+def text_url_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    domains = F.regexp_extract_all(F.col("text"), F.lit(r"https?://([A-Za-z0-9.-]+)"), 1)
+    return docs.select(
+        "doc_id",
+        F.size(domains).cast("bigint").alias("n_urls"),
+        F.size(F.array_distinct(F.transform(domains, lambda d: F.lower(d))))
+        .cast("bigint")
+        .alias("n_domains"),
+    )

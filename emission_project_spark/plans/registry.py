@@ -77,6 +77,10 @@ _PRIORITY: list[str] = [
     "embedding_cluster_quality",
     "join_topk_shipping_priority",
     "join_having_large_orders",
+    "text_url_extract",
+    "histogram_event_values",
+    "window_rolling_10min_mean",
+    "events_gapfill_hourly",
     # -- round-1 green, most complex first: re-verify while slots remain -
     "dedup_minhash_lsh",
     "dedup_minhash_signatures",

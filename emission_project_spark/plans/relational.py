@@ -1276,3 +1276,111 @@ def join_having_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_qty",
         )
     )
+
+
+# --- fixed-width histogram of event values per type (the profiling
+# primitive behind distribution dashboards): bucket = floor(v / w),
+# one partial/final hash aggregate, no sort.
+@register(
+    "histogram_event_values",
+    oracle="""
+    SELECT event_type,
+           CAST(floor(value / 25.0) AS BIGINT) AS bucket,
+           round(CAST(floor(value / 25.0) AS BIGINT) * 25.0, 2) AS bucket_lo,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events
+    WHERE value IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def histogram_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    bucket = F.floor(F.col("value") / 25.0).cast("bigint")
+    return (
+        e.filter(F.col("value").isNotNull())
+        .groupBy("event_type", bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "event_type",
+            "bucket",
+            F.round(F.col("bucket") * 25.0, 2).alias("bucket_lo"),
+            "n",
+        )
+    )
+
+
+# --- time-range rolling window: per-user 10-minute trailing mean of
+# event values (RANGE frame over event time, not row counts — the
+# feature-engineering shape for behavioral signals). Spark expresses
+# the interval frame as rangeBetween over epoch seconds.
+@register(
+    "window_rolling_10min_mean",
+    oracle="""
+    SELECT event_id, user_id,
+           round(avg(value) OVER (
+               PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)
+               RANGE BETWEEN INTERVAL 10 MINUTE PRECEDING AND CURRENT ROW), 4)
+               AS rolling_mean
+    FROM events
+    """,
+)
+def window_rolling_10min_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    # microsecond-precision frame: ordering by epoch SECONDS would
+    # floor sub-second timestamps and shift the frame boundary vs the
+    # oracle's exact INTERVAL arithmetic
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-600 * 1_000_000, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(F.avg("value").over(w), 4).alias("rolling_mean"),
+    )
+
+
+# --- time-series gap-fill (resample): per-user hourly counts with
+# missing hours materialized as zero rows between each user's first
+# and last event — the hypertable/resample primitive rollups need
+# before joining on time. The hour grid is generated per user with
+# sequence+explode (bounded by the user's own span), then a left join
+# back to the observed counts; no driver loop, no global calendar.
+@register(
+    "events_gapfill_hourly",
+    oracle="""
+    WITH h AS (
+        SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
+               count(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    span AS (SELECT user_id, min(hr) AS lo, max(hr) AS hi FROM h GROUP BY 1),
+    grid AS (
+        SELECT s.user_id,
+               unnest(generate_series(s.lo, s.hi, INTERVAL 1 HOUR)) AS hr
+        FROM span s
+    )
+    SELECT g.user_id, g.hr AS hour, CAST(coalesce(h.n, 0) AS BIGINT) AS n_events
+    FROM grid g
+    LEFT JOIN h ON g.user_id = h.user_id AND g.hr = h.hr
+    """,
+)
+def events_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    h = e.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("hr")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    span = h.groupBy("user_id").agg(F.min("hr").alias("lo"), F.max("hr").alias("hi"))
+    grid = span.select(
+        "user_id",
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("hr"),
+    )
+    return (
+        grid.join(h, ["user_id", "hr"], "left")
+        .select(
+            "user_id",
+            F.col("hr").alias("hour"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_events"),
+        )
+    )
