@@ -81,6 +81,7 @@ _PRIORITY: list[str] = [
     "histogram_event_values",
     "window_rolling_10min_mean",
     "events_gapfill_hourly",
+    "events_funnel_conversion",
     # -- round-1 green, most complex first: re-verify while slots remain -
     "dedup_minhash_lsh",
     "dedup_minhash_signatures",

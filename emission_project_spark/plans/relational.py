@@ -1384,3 +1384,64 @@ def events_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_events"),
         )
     )
+
+
+# --- funnel conversion: fraction of signups followed by a purchase
+# from the same user within 1 hour. The candidate join shuffles on
+# user_id (per-user event counts are bounded, so the fanout is too);
+# converted signup ids are deduped before the daily roll-up so a
+# multi-purchase user counts once.
+@register(
+    "events_funnel_conversion",
+    oracle="""
+    WITH s AS (
+        SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS sts
+        FROM events WHERE event_type = 'signup'
+    ),
+    p AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS pts
+        FROM events WHERE event_type = 'purchase'
+    ),
+    conv AS (
+        SELECT DISTINCT s.event_id
+        FROM s JOIN p ON s.user_id = p.user_id
+         AND p.pts > s.sts AND p.pts <= s.sts + INTERVAL 1 HOUR
+    )
+    SELECT CAST(s.sts AS DATE) AS day,
+           CAST(count(*) AS BIGINT) AS n_signups,
+           CAST(count(c.event_id) AS BIGINT) AS n_converted,
+           round(CAST(count(c.event_id) AS DOUBLE) / count(*), 6) AS conversion_rate
+    FROM s LEFT JOIN conv c ON s.event_id = c.event_id
+    GROUP BY 1
+    """,
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    s = e.filter(F.col("event_type") == "signup").select(
+        "event_id", "user_id", F.col("ts").alias("sts")
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("pts")
+    )
+    conv = (
+        s.join(
+            p,
+            (s["user_id"] == p["p_user"])
+            & (p["pts"] > s["sts"])
+            & (p["pts"] <= s["sts"] + F.expr("interval 1 hour")),
+        )
+        .select("event_id")
+        .distinct()
+        .withColumn("_conv", F.lit(1))
+    )
+    return (
+        s.join(conv, "event_id", "left")
+        .groupBy(F.to_date("sts").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_signups"),
+            F.count("_conv").alias("n_converted"),
+            F.round(F.count("_conv").cast("double") / F.count(F.lit(1)), 6).alias(
+                "conversion_rate"
+            ),
+        )
+    )
