@@ -34,6 +34,14 @@ HEADLINE = [
     "embedding_kmeans_lloyd",
     "events_sliding_30m15m",
     "sql_gateway_rollup",
+    # round-2 capstones (appended — the original 18 stay comparable
+    # round-over-round; per-query timings are the graded signal)
+    "dedup_semantic_pairs",
+    "similarity_ivf_kmeans_topk",
+    "dedup_incremental_exact",
+    "text_repetition_metrics",
+    "curation_token_budget",
+    "fk_orphan_check",
 ]
 
 
