@@ -479,7 +479,9 @@ def dedup_semantic_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from emission_project_spark.extensions.similarity import semantic_neardup_pairs
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return semantic_neardup_pairs(emb, threshold=0.35, n_clusters=8, iterations=2)
+    # n_blocks is a pure memory/parallelism knob (results invariant —
+    # tests pin this); 2 suits local cluster sizes, raise at corpus scale
+    return semantic_neardup_pairs(emb, threshold=0.35, n_clusters=8, iterations=2, n_blocks=2)
 
 
 # --- embedding-cosine near-dup: random-hyperplane LSH (subquadratic).
