@@ -1367,3 +1367,98 @@ def text_url_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_domains"),
     )
+
+
+# --- curation: context-length truncation — keep each doc's first N
+# tokens (the trim step before packing sequences). Token slicing is a
+# JVM array op over one tokenization; the truncated text is compared
+# via md5 (no text shipped to the harness).
+@register(
+    "curation_truncate_tokens",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents)
+    SELECT doc_id,
+           CAST(least(len(toks), 64) AS BIGINT) AS n_tokens_kept,
+           md5(array_to_string(toks[1:64], ' ')) AS truncated_md5
+    FROM t
+    """,
+)
+def curation_truncate_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emission_project_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.lower(F.col("text")))
+    kept = F.slice(toks, 1, 64)
+    return docs.select(
+        "doc_id",
+        F.least(F.size(toks), F.lit(64)).cast("bigint").alias("n_tokens_kept"),
+        F.md5(F.array_join(kept, " ")).alias("truncated_md5"),
+    )
+
+
+# --- corpus vocabulary: top-20 terms by document frequency (vocab /
+# stopword analysis). Exact counts — explode once, aggregate by term,
+# deterministic ties by term; the scale path swaps the exact count for
+# a count-min sketch only if the vocabulary itself can't be shuffled,
+# which at 100 TB it still can (vocab ≪ corpus).
+@register(
+    "text_corpus_top_terms",
+    oracle=f"""
+    WITH t AS (
+        SELECT DISTINCT doc_id, unnest({_TOKS_SQL}) AS term FROM documents
+    )
+    SELECT term, CAST(count(*) AS BIGINT) AS doc_freq
+    FROM t GROUP BY term
+    ORDER BY doc_freq DESC, term
+    LIMIT 20
+    """,
+)
+def text_corpus_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emission_project_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("term")
+    ).distinct()
+    return (
+        t.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .orderBy(F.col("doc_freq").desc(), F.col("term").asc())
+        .limit(20)
+    )
+
+
+# --- curation: mixture report — per (lang, source) token totals and
+# corpus fraction (the table a mixture decision reads). One aggregate
+# plus a scalar total joined back (broadcast of one row).
+@register(
+    "curation_mixture_report",
+    oracle=f"""
+    WITH per AS (
+        SELECT lang, source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(len({_TOKS_SQL})) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY 1, 2
+    )
+    SELECT lang, source, n_docs, n_tokens,
+           round(CAST(n_tokens AS DOUBLE) / (SELECT sum(n_tokens) FROM per), 6)
+               AS token_fraction
+    FROM per
+    """,
+)
+def curation_mixture_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count("text")).alias("n_tokens"),
+    )
+    total = per.agg(F.sum("n_tokens").alias("_total"))
+    return per.crossJoin(F.broadcast(total)).select(
+        "lang",
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens").cast("double") / F.col("_total"), 6).alias(
+            "token_fraction"
+        ),
+    )

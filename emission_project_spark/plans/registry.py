@@ -82,6 +82,9 @@ _PRIORITY: list[str] = [
     "window_rolling_10min_mean",
     "events_gapfill_hourly",
     "events_funnel_conversion",
+    "curation_truncate_tokens",
+    "text_corpus_top_terms",
+    "curation_mixture_report",
     # -- round-1 green, most complex first: re-verify while slots remain -
     "dedup_minhash_lsh",
     "dedup_minhash_signatures",
