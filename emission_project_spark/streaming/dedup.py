@@ -53,3 +53,34 @@ def content_keyed(stream: DataFrame, text_col: str = "text") -> DataFrame:
     from emission_project_spark.functions.text import fingerprint
 
     return stream.withColumn("fingerprint", fingerprint(F.col(text_col)))
+
+
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    lateness: str = "10 minutes",
+    window_seconds: int = 3600,
+) -> DataFrame:
+    """Watermarked stream-stream inner join: pair left and right events
+    sharing ``key`` where the right event lands within
+    ``(left_ts, left_ts + window_seconds]`` — the streaming twin of the
+    batch range join (operators/range_join.py) and funnel candidate
+    generation.
+
+    Both sides carry a watermark and the join condition bounds
+    right_ts relative to left_ts, so Spark derives state-eviction
+    watermarks for BOTH buffers: each side holds at most
+    lateness + window of data per key — bounded state, the requirement
+    for running against an unbounded 100 TB/day stream.
+    """
+    lw = left.withWatermark(left_ts, lateness)
+    rw = right.withWatermark(right_ts, lateness)
+    cond = (
+        (lw[key] == rw[key])
+        & (rw[right_ts] > lw[left_ts])
+        & (rw[right_ts] <= lw[left_ts] + F.expr(f"interval {window_seconds} seconds"))
+    )
+    return lw.join(rw, cond, "inner")

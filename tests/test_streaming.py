@@ -188,3 +188,50 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     q.awaitTermination(120)
     rows = spark.sql("SELECT doc_id, text FROM dedup_wm_out").collect()
     assert sorted((r.doc_id, r.text) for r in rows) == [(1, "alpha"), (2, "beta")]
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Watermarked stream-stream join pairs signup→purchase within the
+    interval; out-of-window and wrong-user purchases don't pair."""
+    from pyspark.sql import functions as F
+
+    from emission_project_spark.streaming.dedup import interval_join_streams
+
+    sdir, pdir = tmp_path / "s", tmp_path / "p"
+    sdir.mkdir(); pdir.mkdir()
+    (sdir / "s.csv").write_text(
+        "user_id,sts,sid\n"
+        "1,2024-01-01 10:00:00,100\n"
+        "2,2024-01-01 10:05:00,200\n"
+    )
+    (pdir / "p.csv").write_text(
+        "user_id,pts,pid\n"
+        "1,2024-01-01 10:30:00,900\n"   # within 1h of signup 100 → pairs
+        "1,2024-01-01 12:00:00,901\n"   # beyond 1h → no pair
+        "3,2024-01-01 10:10:00,902\n"   # no matching signup
+    )
+
+    def stream(d, schema):
+        return (
+            spark.readStream.format("csv").schema(schema).option("header", "true").load(str(d))
+        )
+
+    s = stream(sdir, "user_id bigint, sts timestamp, sid int")
+    p = stream(pdir, "user_id bigint, pts timestamp, pid int")
+    joined = interval_join_streams(
+        s, p.select(F.col("user_id"), "pts", "pid"),
+        key="user_id", left_ts="sts", right_ts="pts",
+        lateness="5 minutes", window_seconds=3600,
+    )
+    q = (
+        joined.select("sid", "pid")
+        .writeStream.format("memory")
+        .queryName("ss_join_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = sorted((r.sid, r.pid) for r in spark.sql("SELECT * FROM ss_join_out").collect())
+    assert rows == [(100, 900)]

@@ -36,6 +36,8 @@ SCALAR_CROSS_OK = {
     "dedup_embedding_cosine_lsh",
     "similarity_ivf_kmeans_topk",  # Lloyd rounds: k-centroid broadcast per assignment
     "dedup_semantic_pairs",        # same Lloyd quantizer feeds the cluster key
+    "embedding_cluster_quality",   # Lloyd rounds again (k-centroid broadcast)
+    "curation_mixture_report",     # 1-row corpus token total
 }
 
 
