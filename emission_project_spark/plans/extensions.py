@@ -1462,3 +1462,59 @@ def curation_mixture_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "token_fraction"
         ),
     )
+
+
+# --- count-min sketch: sublinear frequency estimation (Cormode &
+# Muthukrishnan '05). The md5-derived hash family makes the whole
+# sketch + estimates exactly reproducible in SQL: the oracle builds
+# the same 4×1024 counter table and takes the same min-of-cells
+# estimate for the corpus's top-20 terms. Estimates are provably ≥
+# the true count (checked in the pytest).
+@register(
+    "sketch_count_min_terms",
+    oracle=f"""
+    WITH tok AS (
+        SELECT unnest({_TOKS_SQL}) AS term FROM documents
+    ),
+    dd AS (SELECT unnest(range(4)) AS d),
+    cells AS (
+        SELECT d,
+               ('0x' || substring(md5(d::VARCHAR || ':' || term), 1, 7))::BIGINT % 1024
+                   AS bucket,
+               count(*) AS cnt
+        FROM tok, dd
+        GROUP BY 1, 2
+    ),
+    true_counts AS (SELECT term, count(*) AS true_count FROM tok GROUP BY 1),
+    top AS (SELECT term, true_count FROM true_counts
+            ORDER BY true_count DESC, term LIMIT 20),
+    est AS (
+        SELECT t.term, t.true_count, min(c.cnt) AS cms_estimate
+        FROM top t CROSS JOIN dd
+        JOIN cells c ON c.d = dd.d
+         AND c.bucket = ('0x' || substring(md5(dd.d::VARCHAR || ':' || t.term), 1, 7))::BIGINT % 1024
+        GROUP BY 1, 2
+    )
+    SELECT term, CAST(true_count AS BIGINT) AS true_count,
+           CAST(cms_estimate AS BIGINT) AS cms_estimate
+    FROM est
+    """,
+)
+def sketch_count_min_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emission_project_spark.extensions.sketch import (
+        count_min_build,
+        count_min_estimate,
+    )
+    from emission_project_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens(F.lower(F.col("text")))).alias("term"))
+    sketch = count_min_build(toks)
+    top = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("true_count"))
+        .orderBy(F.col("true_count").desc(), F.col("term").asc())
+        .limit(20)
+    )
+    est = count_min_estimate(sketch, top.select("term"))
+    return top.join(est, "term").select("term", "true_count", "cms_estimate")

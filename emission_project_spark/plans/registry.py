@@ -85,6 +85,7 @@ _PRIORITY: list[str] = [
     "curation_truncate_tokens",
     "text_corpus_top_terms",
     "curation_mixture_report",
+    "sketch_count_min_terms",
     # -- round-1 green, most complex first: re-verify while slots remain -
     "dedup_minhash_lsh",
     "dedup_minhash_signatures",

@@ -254,3 +254,38 @@ def test_incremental_exact_dedup_split(spark):
     fresh, dup = incremental_exact_dedup(batch, known)
     assert [r.doc_id for r in dup.collect()] == [10]
     assert sorted(r.doc_id for r in fresh.collect()) == [11]  # min id survives
+
+
+def test_count_min_sketch_properties(spark):
+    """CMS invariants: estimate >= true count for every term; merging
+    shard sketches equals sketching the union."""
+    from pyspark.sql import functions as F
+
+    from emission_project_spark.extensions.sketch import (
+        count_min_build,
+        count_min_estimate,
+        count_min_merge,
+    )
+
+    words = ["alpha"] * 50 + ["beta"] * 20 + ["gamma"] * 5 + ["delta"]
+    terms = spark.createDataFrame([(w,) for w in words], "term string")
+    sketch = count_min_build(terms, width=64)  # narrow → collisions likely
+    truth = {r.term: r.c for r in terms.groupBy("term").agg(F.count(F.lit(1)).alias("c")).collect()}
+    est = {
+        r.term: r.cms_estimate
+        for r in count_min_estimate(sketch, terms.distinct(), width=64).collect()
+    }
+    for t, true_n in truth.items():
+        assert est[t] >= true_n  # CMS never undercounts
+
+    # shard-merge property
+    half1 = spark.createDataFrame([(w,) for w in words[:38]], "term string")
+    half2 = spark.createDataFrame([(w,) for w in words[38:]], "term string")
+    merged = count_min_merge(
+        count_min_build(half1, width=64), count_min_build(half2, width=64)
+    )
+    est_m = {
+        r.term: r.cms_estimate
+        for r in count_min_estimate(merged, terms.distinct(), width=64).collect()
+    }
+    assert est_m == est
