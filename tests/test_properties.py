@@ -153,3 +153,59 @@ def test_components_match_union_find(spark, edges):
         mins[root] = min(mins.get(root, n), n)
     expected = {n: mins[find(n)] for n in parent}
     assert got == expected
+
+
+# --- winnowing guarantee (Schleimer et al., MOSS): any common
+# substring of length >= k + w - 1 must produce at least one SHARED
+# fingerprint hash between the two documents.
+_alpha = st.text(alphabet="abcd ", min_size=0, max_size=30)
+_shared = st.text(alphabet="abcd ", min_size=8, max_size=20)  # >= k+w-1 = 8
+
+
+@settings(**SETTINGS)
+@given(prefix_a=_alpha, prefix_b=_alpha, shared=_shared, suffix_a=_alpha, suffix_b=_alpha)
+def test_winnow_shared_substring_shares_fingerprint(
+    spark, prefix_a, prefix_b, shared, suffix_a, suffix_b
+):
+    from emission_project_spark.extensions.dedup import winnow_fingerprints
+
+    doc_a = prefix_a + shared + suffix_a
+    doc_b = prefix_b + shared + suffix_b
+    docs = spark.createDataFrame(
+        [(1, doc_a), (2, doc_b)], "doc_id long, text string"
+    )
+    fps = winnow_fingerprints(docs, k=5, window=4)
+    rows = fps.collect()
+    h1 = {r.gram_hash for r in rows if r.doc_id == 1}
+    h2 = {r.gram_hash for r in rows if r.doc_id == 2}
+    assert h1 & h2, f"no shared fingerprint for shared={shared!r}"
+
+
+@settings(**SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 50), st.sampled_from(["en", "fr"]), st.integers(1, 200)),
+        min_size=1,
+        max_size=15,
+        unique_by=lambda r: r[0],
+    ),
+    budget=st.integers(50, 600),
+)
+def test_token_budget_never_exceeds_and_is_prefix(spark, rows, budget):
+    from emission_project_spark.extensions.curation import token_budget_select
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_tokens long")
+    out = token_budget_select(df, ["lang"], "doc_id", "n_tokens", budget)
+    sums = {r.lang: r.s for r in out.groupBy("lang").agg(F.sum("n_tokens").alias("s")).collect()}
+    assert all(s <= budget for s in sums.values())
+    # prefix property: selected set = hash-order prefix per stratum
+    ordered = df.withColumn("_h", F.md5(F.col("doc_id").cast("string")))
+    kept = {r.doc_id for r in out.collect()}
+    for lang in {r[1] for r in rows}:
+        seq = [
+            r.doc_id
+            for r in ordered.filter(F.col("lang") == lang).orderBy("_h", "doc_id").collect()
+        ]
+        in_flags = [d in kept for d in seq]
+        assert in_flags == sorted(in_flags, reverse=True)  # True-prefix then False
