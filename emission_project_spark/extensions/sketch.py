@@ -86,3 +86,54 @@ def count_min_merge(a: DataFrame, b: DataFrame) -> DataFrame:
         .groupBy("depth", "bucket")
         .agg(F.sum("cnt").alias("cnt"))
     )
+
+
+# --- Bloom filter (Bloom '70), sparse representation -----------------
+# The membership companion to the count-min sketch: the filter is the
+# DISTINCT (row, bit) table of the keys' hash positions (≤ depth·width
+# rows however many keys went in) — mergeable by union, buildable with
+# one small aggregate, probe-able with a broadcast join. No false
+# negatives; false-positive rate falls as width grows.
+
+
+def bloom_build(
+    keys: DataFrame,
+    key_col: str = "key",
+    depth: int = DEFAULT_DEPTH,
+    width: int = DEFAULT_WIDTH,
+) -> DataFrame:
+    """Build the sparse filter ``(depth, bucket)`` over the key set."""
+    d = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("depth")
+    return (
+        keys.select(F.col(key_col).alias("_k"), d)
+        .select("depth", _bucket(F.col("depth"), F.col("_k"), width).alias("bucket"))
+        .distinct()
+    )
+
+
+def bloom_contains(
+    bloom: DataFrame,
+    queries: DataFrame,
+    key_col: str = "key",
+    depth: int = DEFAULT_DEPTH,
+    width: int = DEFAULT_WIDTH,
+) -> DataFrame:
+    """Probe: adds boolean ``possibly_present`` — true iff ALL depth bit
+    positions of the key are set. Guaranteed true for every inserted
+    key (no false negatives); may be true for absent keys at the
+    filter's false-positive rate. Filter broadcasts; probing is
+    map-side + one small aggregate."""
+    d = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("depth")
+    probes = queries.select(F.col(key_col), d).select(
+        key_col,
+        "depth",
+        _bucket(F.col("depth"), F.col(key_col), width).alias("bucket"),
+    )
+    hit = F.when(F.col("_hit").isNotNull(), 1).otherwise(0)
+    return (
+        probes.join(
+            F.broadcast(bloom.withColumn("_hit", F.lit(1))), ["depth", "bucket"], "left"
+        )
+        .groupBy(key_col)
+        .agg((F.sum(hit) == depth).alias("possibly_present"))
+    )

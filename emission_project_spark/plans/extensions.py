@@ -1518,3 +1518,55 @@ def sketch_count_min_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     est = count_min_estimate(sketch, top.select("term"))
     return top.join(est, "term").select("term", "true_count", "cms_estimate")
+
+
+# --- Bloom-filter membership prefilter for incremental dedup: build
+# the filter over the state's fingerprints (doc_id < 250), probe the
+# batch (doc_id >= 250). Guaranteed no false negatives, so "false"
+# rows skip the expensive dedup join entirely; the oracle replays the
+# identical md5 bit positions.
+@register(
+    "sketch_bloom_prefilter",
+    oracle=f"""
+    WITH state AS (
+        SELECT DISTINCT {_FP_SQL} AS fp FROM documents WHERE doc_id < 250
+    ),
+    dd AS (SELECT unnest(range(4)) AS d),
+    bloom AS (
+        SELECT DISTINCT d,
+               ('0x' || substring(md5(d::VARCHAR || ':' || fp), 1, 7))::BIGINT % 1024
+                   AS bucket
+        FROM state, dd
+    ),
+    batch AS (
+        SELECT doc_id, {_FP_SQL} AS fp FROM documents WHERE doc_id >= 250
+    ),
+    probes AS (
+        SELECT b.doc_id, b.fp, dd.d,
+               ('0x' || substring(md5(dd.d::VARCHAR || ':' || b.fp), 1, 7))::BIGINT % 1024
+                   AS bucket
+        FROM batch b CROSS JOIN dd
+    )
+    SELECT p.doc_id,
+           CAST(count(bl.bucket) = 4 AS BOOLEAN) AS possibly_present
+    FROM probes p
+    LEFT JOIN bloom bl ON bl.d = p.d AND bl.bucket = p.bucket
+    GROUP BY p.doc_id
+    """,
+)
+def sketch_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emission_project_spark.extensions.sketch import bloom_build, bloom_contains
+    from emission_project_spark.functions.text import fingerprint as _fp
+
+    docs = load_table(spark, sf_dir, "documents")
+    state = (
+        docs.filter(F.col("doc_id") < 250)
+        .select(_fp("text").alias("key"))
+        .distinct()
+    )
+    batch = docs.filter(F.col("doc_id") >= 250).select(
+        "doc_id", _fp("text").alias("key")
+    )
+    bloom = bloom_build(state)
+    probed = bloom_contains(bloom, batch)
+    return batch.join(probed, "key").select("doc_id", "possibly_present")

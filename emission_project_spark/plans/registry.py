@@ -86,6 +86,7 @@ _PRIORITY: list[str] = [
     "text_corpus_top_terms",
     "curation_mixture_report",
     "sketch_count_min_terms",
+    "sketch_bloom_prefilter",
     # -- round-1 green, most complex first: re-verify while slots remain -
     "dedup_minhash_lsh",
     "dedup_minhash_signatures",

@@ -289,3 +289,17 @@ def test_count_min_sketch_properties(spark):
         for r in count_min_estimate(merged, terms.distinct(), width=64).collect()
     }
     assert est_m == est
+
+
+def test_bloom_filter_no_false_negatives(spark):
+    from pyspark.sql import functions as F
+
+    from emission_project_spark.extensions.sketch import bloom_build, bloom_contains
+
+    inserted = spark.createDataFrame([(f"key{i}",) for i in range(200)], "key string")
+    absent = spark.createDataFrame([(f"other{i}",) for i in range(200)], "key string")
+    bloom = bloom_build(inserted, width=4096)
+    got_in = bloom_contains(bloom, inserted, width=4096)
+    assert got_in.filter(~F.col("possibly_present")).count() == 0  # no false negatives
+    fp = bloom_contains(bloom, absent, width=4096).filter(F.col("possibly_present")).count()
+    assert fp < 40  # false positives exist but are bounded (measured ~0-5 at this width)
