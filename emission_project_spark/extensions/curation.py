@@ -92,6 +92,36 @@ def token_budget_select(
     )
 
 
+def pack_sequences(
+    df: DataFrame,
+    strata: Sequence[str],
+    id_col: str,
+    token_col: str,
+    context_len: int,
+) -> DataFrame:
+    """Assign each doc to a training-sequence bin of ~``context_len``
+    tokens: docs are laid out in deterministic hash order and a bin
+    boundary falls wherever the running token total crosses the next
+    multiple of ``context_len`` — i.e. ``bin = floor((cumsum - n) /
+    context_len)``, the doc belongs to the bin where it STARTS.
+
+    This is the distributed approximation of greedy sequence packing:
+    bins can overflow by at most one document (the straddler), which
+    the tokenizer-side truncation absorbs; in exchange the layout is
+    one window cumulative sum per stratum — no sequential driver loop,
+    stable under re-runs. Returns the input plus ``bin_id``.
+    """
+    w = (
+        Window.partitionBy(*strata)
+        .orderBy(F.md5(F.col(id_col).cast("string")).asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(token_col).over(w)
+    return df.withColumn(
+        "bin_id", F.floor((cum - F.col(token_col)) / context_len).cast("bigint")
+    )
+
+
 def stratified_sample_topk(
     df: DataFrame,
     strata: Sequence[str],

@@ -1570,3 +1570,36 @@ def sketch_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     bloom = bloom_build(state)
     probed = bloom_contains(bloom, batch)
     return batch.join(probed, "key").select("doc_id", "possibly_present")
+
+
+# --- curation: sequence packing — assign docs to ~2048-token training
+# bins per language (bin = where the doc STARTS in the hash-ordered
+# running total). One window cumsum per stratum; no driver loop.
+@register(
+    "curation_pack_sequences",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, lang, CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, lang, n_tokens,
+               sum(n_tokens) OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM t
+    )
+    SELECT doc_id, lang, n_tokens,
+           CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) AS bin_id
+    FROM c
+    """,
+)
+def curation_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emission_project_spark.extensions.curation import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    with_tokens = docs.select("doc_id", "lang", token_count("text").alias("n_tokens"))
+    return pack_sequences(
+        with_tokens, strata=["lang"], id_col="doc_id", token_col="n_tokens", context_len=2048
+    )

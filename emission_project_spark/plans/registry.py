@@ -87,6 +87,7 @@ _PRIORITY: list[str] = [
     "curation_mixture_report",
     "sketch_count_min_terms",
     "sketch_bloom_prefilter",
+    "curation_pack_sequences",
     # -- round-1 green, most complex first: re-verify while slots remain -
     "dedup_minhash_lsh",
     "dedup_minhash_signatures",

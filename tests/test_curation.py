@@ -183,3 +183,29 @@ def test_hash_rate_sample_nested_and_deterministic(spark):
     assert small <= large
     assert small == again
     assert 0 < len(small) < len(large) < 400
+
+
+def test_pack_sequences_bin_invariants(spark):
+    """Every bin except possibly the last starts below the context
+    length and overflows by at most one straddling doc."""
+    from pyspark.sql import functions as F
+
+    from emission_project_spark.extensions.curation import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, "en", 100 + (i * 37) % 400) for i in range(60)],
+        "doc_id long, lang string, n_tokens long",
+    )
+    out = pack_sequences(df, ["lang"], "doc_id", "n_tokens", context_len=1000)
+    bins = (
+        out.groupBy("bin_id")
+        .agg(F.sum("n_tokens").alias("total"), F.max("n_tokens").alias("biggest"))
+        .collect()
+    )
+    assert len(bins) > 3
+    for r in bins:
+        # a bin holds < context_len before its last (straddling) doc
+        assert r.total - r.biggest < 1000
+    # bins are contiguous 0..N
+    ids = sorted(r.bin_id for r in bins)
+    assert ids == list(range(len(ids)))
