@@ -1445,3 +1445,28 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- correlated EXISTS / NOT EXISTS (decorrelated): customers who
+# have placed orders but never an urgent one. Catalyst decorrelates
+# the subqueries into a semi join + an anti join over the same orders
+# scan; both sides shuffle once on the customer key.
+@register(
+    "semi_anti_customers_no_urgent",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                       AND o.o_orderpriority = '1-URGENT')
+    """,
+)
+def semi_anti_customers_no_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left_semi")
+        .join(urgent, F.col("c_custkey") == urgent["o_custkey"], "left_anti")
+        .select("c_custkey", "c_name")
+    )
