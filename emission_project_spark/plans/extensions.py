@@ -1603,3 +1603,33 @@ def curation_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(
         with_tokens, strata=["lang"], id_col="doc_id", token_col="n_tokens", context_len=2048
     )
+
+
+# --- multimodal: payload byte-size profile per media type — the stats
+# that size Arrow batches and partition bytes for binary-column scans
+# (maxRecordsPerBatch × avg payload must fit executor memory). Byte
+# length is computed on the BINARY payload (multibyte text ≠ char
+# count), matching DuckDB's octet_length over the encoded blob.
+@register(
+    "multimodal_payload_stats",
+    oracle="""
+    SELECT 'image/fake' AS media_type,
+           CAST(count(*) AS BIGINT) AS n_payloads,
+           CAST(min(octet_length(encode(text))) AS BIGINT) AS min_bytes,
+           CAST(max(octet_length(encode(text))) AS BIGINT) AS max_bytes,
+           round(avg(octet_length(encode(text))), 4) AS avg_bytes,
+           CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes
+    FROM documents
+    """,
+)
+def multimodal_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_payload(docs)
+    nbytes = F.length("payload")
+    return media.groupBy("media_type").agg(
+        F.count(F.lit(1)).alias("n_payloads"),
+        F.min(nbytes).cast("bigint").alias("min_bytes"),
+        F.max(nbytes).cast("bigint").alias("max_bytes"),
+        F.round(F.avg(nbytes), 4).alias("avg_bytes"),
+        F.sum(nbytes).cast("bigint").alias("total_bytes"),
+    )

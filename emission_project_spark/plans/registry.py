@@ -89,6 +89,7 @@ _PRIORITY: list[str] = [
     "sketch_bloom_prefilter",
     "curation_pack_sequences",
     "semi_anti_customers_no_urgent",
+    "multimodal_payload_stats",
     # -- round-1 green, most complex first: re-verify while slots remain -
     "dedup_minhash_lsh",
     "dedup_minhash_signatures",
