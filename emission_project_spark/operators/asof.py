@@ -33,9 +33,18 @@ def asof_join(
     right_ts: str,
     value_cols: Sequence[str],
     prefix: str = "asof_",
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of left join; right's ``value_cols`` (and its
-    timestamp, as ``{prefix}{right_ts}``) arrive prefixed."""
+    """As-of left join; right's ``value_cols`` (and its timestamp, as
+    ``{prefix}{right_ts}``) arrive prefixed.
+
+    ``direction="backward"`` (default): most recent right row with
+    ``right_ts <= left_ts``. ``direction="forward"``: earliest right
+    row with ``right_ts >= left_ts`` (time-to-next-event features) —
+    the same single window pass, ordered descending.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     keys = [key] if isinstance(key, str) else list(key)
     rtypes = dict(right.dtypes)
     # the right row travels as ONE struct so the as-of match is atomic:
@@ -64,10 +73,12 @@ def asof_join(
     unioned = l_tag.unionByName(r_tag)
 
     # right rows sort BEFORE left rows at equal ts (_is_left asc) so a
-    # same-timestamp right row is visible to the left row (<= semantics)
+    # same-timestamp right row is visible to the left row (<=, resp. >=,
+    # semantics); forward direction just reverses the time order
+    ts_order = F.col("_ts").asc() if direction == "backward" else F.col("_ts").desc()
     w = (
         Window.partitionBy(*keys)
-        .orderBy(F.col("_ts").asc(), F.col("_is_left").asc())
+        .orderBy(ts_order, F.col("_is_left").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = unioned.select(

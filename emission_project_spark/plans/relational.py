@@ -1470,3 +1470,48 @@ def semi_anti_customers_no_urgent(spark: SparkSession, sf_dir: str) -> DataFrame
         .join(urgent, F.col("c_custkey") == urgent["o_custkey"], "left_anti")
         .select("c_custkey", "c_name")
     )
+
+
+# --- forward as-of join: each click's NEXT error by the same user
+# (time-to-next-event features). Same union+window machinery as the
+# backward direction, time order reversed; DuckDB's ASOF is
+# backward-only, so the oracle states forward semantics as a
+# min-over-future correlated subquery.
+@register(
+    "asof_forward_next_error",
+    oracle="""
+    WITH clicks AS (
+        SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        FROM events WHERE event_type = 'click'
+    ),
+    errors AS (
+        SELECT DISTINCT user_id, CAST(ts AS TIMESTAMP) AS ts
+        FROM events WHERE event_type = 'error'
+    )
+    SELECT c.event_id, c.user_id, c.ts,
+           (SELECT min(e.ts) FROM errors e
+             WHERE e.user_id = c.user_id AND e.ts >= c.ts) AS next_error_ts
+    FROM clicks c
+    """,
+)
+def asof_forward_next_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emission_project_spark.operators.asof import asof_join
+
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    errors = (
+        e.filter(F.col("event_type") == "error").select("user_id", "ts").distinct()
+    )
+    joined = asof_join(
+        clicks,
+        errors.withColumnRenamed("ts", "ets"),
+        key="user_id",
+        left_ts="ts",
+        right_ts="ets",
+        value_cols=[],
+        prefix="next_",
+        direction="forward",
+    )
+    return joined.select(
+        "event_id", "user_id", "ts", F.col("next_ets").alias("next_error_ts")
+    )

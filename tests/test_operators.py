@@ -291,3 +291,23 @@ def test_warehouse_compact_and_stale_tmp(spark, tmp_path):
     removed = wh.drop_stale_tmp()
     assert sorted(removed) == ["t.__old_dead", "t.__tmp_dead"]
     assert wh.exists("t") and wh.exists("tp")
+
+
+def test_asof_join_forward_direction(spark):
+    from emission_project_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "k", 100), (2, "k", 250), (3, "k", 400)], "lid int, k string, ts long"
+    )
+    right = spark.createDataFrame(
+        [("k", 100, "at100"), ("k", 300, "at300")], "k string, rts long, v string"
+    )
+    got = {
+        r.lid: (r.next_v, r.next_rts)
+        for r in asof_join(
+            left, right, "k", "ts", "rts", ["v"], prefix="next_", direction="forward"
+        ).collect()
+    }
+    assert got[1] == ("at100", 100)   # equal ts matches (>= semantics)
+    assert got[2] == ("at300", 300)   # next future row
+    assert got[3] == (None, None)     # nothing after → null
