@@ -91,6 +91,7 @@ _PRIORITY: list[str] = [
     "semi_anti_customers_no_urgent",
     "multimodal_payload_stats",
     "asof_forward_next_error",
+    "events_gapfill_ffill",
     # -- round-1 green, most complex first: re-verify while slots remain -
     "dedup_minhash_lsh",
     "dedup_minhash_signatures",

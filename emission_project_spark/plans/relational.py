@@ -1515,3 +1515,55 @@ def asof_forward_next_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(
         "event_id", "user_id", "ts", F.col("next_ets").alias("next_error_ts")
     )
+
+
+# --- gap-fill + forward-fill (LOCF): per-user hourly mean value with
+# missing hours carrying the last observed mean — the interpolation
+# step after resampling. ffill is one more window pass over the same
+# per-user partitioning (no extra shuffle: same key as the grid join).
+@register(
+    "events_gapfill_ffill",
+    oracle="""
+    WITH h AS (
+        SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
+               round(avg(value), 4) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    span AS (SELECT user_id, min(hr) AS lo, max(hr) AS hi FROM h GROUP BY 1),
+    grid AS (
+        SELECT s.user_id,
+               unnest(generate_series(s.lo, s.hi, INTERVAL 1 HOUR)) AS hr
+        FROM span s
+    ),
+    joined AS (
+        SELECT g.user_id, g.hr, h.v
+        FROM grid g LEFT JOIN h ON g.user_id = h.user_id AND g.hr = h.hr
+    )
+    SELECT user_id, hr AS hour,
+           last_value(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY hr
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+    FROM joined
+    """,
+)
+def events_gapfill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    h = e.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("hr")
+    ).agg(F.round(F.avg("value"), 4).alias("v"))
+    span = h.groupBy("user_id").agg(F.min("hr").alias("lo"), F.max("hr").alias("hi"))
+    grid = span.select(
+        "user_id",
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("hr"),
+    )
+    joined = grid.join(h, ["user_id", "hr"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        F.col("hr").alias("hour"),
+        F.last("v", ignorenulls=True).over(w).alias("filled_value"),
+    )
