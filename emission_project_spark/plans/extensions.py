@@ -1633,3 +1633,83 @@ def multimodal_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(nbytes), 4).alias("avg_bytes"),
         F.sum(nbytes).cast("bigint").alias("total_bytes"),
     )
+
+
+# --- cross-modal curation: per-embedding-cluster text quality — join
+# the Lloyd cluster assignment (embeddings) to the quality score
+# (documents) on the shared id, then aggregate. The decision table for
+# "drop cluster k" semantic curation: a cluster that is geometrically
+# tight but textually low-quality is spam. One broadcast-size join
+# (cluster labels are two columns) + one aggregate.
+@register(
+    "curation_cluster_quality_join",
+    oracle="""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    c0 AS (SELECT vec_id AS cid, e AS ce FROM v ORDER BY vec_id LIMIT 8),
+    s1 AS (
+        SELECT v.vec_id, v.e, c0.cid,
+               list_sum(list_transform(range(1, 65), i -> (v.e[i] - c0.ce[i]) * (v.e[i] - c0.ce[i]))) AS d2
+        FROM v CROSS JOIN c0
+    ),
+    a1 AS (
+        SELECT vec_id, e, cid FROM
+            (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM s1)
+        WHERE rn = 1
+    ),
+    m1 AS (
+        SELECT cid, pos, round(avg(val), 6) AS m
+        FROM (SELECT cid, i AS pos, e[i] AS val
+              FROM a1, (SELECT unnest(range(1, 65)) AS i))
+        GROUP BY cid, pos
+    ),
+    c1 AS (SELECT cid, list(m ORDER BY pos) AS ce FROM m1 GROUP BY cid),
+    s2 AS (
+        SELECT v.vec_id, c1.cid,
+               list_sum(list_transform(range(1, 65), i -> (v.e[i] - c1.ce[i]) * (v.e[i] - c1.ce[i]))) AS d2
+        FROM v CROSS JOIN c1
+    ),
+    a2 AS (
+        SELECT vec_id, cid FROM
+            (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM s2)
+        WHERE rn = 1
+    ),
+    q AS (
+        SELECT doc_id,
+               round(least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4
+                     + (1.0 - least((CASE WHEN length(text) > 0
+                            THEN CAST(length(regexp_replace(text, '[\\w ]', '', 'g')) AS DOUBLE) / length(text)
+                            ELSE 0.0 END) * 5.0, 1.0)) * 0.3
+                     + (1.0 - abs((CASE WHEN len(regexp_extract_all(lower(text), '\\w+')) > 0
+                            THEN CAST(len(list_filter(regexp_extract_all(lower(text), '\\w+'),
+                                 t -> t IN ('the','and','of','to','is'))) AS DOUBLE)
+                                 / len(regexp_extract_all(lower(text), '\\w+'))
+                            ELSE 0.0 END) - 0.4)) * 0.3,
+                     6) AS quality
+        FROM documents
+    )
+    SELECT CAST(a2.cid AS BIGINT) AS cluster_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(q.quality), 6) AS mean_quality,
+           round(min(q.quality), 6) AS min_quality
+    FROM a2 JOIN q ON a2.vec_id = q.doc_id
+    GROUP BY 1
+    """,
+)
+def curation_cluster_quality_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emission_project_spark.extensions.kmeans import kmeans_lloyd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = kmeans_lloyd(emb, k=8, iterations=2).select("vec_id", "cluster_id")
+    quality = docs.select(
+        F.col("doc_id"), F.round(quality_score("text"), 6).alias("quality")
+    )
+    return (
+        clusters.join(quality, clusters["vec_id"] == quality["doc_id"])
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("quality"), 6).alias("mean_quality"),
+            F.round(F.min("quality"), 6).alias("min_quality"),
+        )
+    )

@@ -92,6 +92,7 @@ _PRIORITY: list[str] = [
     "multimodal_payload_stats",
     "asof_forward_next_error",
     "events_gapfill_ffill",
+    "curation_cluster_quality_join",
     # -- round-1 green, most complex first: re-verify while slots remain -
     "dedup_minhash_lsh",
     "dedup_minhash_signatures",
