@@ -1713,3 +1713,86 @@ def curation_cluster_quality_join(spark: SparkSession, sf_dir: str) -> DataFrame
             F.round(F.min("quality"), 6).alias("min_quality"),
         )
     )
+
+
+# --- THE capstone composition: the final curated corpus in one
+# declarative plan — quality gate → exact-dedup keep-canonical →
+# benchmark decontamination, the whole preprocessing pipeline a
+# training run consumes. Each stage is an operator proven green on its
+# own; Catalyst fuses the quality filter into the scan, the dedup is
+# one fingerprint shuffle, and both the canonical-set and contaminated
+# joins are semi/anti joins on small sides.
+@register(
+    "curation_final_corpus",
+    oracle=f"""
+    WITH {_SHINGLE_SQL},
+    m AS (
+        SELECT doc_id, lang, source,
+               CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens,
+               CAST(length(text) AS DOUBLE) AS n_chars,
+               CAST(length(regexp_replace(text, '[\\w ]', '', 'g')) AS DOUBLE) AS n_punct,
+               CAST(len(list_filter({_TOKS_SQL},
+                    t -> t IN ('the','and','of','to','is'))) AS DOUBLE) AS n_stop,
+               {_FP_SQL} AS fp
+        FROM documents
+    ),
+    scored AS (
+        SELECT doc_id, lang, source, n_tokens, fp,
+               round(least(n_chars / 500.0, 1.0) * 0.4
+                     + (1.0 - least((CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END) * 5.0, 1.0)) * 0.3
+                     + (1.0 - abs((CASE WHEN n_tokens > 0 THEN n_stop / n_tokens ELSE 0.0 END) - 0.4)) * 0.3,
+                     6) AS quality
+        FROM m
+    ),
+    gated AS (
+        SELECT * FROM scored WHERE quality >= 0.5 AND n_tokens BETWEEN 20 AND 2000
+    ),
+    canonical AS (
+        SELECT doc_id, lang, source, n_tokens, quality FROM
+            (SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+             FROM gated)
+        WHERE rn = 1
+    ),
+    bench AS (SELECT doc_id AS bench_id, shingle FROM sh WHERE doc_id < 10),
+    contaminated AS (
+        SELECT s.doc_id
+        FROM sh s JOIN bench b ON s.shingle = b.shingle AND s.doc_id <> b.bench_id
+        GROUP BY s.doc_id, b.bench_id
+        HAVING count(*) >= 3
+    )
+    SELECT c.doc_id, c.lang, c.source, c.n_tokens, c.quality
+    FROM canonical c
+    WHERE c.doc_id NOT IN (SELECT doc_id FROM contaminated)
+    """,
+)
+def curation_final_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emission_project_spark.extensions.dedup import contamination_overlap
+    from emission_project_spark.operators.dedup import dedup_subset
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        "text",
+        token_count("text").alias("n_tokens"),
+        F.round(quality_score("text"), 6).alias("quality"),
+        fingerprint("text").alias("fp"),
+    )
+    gated = scored.filter(
+        (F.col("quality") >= 0.5) & F.col("n_tokens").between(20, 2000)
+    )
+    canonical = dedup_subset(
+        gated.select("fp", "doc_id", "lang", "source", "n_tokens", "quality"),
+        ["fp"],
+        tiebreaker=["doc_id"],
+    )
+    contaminated = (
+        contamination_overlap(docs, docs.filter(F.col("doc_id") < 10), min_shared=3)
+        .select("doc_id")
+        .distinct()
+    )
+    return (
+        canonical.join(contaminated, "doc_id", "left_anti")
+        .select("doc_id", "lang", "source", "n_tokens", "quality")
+    )

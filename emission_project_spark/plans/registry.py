@@ -40,6 +40,8 @@ def register(name: str, oracle: str | None = None):
 # the queries fixed/added this round, then everything that already has a
 # green round-1 driver row (those re-verify only if slots remain).
 _PRIORITY: list[str] = [
+    # -- the end-to-end curated-corpus composition -----------------------
+    "curation_final_corpus",
     # -- capstones with no round-1 driver row ----------------------------
     "dedup_cluster_components",
     "dedup_keep_canonical",
