@@ -122,9 +122,14 @@ def bloom_contains(
     positions of the key are set. Guaranteed true for every inserted
     key (no false negatives); may be true for absent keys at the
     filter's false-positive rate. Filter broadcasts; probing is
-    map-side + one small aggregate."""
+    map-side + one small aggregate.
+
+    Keys are deduplicated before probing: a key appearing k times
+    would otherwise contribute k rows per depth and a partial match
+    (depth/k bits set) could masquerade as a full match in the
+    all-bits count."""
     d = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("depth")
-    probes = queries.select(F.col(key_col), d).select(
+    probes = queries.select(F.col(key_col)).distinct().select(F.col(key_col), d).select(
         key_col,
         "depth",
         _bucket(F.col("depth"), F.col(key_col), width).alias("bucket"),

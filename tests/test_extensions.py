@@ -303,3 +303,26 @@ def test_bloom_filter_no_false_negatives(spark):
     assert got_in.filter(~F.col("possibly_present")).count() == 0  # no false negatives
     fp = bloom_contains(bloom, absent, width=4096).filter(F.col("possibly_present")).count()
     assert fp < 40  # false positives exist but are bounded (measured ~0-5 at this width)
+
+
+def test_bloom_contains_duplicate_query_keys(spark):
+    """Regression: a query key appearing k times must not turn a
+    partial bit match into a spurious full match (k x partial hits
+    summing to depth)."""
+    from pyspark.sql import functions as F
+
+    from emission_project_spark.extensions.sketch import bloom_build, bloom_contains
+
+    inserted = spark.createDataFrame([("present",)], "key string")
+    bloom = bloom_build(inserted, width=8)  # tiny width → partial collisions
+    dup_absent = spark.createDataFrame([("absent",)] * 4, "key string")
+    out = bloom_contains(bloom, dup_absent, width=8).collect()
+    assert len(out) == 1  # deduped
+    # whatever the verdict, it must equal the single-occurrence verdict
+    single = bloom_contains(
+        bloom, spark.createDataFrame([("absent",)], "key string"), width=8
+    ).collect()[0].possibly_present
+    assert out[0].possibly_present == single
+    # and the inserted key is always present
+    got = bloom_contains(bloom, inserted, width=8).collect()[0]
+    assert got.possibly_present
