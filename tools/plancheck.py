@@ -38,6 +38,7 @@ SCALAR_CROSS_OK = {
     "dedup_semantic_pairs",        # same Lloyd quantizer feeds the cluster key
     "embedding_cluster_quality",   # Lloyd rounds again (k-centroid broadcast)
     "curation_mixture_report",     # 1-row corpus token total
+    "curation_cluster_quality_join",  # Lloyd rounds (k-centroid broadcast)
 }
 
 
