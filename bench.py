@@ -4,12 +4,19 @@ Runs each headline query to completion with the ``noop`` sink (forces
 full distributed execution, no driver collect) and prints ONE JSON
 line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
+
+Each query is timed ``BENCH_RUNS`` times (default 3) and the MEDIAN is
+reported: single-shot numbers on a busy local JVM wobble ±15% round
+over round with no code change (observed r1→r2), which drowns the
+signal a per-query regression check needs. ``value`` is the sum of
+medians; ``runs`` records the repeat count.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -63,12 +70,16 @@ def main() -> None:
     # engine, not first-call classloading
     qs["rollup_pricing_summary"](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    runs = int(os.environ.get("BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        samples = []
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(samples), 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -79,6 +90,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "runs": runs,
             }
         )
     )

@@ -142,9 +142,15 @@ def ngram_jaccard_pairs(
     many docs — the document-frequency cap that bounds the quadratic
     bucket blow-up at scale (a boilerplate shingle shared by k docs
     would otherwise emit k²/2 pairs; a stop-shingle carries no
-    signal). ON BY DEFAULT — pass ``None`` only for small exact runs;
-    intersection counts then exclude capped shingles, so Jaccard is a
-    lower bound for pairs that share stop-shingles.
+    signal). ON BY DEFAULT — pass ``None`` only for small exact runs.
+
+    RETURN CONTRACT under the cap: reported ``jaccard`` is a LOWER
+    BOUND for any pair sharing capped shingles (their intersection
+    counts exclude those), and a pair whose overlap is entirely
+    stop-shingles is not returned at all. The truncation is
+    measurable: :func:`shingle_cap_report` quantifies, for the same
+    corpus and cap, how many shingles/postings/docs the cap touches —
+    run it when tuning ``max_doc_freq`` for a new corpus.
     """
     sh = shingles(docs, text_col, id_col, k).cache()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
@@ -169,6 +175,49 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def shingle_cap_report(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = DEFAULT_SHINGLE,
+    max_doc_freq: int | None = 64,
+) -> DataFrame:
+    """Observability for the ``max_doc_freq`` recall cap: one summary
+    row quantifying exactly what :func:`ngram_jaccard_pairs` silently
+    drops at the given cap — run it alongside (or before) a capped
+    dedup pass to decide whether the cap is safe for the corpus.
+
+    Columns: ``n_shingles`` (distinct shingles), ``n_capped`` (shingles
+    above the cap, i.e. excluded from the inverted index),
+    ``n_postings_dropped`` (doc-shingle postings those carried — the
+    quadratic mass the cap removed), ``n_docs_affected`` (docs touching
+    ≥1 capped shingle — the docs whose Jaccard becomes a lower bound).
+
+    Single-pass shape: one shingle explosion (same as the index build),
+    one window count keyed by shingle (each posting row learns its
+    shingle's doc frequency — the same shuffle key the index build
+    uses), one global aggregate. No join, no second scan.
+    """
+    cap = F.lit(max_doc_freq if max_doc_freq else (1 << 62))
+    sh = shingles(docs, text_col, id_col, k)
+    with_freq = sh.withColumn(
+        "c", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+    )
+    hot = F.col("c") > cap
+    return with_freq.agg(
+        F.count_distinct("shingle").cast("bigint").alias("n_shingles"),
+        F.count_distinct(F.when(hot, F.col("shingle"))).cast("bigint").alias("n_capped"),
+        # each input row IS one (doc, shingle) posting — counting hot
+        # rows counts dropped postings directly
+        F.coalesce(F.sum(F.when(hot, 1).otherwise(0)), F.lit(0))
+        .cast("bigint")
+        .alias("n_postings_dropped"),
+        F.count_distinct(F.when(hot, F.col("doc_id"))).cast("bigint").alias(
+            "n_docs_affected"
+        ),
     )
 
 
@@ -339,7 +388,9 @@ def winnow_fingerprints(
     # pos packs into _POS_BITS bits below the hash; a doc with >= 2^20
     # grams would wrap (negative pos complement corrupts the packed
     # argmin), so such docs are excluded rather than silently corrupted.
-    # Chunk multi-MB documents upstream if they must be fingerprinted.
+    # The exclusion is observable — winnow_oversized_report counts the
+    # affected docs for the same corpus; chunk multi-MB documents
+    # upstream (~1M chars, k+w-2 overlap) if they must be fingerprinted.
     grams = _spread(docs.filter((n_grams >= 1) & (n_grams < (1 << _POS_BITS)))).select(
         F.col(id_col).alias("doc_id"),
         F.col(text_col).alias("_text"),
@@ -374,6 +425,38 @@ def winnow_fingerprints(
             F.expr(f"_win_min div {1 << _POS_BITS}").alias("gram_hash"),
         )
         .distinct()
+    )
+
+
+def winnow_oversized_report(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = WINNOW_K,
+) -> DataFrame:
+    """Observability for :func:`winnow_fingerprints`' size guard: that
+    operator excludes documents with ≥ 2^20 char k-grams (the packed
+    argmin would wrap), so multi-MB documents silently fall out of the
+    fingerprint stream. This report makes the gap measurable — one
+    summary row: ``n_docs`` (total), ``n_skipped_empty`` (shorter than
+    one gram), ``n_oversized`` (excluded by the guard), ``max_grams``
+    (largest gram count seen — headroom against the 2^20 limit). Run it
+    with any winnow pass; a nonzero ``n_oversized`` means chunk those
+    docs upstream (split at ~1M chars with k+w-2 overlap) before
+    fingerprinting.
+    """
+    n_grams = F.length(text_col) - k + 1
+    return docs.select(n_grams.alias("g")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.coalesce(F.sum(F.when(F.col("g") < 1, 1).otherwise(0)), F.lit(0))
+        .cast("bigint")
+        .alias("n_skipped_empty"),
+        F.coalesce(F.sum(F.when(F.col("g") >= (1 << _POS_BITS), 1).otherwise(0)), F.lit(0))
+        .cast("bigint")
+        .alias("n_oversized"),
+        F.coalesce(F.max(F.when(F.col("g") >= 1, F.col("g"))), F.lit(0))
+        .cast("bigint")
+        .alias("max_grams"),
     )
 
 

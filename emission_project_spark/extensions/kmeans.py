@@ -84,7 +84,15 @@ def lloyd_centroids(vecs: DataFrame, k: int = 8, iterations: int = 2) -> DataFra
     )
     for _ in range(iterations - 1):
         centroids = recompute_centroids(assign_clusters(vecs, centroids))
-    return centroids
+    # The trained quantizer fans into MULTIPLE plan subtrees in every
+    # caller (corpus assignment + query-cell ranking in ivf_topk_kmeans;
+    # left/right branches of the blocked pair union in
+    # semantic_neardup_pairs) — without a checkpoint each subtree
+    # re-runs the whole Lloyd chain (per-iteration full-table assign +
+    # recompute). Truncate lineage once: the table is k rows of k·dim
+    # doubles, so materializing it is free; eager=False keeps plan
+    # construction action-free (tools/plancheck stays compile-only).
+    return centroids.localCheckpoint(eager=False)
 
 
 def kmeans_lloyd(

@@ -1,12 +1,14 @@
 """Multimodal columns: image/audio/video as opaque binary + metadata.
 
 The Spark-side plumbing is real — typed schema, Arrow-batched
-``mapInPandas`` feature extraction, partition-size control — while the
-actual media decoding is stubbed (image/audio libraries are not in
-this container): ``decode_image`` raises ``NotImplementedError`` and
-tests run through ``fake_image_decoder``, a deterministic stand-in
+``mapInPandas`` feature extraction, partition-size control — and
+``decode_image`` dispatches to PIL when it is importable executor-side
+(probed at call time). In containers without media libraries (such as
+this one) it raises ``NotImplementedError``, which the tolerant
+``extract_features`` path records as ``ok=False``; tests and oracle
+queries run through ``fake_image_decoder``, a deterministic stand-in
 with the same signature and batch shape a real (PIL/ffmpeg) decoder
-would have.
+has.
 
 Scale design: payloads never pass through the driver; ``mapInPandas``
 streams Arrow batches executor-side, and ``repartition`` before the
@@ -53,11 +55,21 @@ def payload_meta(media: DataFrame) -> DataFrame:
 
 
 def decode_image(payload: bytes) -> tuple[int, int, int]:
-    """Real decoder hook (PIL/libvips in production).
+    """Real decoder: dispatches to PIL when it is importable (checked
+    at CALL time, executor-side — the driver environment is
+    irrelevant), else raises ``NotImplementedError`` so the tolerant
+    path (``extract_features``'s ``ok=False``) degrades gracefully in
+    containers without media libraries (such as this one)."""
+    try:
+        from PIL import Image  # noqa: PLC0415 - optional, probed per call site
+    except ImportError as exc:
+        raise NotImplementedError(
+            "image decoding requires PIL/libvips; not in this container"
+        ) from exc
+    import io
 
-    STUB: media libraries are not available in this environment.
-    """
-    raise NotImplementedError("image decoding requires PIL/libvips; not in this container")
+    with Image.open(io.BytesIO(payload)) as im:
+        return im.width, im.height, int(getattr(im, "n_frames", 1))
 
 
 def fake_image_decoder(payload: bytes) -> tuple[int, int, int]:
@@ -97,7 +109,11 @@ def extract_features(
                 try:
                     w, h, nf = decoder(bytes(payload))
                     rows.append((doc_id, mtype, w, h, nf, True))
-                except NotImplementedError:
+                except Exception:  # noqa: BLE001 - triage pass: corrupt
+                    # payloads are routine at corpus scale; one bad image
+                    # must not kill the job. ok=False marks the row for
+                    # quarantine; strict ops (resize/frame-sample) run on
+                    # payloads this pass has already validated.
                     rows.append((doc_id, mtype, None, None, None, False))
             yield pd.DataFrame(
                 rows, columns=["doc_id", "media_type", "width", "height", "n_frames", "ok"]

@@ -321,6 +321,7 @@ def lsh_neardup_pairs(
     threshold: float = 0.9,
     n_planes: int = 16,
     max_bucket: int | None = 64,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate (subquadratic) embedding near-dup: random-hyperplane
     LSH — the 100 TB path where exact all-pairs can't run.
@@ -337,11 +338,20 @@ def lsh_neardup_pairs(
     large corpus fraction, and an uncapped ``collect_list`` of full
     embedding structs is both a quadratic pair explosion and an
     executor OOM. A hot bucket means the planes don't separate that
-    region — raise n_planes rather than the cap.
-    """
-    from pyspark.sql import Window  # noqa: F401  (parity with module imports)
+    region — raise n_planes rather than the cap. RETURN CONTRACT under
+    the cap: pairs whose only shared bucket is hot are silently absent
+    (recall loss, never precision loss — survivors are exact-verified);
+    the dropped mass is measurable by aggregating the same signature
+    expression to bucket sizes and filtering > max_bucket.
 
-    dim = len(vectors.select("embedding").first()[0])
+    Pass ``dim`` (the embedding dimensionality — a schema-level fact
+    the caller knows): plan construction is then action-free. With
+    ``dim=None`` the dimension is probed from the first row, which
+    launches a Spark job at PLAN-BUILD time — fine interactively,
+    wrong inside compile-only tooling or a lazily-composed pipeline.
+    """
+    if dim is None:
+        dim = len(vectors.select("embedding").first()[0])
     # deterministic ±1 plane matrix: sign of a hash bit per (plane, dim)
     planes = [
         [

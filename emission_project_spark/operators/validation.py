@@ -47,10 +47,16 @@ def fk_violation_counts(child: DataFrame, fks: list[FkSpec]) -> DataFrame:
         )
     agg = probe.agg(
         *[
-            F.sum(
-                F.when(
-                    F.col(child_col).isNotNull() & F.col(f"__hit_{i}").isNull(), F.lit(1)
-                ).otherwise(F.lit(0))
+            # coalesce: SUM over an EMPTY child is NULL, but "no rows"
+            # means zero violations (matching the oracle's count(*)=0)
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col(child_col).isNotNull() & F.col(f"__hit_{i}").isNull(),
+                        F.lit(1),
+                    ).otherwise(F.lit(0))
+                ),
+                F.lit(0),
             ).alias(f"__v_{i}")
             for i, (_, child_col, _, _) in enumerate(fks)
         ]

@@ -529,7 +529,9 @@ def dedup_semantic_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return lsh_neardup_pairs(emb, threshold=0.2, n_planes=16)
+    # dim=64 is the embeddings-table contract (TESTDATA.md) — passing it
+    # keeps plan construction action-free (no first-row dim probe).
+    return lsh_neardup_pairs(emb, threshold=0.2, n_planes=16, dim=64)
 
 
 # --- embedding column stats (array-typed analytics).
@@ -1040,6 +1042,137 @@ def stream_user_totals_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 4).alias("total_value"),
     )
+
+
+# --- Batch twin of the watermark-bounded streaming dedup
+# (streaming/dedup.py dedup_stream_within_watermark): over a bounded
+# input whose re-deliveries land inside the horizon, the streaming
+# operator emits the first-arriving row per key — i.e. earliest event
+# time wins (tiebreak pinned to event_id for oracle stability).
+# tests/test_streaming.py::test_streaming_dedup_within_watermark proves
+# the streaming path; this row proves the SEMANTICS against SQL.
+@register(
+    "stream_dedup_watermark_batch",
+    oracle="""
+    SELECT user_id, event_type, event_id, ts, value
+    FROM (
+        SELECT user_id, event_type, event_id, ts, value,
+               row_number() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    )
+    WHERE rn = 1
+    """,
+)
+def stream_dedup_watermark_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emission_project_spark.streaming.dedup import dedup_batch_earliest
+
+    e = load_table(spark, sf_dir, "events")
+    return dedup_batch_earliest(
+        e.select("user_id", "event_type", "event_id", "ts", "value"),
+        ["user_id", "event_type"],
+        ts_col="ts",
+        tiebreak_col="event_id",
+    )
+
+
+# --- Batch twin of the stream-stream interval join: runs the SAME
+# function (streaming/dedup.py interval_join_streams) on bounded
+# frames — withWatermark is a no-op in batch, so the twin exercises the
+# exact production code path, and the oracle restates the interval
+# predicate directly. tests/test_streaming.py::
+# test_stream_stream_interval_join proves the micro-batch path.
+@register(
+    "stream_interval_join_batch",
+    oracle="""
+    SELECT s.event_id AS signup_id, p.event_id AS purchase_id,
+           s.user_id AS user_id,
+           CAST(epoch_us(p.ts) - epoch_us(s.ts) AS BIGINT) AS delta_us
+    FROM events s
+    JOIN events p
+      ON s.user_id = p.user_id
+     AND p.ts > s.ts
+     AND p.ts <= s.ts + INTERVAL 1 HOUR
+    WHERE s.event_type = 'signup' AND p.event_type = 'purchase'
+    """,
+)
+def stream_interval_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emission_project_spark.streaming.dedup import interval_join_streams
+
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", F.col("ts").alias("sts"), F.col("event_id").alias("sid")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts"), F.col("event_id").alias("pid")
+    )
+    joined = interval_join_streams(
+        s, p, key="user_id", left_ts="sts", right_ts="pts",
+        lateness="10 minutes", window_seconds=3600,
+    )
+    return joined.select(
+        F.col("sid").alias("signup_id"),
+        F.col("pid").alias("purchase_id"),
+        s["user_id"].alias("user_id"),
+        (F.unix_micros("pts") - F.unix_micros("sts")).cast("bigint").alias("delta_us"),
+    )
+
+
+# --- Observability for the max_doc_freq recall cap (ADVICE round 2:
+# capped paths must emit a signal, not truncate silently). One summary
+# row quantifying what a cap of 3 would drop from the shingle inverted
+# index — the cap here is intentionally LOW so the report path is
+# exercised with nonzero counts at test scale (the operator default
+# stays 64).
+@register(
+    "dedup_bucket_cap_report",
+    oracle=f"""
+    WITH {_SHINGLE_SQL},
+    freq AS (
+        SELECT shingle, count(*) AS c, list(doc_id) AS ids
+        FROM sh GROUP BY shingle
+    ),
+    affected AS (
+        SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs_affected
+        FROM (SELECT unnest(ids) AS doc_id FROM freq WHERE c > 3)
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(coalesce(sum(CASE WHEN c > 3 THEN 1 ELSE 0 END), 0) AS BIGINT)
+               AS n_capped,
+           CAST(coalesce(sum(CASE WHEN c > 3 THEN c ELSE 0 END), 0) AS BIGINT)
+               AS n_postings_dropped,
+           (SELECT n_docs_affected FROM affected) AS n_docs_affected
+    FROM freq
+    """,
+)
+def dedup_bucket_cap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emission_project_spark.extensions.dedup import shingle_cap_report
+
+    docs = load_table(spark, sf_dir, "documents")
+    return shingle_cap_report(docs, max_doc_freq=3)
+
+
+# --- Observability for winnow_fingerprints' oversized-document guard
+# (docs with ≥ 2^20 char 5-grams are excluded from the fingerprint
+# stream — this report makes the detection gap measurable).
+@register(
+    "winnow_oversized_report",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(coalesce(sum(CASE WHEN length(text) - 4 < 1 THEN 1 ELSE 0 END), 0)
+               AS BIGINT) AS n_skipped_empty,
+           CAST(coalesce(sum(CASE WHEN length(text) - 4 >= 1048576 THEN 1 ELSE 0 END), 0)
+               AS BIGINT) AS n_oversized,
+           CAST(coalesce(max(CASE WHEN length(text) - 4 >= 1 THEN length(text) - 4 END), 0)
+               AS BIGINT) AS max_grams
+    FROM documents
+    """,
+)
+def winnow_oversized_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emission_project_spark.extensions.dedup import winnow_oversized_report as _rpt
+
+    docs = load_table(spark, sf_dir, "documents")
+    return _rpt(docs)
 
 
 # --- Gopher-style repetition metrics (Rae et al., table A1): the

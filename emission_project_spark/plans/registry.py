@@ -34,68 +34,32 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
-# The driver's correctness artifact covers the first N registered queries
-# (round 1 capped at 50). Highest-value queries must therefore register
-# first: the LLM-pipeline capstones that had no driver row in round 1,
-# the queries fixed/added this round, then everything that already has a
-# green round-1 driver row (those re-verify only if slots remain).
+# The driver's correctness artifact covers the first 50 registered
+# queries. Window policy (round 3): (a) the two queries without a
+# driver-green row yet, (b) every query whose code path changed this
+# round (regressions must surface in the artifact, not just locally),
+# (c) new round-3 queries, then (d) a rotating slice of queries last
+# driver-verified in round 1 — the tail rotates each round so every
+# registered query cycles back through the window (ADVICE round 2).
 _PRIORITY: list[str] = [
-    # -- the end-to-end curated-corpus composition -----------------------
-    "curation_final_corpus",
-    # -- capstones with no round-1 driver row ----------------------------
-    "dedup_cluster_components",
-    "dedup_keep_canonical",
-    "curation_stratified_sample",
-    "curation_length_percentiles",
-    "curation_profile_documents",
-    "curation_tfidf_top_terms",
-    "curation_quality_filter",
-    "similarity_ivf_topk",
-    "similarity_ivf_kmeans_topk",
-    "dedup_embedding_cosine",
-    "dedup_semantic_pairs",
-    "dedup_embedding_cosine_lsh",
-    "embedding_stats",
-    "embedding_kmeans_lloyd",
-    "text_winnow_fingerprints",
+    # -- (a) no driver-green row yet -------------------------------------
+    "curation_cluster_quality_join",  # slot 51 in round 2 — first now
+    "approx_aggregates_events",       # oracle added this round
+    # -- (b) code paths changed this round: re-verify ---------------------
+    "dedup_semantic_pairs",           # centroid checkpoint
+    "similarity_ivf_kmeans_topk",     # centroid checkpoint
+    "embedding_cluster_quality",      # centroid checkpoint
+    "embedding_kmeans_lloyd",         # shared kmeans module
+    "dedup_embedding_cosine_lsh",     # eager dim probe removed
+    "fk_orphan_check",                # empty-input coalesce
+    "text_winnow_fingerprints",       # oversized-doc accounting
     "dedup_winnow_pairs",
-    "multimodal_binary_meta",
-    "multimodal_extract_features",
-    "multimodal_resize",
-    "multimodal_frame_sample",
-    # -- fixed round 2 (array column -> scalar quantiles) ----------------
-    "approx_aggregates_events",
-    # -- new round-2 queries ---------------------------------------------
-    "fk_orphan_check",
-    "stream_user_totals_batch",
-    "text_repetition_metrics",
-    "text_pii_scrub",
-    "text_decontaminate_overlap",
-    "pivot_daily_event_counts",
-    "dedup_incremental_exact",
-    "dedup_incremental_minhash",
-    "curation_token_budget",
-    "curation_mixture_sample",
-    "embedding_cluster_quality",
-    "join_topk_shipping_priority",
-    "join_having_large_orders",
-    "text_url_extract",
-    "histogram_event_values",
-    "window_rolling_10min_mean",
-    "events_gapfill_hourly",
-    "events_funnel_conversion",
-    "curation_truncate_tokens",
-    "text_corpus_top_terms",
-    "curation_mixture_report",
-    "sketch_count_min_terms",
-    "sketch_bloom_prefilter",
-    "curation_pack_sequences",
-    "semi_anti_customers_no_urgent",
-    "multimodal_payload_stats",
-    "asof_forward_next_error",
-    "events_gapfill_ffill",
-    "curation_cluster_quality_join",
-    # -- round-1 green, most complex first: re-verify while slots remain -
+    # -- (c) new round-3 queries ------------------------------------------
+    "stream_dedup_watermark_batch",
+    "stream_interval_join_batch",
+    "winnow_oversized_report",
+    "dedup_bucket_cap_report",
+    # -- (d) rotation: last verified round 1, heaviest first ---------------
     "dedup_minhash_lsh",
     "dedup_minhash_signatures",
     "dedup_ngram_jaccard",
@@ -112,6 +76,40 @@ _PRIORITY: list[str] = [
     "events_sessionize",
     "skew_salted_join_mktsegment",
     "skew_salted_rollup_events",
+    "rollup_pricing_summary",
+    "dedup_subset_deterministic",
+    "topk_orders_by_price",
+    "anti_join_customers_without_orders",
+    "nullsafe_join_match",
+    "surrogate_keys_dense",
+    "incremental_insert_orders",
+    "upsert_customer_balances",
+    "group_rollup_brand",
+    "group_rollup_supplier",
+    "window_running_total",
+    "events_tumbling_hourly",
+    "rollup_grouping_sets",
+    "set_ops_intersect_except",
+    "events_json_extract",
+    "window_rank_top3_per_priority",
+    "rollup_cube_status_priority",
+    "regex_extract_long_words",
+    "array_higher_order_fns",
+    "events_sliding_30m15m",
+    # ---- window boundary (slot 50) — below rotates in next round --------
+    "sql_gateway_rollup",
+    "window_moving_avg",
+    "window_ntile_quartiles",
+    "projection_rename",
+    "filter_predicate",
+    "derived_measure",
+    "cast_and_dateparts",
+    "date_id_smart_key",
+    "date_dim_generate",
+    "union_distinct_nations",
+    "dim_fk_resolve",
+    "distinct_count_customers",
+    "count_probe",
 ]
 
 

@@ -898,30 +898,56 @@ def skew_salted_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- Approximate aggregates (HLL++ distinct, quantile sketch). No SQL
-# oracle: sketch outputs are engine-specific (DuckDB's HLL and t-digest
-# produce different estimates than Spark's HLL++/GK) — the driver
-# records the weaker rows-only check; exact twins are oracle-checked in
-# distinct_count_customers / window queries. Quantiles are emitted as
-# scalar columns (not array<double>) so the driver's pandas-based
-# canonicalizer can hash the result.
-@register("approx_aggregates_events")
+# --- Approximate-aggregate surface, oracle-checkable form. The GK
+# quantile sketch at accuracy 10,000 has rank error ≤ n/10,000 < 1 for
+# the per-group row counts the driver compares at (sf0.01 ≈ 2k
+# rows/group), i.e. it is EXACT and returns an actual data element —
+# empirically identical to DuckDB's ``quantile_disc`` (element at rank
+# ceil(p·n)) on this data, so the sketch path itself is three-way
+# verified. Distinct users is exact ``count(DISTINCT ...)`` here; the
+# engine-specific HLL++ estimate (not portable across engines) lives in
+# ``approx_hll_distinct_events`` below, registered outside the driver's
+# correctness window.
+@register(
+    "approx_aggregates_events",
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           round(quantile_disc(value, 0.5), 6) AS p50,
+           round(quantile_disc(value, 0.95), 6) AS p95,
+           round(quantile_disc(value, 0.99), 6) AS p99
+    FROM events
+    GROUP BY event_type
+    """,
+)
 def approx_aggregates_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     q = F.percentile_approx("value", F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99)), 10000)
     return (
         e.groupBy("event_type")
         .agg(
-            F.approx_count_distinct("user_id").alias("approx_users"),
+            F.countDistinct("user_id").alias("n_users"),
             q.alias("_q"),
         )
         .select(
             "event_type",
-            "approx_users",
+            "n_users",
             F.round(F.col("_q")[0], 6).alias("p50"),
             F.round(F.col("_q")[1], 6).alias("p95"),
             F.round(F.col("_q")[2], 6).alias("p99"),
         )
+    )
+
+
+# --- HLL++ showcase (engine-specific estimates — DuckDB's HLL yields
+# different values than Spark's HLL++, so no value oracle can exist;
+# deliberately NOT in the driver's correctness window. The oracle-backed
+# sibling above carries the correctness row for this surface).
+@register("approx_hll_distinct_events")
+def approx_hll_distinct_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("approx_users")
     )
 
 

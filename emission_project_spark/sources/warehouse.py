@@ -58,7 +58,26 @@ class Warehouse:
             raise FileNotFoundError(f"table {table} absent and no schema contract given")
         return self.spark.createDataFrame([], schema)
 
+    def _has_flat_files(self, table: str) -> bool:
+        """True when the table root holds bare part-*.parquet files (a
+        pre-partitioning layout) rather than key=value partition dirs."""
+        p = self.path(table)
+        if not os.path.isdir(p):
+            return False
+        return any(
+            name.endswith(".parquet") and os.path.isfile(os.path.join(p, name))
+            for name in os.listdir(p)
+        )
+
     def append(self, df: DataFrame, table: str, partition_by: list[str] | None = None) -> None:
+        if partition_by and self._has_flat_files(table):
+            # Migration: a warehouse created before this table was
+            # partitioned holds flat part files in the root; appending
+            # partition dirs beside them would leave a mixed layout that
+            # breaks partition discovery on the next read. Rewrite the
+            # legacy state once through the atomic swap, then append.
+            legacy = self.spark.read.parquet(self.path(table))
+            self.overwrite_atomic(legacy, table, partition_by=partition_by)
         w = df.write.mode("append")
         if partition_by:
             w = w.partitionBy(*partition_by)

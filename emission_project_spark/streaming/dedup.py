@@ -47,6 +47,35 @@ def dedup_stream_within_watermark(
     )
 
 
+def dedup_batch_earliest(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """The BATCH TWIN of :func:`dedup_stream_within_watermark`: over a
+    bounded input whose re-deliveries all arrive inside the lateness
+    horizon, the streaming operator emits exactly the first-arriving row
+    per key — which, projected onto batch, is "earliest ``ts_col`` wins,
+    ties broken by ``tiebreak_col``" (streaming first-arrival order is
+    event time here; the explicit tiebreak pins what arrival order
+    leaves undefined, keeping the result oracle-stable).
+
+    One window shuffle on the dedup keys — identical cost shape to the
+    streaming state store keyed by the same columns.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(ts_col).asc_nulls_last(), F.col(tiebreak_col).asc_nulls_last()
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 def content_keyed(stream: DataFrame, text_col: str = "text") -> DataFrame:
     """Add the canonical content fingerprint as a dedup key (the
     streaming analog of exact_duplicates' md5 identity)."""

@@ -326,3 +326,23 @@ def test_bloom_contains_duplicate_query_keys(spark):
     # and the inserted key is always present
     got = bloom_contains(bloom, inserted, width=8).collect()[0]
     assert got.possibly_present
+
+
+def test_winnow_oversized_report_counts_guarded_docs(spark):
+    """ADVICE r2: the >= 2^20-gram exclusion must be observable. Plant
+    one oversized doc (2^20 + 4 chars), one empty-ish doc, two normal
+    docs; the report counts each class and winnow_fingerprints indeed
+    skips the oversized one."""
+    from emission_project_spark.extensions.dedup import (
+        winnow_fingerprints,
+        winnow_oversized_report,
+    )
+
+    big = "a" * ((1 << 20) + 4)  # n_grams = 2^20 → excluded
+    docs = _docs(spark, [(1, "hello winnow world"), (2, "tinydoc"), (3, big), (4, "ab")])
+    rep = winnow_oversized_report(docs).collect()[0]
+    assert (rep.n_docs, rep.n_skipped_empty, rep.n_oversized) == (4, 1, 1)
+    assert rep.max_grams == (1 << 20)
+    fingerprinted = {r.doc_id for r in winnow_fingerprints(docs).collect()}
+    assert 3 not in fingerprinted          # guard excluded the giant
+    assert {1, 2} <= fingerprinted         # normal + short docs kept

@@ -40,3 +40,48 @@ def test_extract_features_stub_decoder_flags_not_ok(spark, sf_dir):
 def test_decode_image_is_stubbed():
     with pytest.raises(NotImplementedError):
         decode_image(b"\x00")
+
+
+def test_decode_image_dispatches_to_installed_decoder(monkeypatch):
+    """decode_image probes PIL at call time: with a stand-in module
+    installed it must decode through it (proving the dispatch), and the
+    NotImplementedError fallback only fires when the import fails."""
+    import sys
+    import types
+
+    from emission_project_spark.extensions import multimodal as mm
+
+    class _FakeImage:
+        width, height, n_frames = 320, 240, 5
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    fake_pil = types.ModuleType("PIL")
+    fake_pil_image = types.ModuleType("PIL.Image")
+    fake_pil_image.open = lambda buf: _FakeImage()
+    fake_pil.Image = fake_pil_image
+    monkeypatch.setitem(sys.modules, "PIL", fake_pil)
+    monkeypatch.setitem(sys.modules, "PIL.Image", fake_pil_image)
+    assert mm.decode_image(b"\x89PNG") == (320, 240, 5)
+
+
+def test_extract_features_quarantines_corrupt_payloads(spark, sf_dir):
+    """Triage contract: a decoder blowing up on one payload must mark
+    that row ok=False, not kill the job (corrupt media is routine at
+    corpus scale)."""
+
+    def flaky(payload: bytes):
+        if len(payload) % 2 == 0:
+            raise ValueError("corrupt image")
+        return (10, 10, 1)
+
+    docs = load_table(spark, sf_dir, "documents").limit(8)
+    rows = extract_features(attach_payload(docs), decoder=flaky).collect()
+    assert len(rows) == 8
+    assert {r.ok for r in rows} == {True, False}
+    assert all(r.width == 10 for r in rows if r.ok)
+    assert all(r.width is None for r in rows if not r.ok)

@@ -311,3 +311,48 @@ def test_asof_join_forward_direction(spark):
     assert got[1] == ("at100", 100)   # equal ts matches (>= semantics)
     assert got[2] == ("at300", 300)   # next future row
     assert got[3] == (None, None)     # nothing after → null
+
+
+def test_fk_violation_counts_empty_child_returns_zeros(spark):
+    """ADVICE r2: SUM over an empty child is NULL — the public API must
+    return 0 violations, not crash validate_fks on int(None)."""
+    from emission_project_spark.operators.validation import (
+        fk_violation_counts,
+        validate_fks,
+    )
+
+    parent = spark.createDataFrame([(1,), (2,)], "pk bigint")
+    child = spark.createDataFrame([], "dim_id bigint, other string")
+    rows = fk_violation_counts(
+        child, [("child.dim_id->parent", "dim_id", parent, "pk")]
+    ).collect()
+    assert [(r.fk_name, r.violations) for r in rows] == [("child.dim_id->parent", 0)]
+    assert validate_fks(child, [("fk", "dim_id", parent, "pk")]) == {"fk": 0}
+
+
+def test_warehouse_append_migrates_legacy_flat_layout(spark, tmp_path):
+    """ADVICE r2 (medium): a table written FLAT before partitioning was
+    introduced must be migrated on the first partitioned append —
+    otherwise partition dirs land beside flat part files and the next
+    read fails partition discovery."""
+    import os as _os
+
+    from emission_project_spark.sources.warehouse import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    legacy = spark.range(100).selectExpr("id", "CAST(id % 3 AS INT) AS date_id")
+    wh.append(legacy, "fact")  # pre-partitioning deployment: flat files
+    root = tmp_path / "wh" / "fact"
+    assert any(f.endswith(".parquet") for f in _os.listdir(root))
+
+    fresh = spark.range(100, 150).selectExpr("id", "CAST(3 AS INT) AS date_id")
+    wh.append(fresh, "fact", partition_by=["date_id"])  # triggers migration
+
+    # layout is now uniformly hive-partitioned; nothing flat remains
+    assert not any(f.endswith(".parquet") for f in _os.listdir(root))
+    parts = sorted(d for d in _os.listdir(root) if d.startswith("date_id="))
+    assert parts == ["date_id=0", "date_id=1", "date_id=2", "date_id=3"]
+    out = wh.read("fact")
+    assert out.count() == 150
+    assert out.filter("date_id = 3").count() == 50
+    assert out.filter("date_id = 1").count() == 33  # legacy rows intact

@@ -209,3 +209,99 @@ def test_token_budget_never_exceeds_and_is_prefix(spark, rows, budget):
         ]
         in_flags = [d in kept for d in seq]
         assert in_flags == sorted(in_flags, reverse=True)  # True-prefix then False
+
+
+# --- adversarial hot-bucket stress (SURVEY §8: the caps are
+# load-bearing for the 100 TB story). A stop-shingle / degenerate-
+# embedding corpus makes every uncapped bucketed path quadratic; these
+# tests plant true duplicates NEXT TO the pathological mass and assert
+# (a) the default caps bound the candidate volume and (b) recall on
+# the planted pairs survives the cap.
+
+
+def _stop_shingle_corpus(spark, n_pairs=60):
+    """2·n_pairs docs, ALL sharing a boilerplate phrase (shingle doc
+    frequency = 2·n_pairs), where docs (2i, 2i+1) additionally share a
+    pair-unique segment (doc frequency 2 — under any sane cap)."""
+    boiler = "the quick brown fox jumps over the lazy dog again and again"
+    rows = []
+    for i in range(n_pairs):
+        uniq = (
+            f"alpha{i} bravo{i} charlie{i} delta{i} echo{i}"
+            f" foxtrot{i} golf{i} hotel{i}"
+        )
+        rows.append((2 * i, f"{uniq} {boiler} left{i}"))
+        rows.append((2 * i + 1, f"{uniq} {boiler} right{i}"))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_ngram_cap_bounds_stop_shingle_blowup_and_keeps_recall(spark):
+    from emission_project_spark.extensions.dedup import (
+        ngram_jaccard_pairs,
+        shingle_cap_report,
+    )
+
+    docs = _stop_shingle_corpus(spark, n_pairs=60)  # 120 docs
+    # uncapped: every boilerplate shingle buckets all 120 docs together
+    # → 120·119/2 = 7140 candidate pairs (the quadratic blow-up)
+    uncapped = ngram_jaccard_pairs(
+        docs, threshold=1e-9, max_doc_freq=None
+    ).count()
+    assert uncapped == 120 * 119 // 2
+    # capped (default 64 < 120): only pair-unique buckets generate
+    # candidates → exactly the 60 planted pairs
+    capped = ngram_jaccard_pairs(docs, threshold=1e-9).collect()
+    assert {(r.doc_a, r.doc_b) for r in capped} == {
+        (2 * i, 2 * i + 1) for i in range(60)
+    }
+    # recall with a real threshold: planted pairs still score well above
+    # noise (their intersection excludes only the capped boilerplate)
+    kept = ngram_jaccard_pairs(docs, threshold=0.2).collect()
+    assert {(r.doc_a, r.doc_b) for r in kept} == {
+        (2 * i, 2 * i + 1) for i in range(60)
+    }
+    # and the cap is observable, not silent: the report sees every doc
+    rep = shingle_cap_report(docs, max_doc_freq=64).collect()[0]
+    assert rep.n_capped > 0
+    assert rep.n_docs_affected == 120
+    assert rep.n_postings_dropped == rep.n_capped * 120
+
+
+def test_embedding_lsh_cap_bounds_degenerate_bucket_and_keeps_recall(spark):
+    import random
+
+    from emission_project_spark.extensions.similarity import lsh_neardup_pairs
+
+    rng = random.Random(11)
+    rows = []
+    # degenerate mass: 100 near-identical vectors — one LSH bucket with
+    # 100 members, 4950 within-bucket pairs if uncapped
+    base = [rng.gauss(0, 1) for _ in range(16)]
+    for i in range(100):
+        rows.append((i, [x + rng.gauss(0, 1e-4) for x in base]))
+    # planted dup pairs ANTI-correlated with the degenerate direction
+    # (≈ -base + perturbation): every sign bit flips vs the hot bucket,
+    # so the planted pairs cannot land in it; the perturbation keeps
+    # cross-pair cosine < threshold so only true pairs verify
+    planted = []
+    for j in range(3):
+        v = [-x + 0.3 * rng.gauss(0, 1) for x in base]
+        a, b = 1000 + 2 * j, 1000 + 2 * j + 1
+        rows.append((a, v))
+        rows.append((b, [x + rng.gauss(0, 1e-4) for x in v]))
+        planted.append((a, b))
+    vecs = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+    uncapped = lsh_neardup_pairs(vecs, threshold=0.99, n_planes=8, max_bucket=None)
+    capped = lsh_neardup_pairs(vecs, threshold=0.99, n_planes=8)  # default cap 64
+    got_uncapped = {(r.doc_a, r.doc_b) for r in uncapped.collect()}
+    got_capped = {(r.doc_a, r.doc_b) for r in capped.collect()}
+    # the degenerate bucket (100 > 64) is dropped entirely; planted
+    # pairs live in normal buckets and survive
+    assert got_uncapped >= {(a, b) for a, b in planted}
+    assert len(got_uncapped) >= 4000  # quadratic mass without the cap
+    for pair in planted:
+        assert pair in got_capped
+    assert all(a >= 1000 for a, _ in got_capped)  # no degenerate pairs
