@@ -37,10 +37,14 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table, normalizing physical quirks.
 
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark
-    only reads via the nanos-as-long legacy conf; we convert back to a
-    proper (microsecond) TimestampType so downstream queries and the
-    DuckDB oracle (``CAST(ts AS TIMESTAMP)``) see identical values.
+    The driver has shipped ``events.ts`` in three parquet layouts across
+    regenerations: TIMESTAMP(NANOS) (readable only via the nanos-as-long
+    legacy conf), µs with ``isAdjustedToUTC=false`` (read as
+    TIMESTAMP_NTZ), and plain µs-UTC. We normalize all three to a proper
+    (microsecond, UTC-session) TimestampType so downstream consumers
+    (``unix_micros`` call sites, interval arithmetic) and the DuckDB
+    oracle (NTZ-native) see identical values — the session timezone is
+    pinned UTC, so the NTZ→TZ cast is value-preserving.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
@@ -50,8 +54,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if dict(df.dtypes).get("ts") == "bigint":
             # integer div: float division would lose sub-µs precision at 2^60 nanos
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        df = _normalize_ntz(df)
         return df
-    return spark.read.parquet(path)
+    return _normalize_ntz(spark.read.parquet(path))
+
+
+def _normalize_ntz(df: DataFrame) -> DataFrame:
+    """Cast any TIMESTAMP_NTZ column to TimestampType (UTC session)."""
+    ntz_cols = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    for c in ntz_cols:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str | None = None) -> dict[str, DataFrame]:

@@ -35,68 +35,21 @@ def register(name: str, oracle: str | None = None):
 
 
 # The driver's correctness artifact covers the first 50 registered
-# queries. Window policy (round 3): (a) the two queries without a
-# driver-green row yet, (b) every query whose code path changed this
-# round (regressions must surface in the artifact, not just locally),
-# (c) new round-3 queries, then (d) a rotating slice of queries last
-# driver-verified in round 1 — the tail rotates each round so every
-# registered query cycles back through the window (ADVICE round 2).
+# queries. Window policy (round 4): (a) queries with no driver row of
+# any kind, (b) the round-3 red rows (NTZ regression, fixed in
+# catalog/tables.py), (c) queries last driver-verified in round 1 —
+# the 13-query tail that sat below the boundary since round 1, (d)
+# rotation of round-2-verified queries, events-consumers first because
+# the loader's NTZ normalization changed their input representation
+# this round. The 7 round-2 queries that don't fit (below the
+# boundary) rotate in next round; everything else has an r3 row.
 _PRIORITY: list[str] = [
-    # -- (a) no driver-green row yet -------------------------------------
-    "curation_cluster_quality_join",  # slot 51 in round 2 — first now
-    "approx_aggregates_events",       # oracle added this round
-    # -- (b) code paths changed this round: re-verify ---------------------
-    "dedup_semantic_pairs",           # centroid checkpoint
-    "similarity_ivf_kmeans_topk",     # centroid checkpoint
-    "embedding_cluster_quality",      # centroid checkpoint
-    "embedding_kmeans_lloyd",         # shared kmeans module
-    "dedup_embedding_cosine_lsh",     # eager dim probe removed
-    "fk_orphan_check",                # empty-input coalesce
-    "text_winnow_fingerprints",       # oversized-doc accounting
-    "dedup_winnow_pairs",
-    # -- (c) new round-3 queries ------------------------------------------
-    "stream_dedup_watermark_batch",
-    "stream_interval_join_batch",
-    "winnow_oversized_report",
-    "dedup_bucket_cap_report",
-    # -- (d) rotation: last verified round 1, heaviest first ---------------
-    "dedup_minhash_lsh",
-    "dedup_minhash_signatures",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_exact_documents",
-    "similarity_bruteforce_topk",
-    "text_token_count",
-    "text_quality_score",
-    "text_langid",
-    "text_fingerprint",
-    "role_playing_nation_join",
-    "asof_join_clicks_purchases",
-    "range_join_signup_errors",
-    "events_sessionize",
-    "skew_salted_join_mktsegment",
-    "skew_salted_rollup_events",
-    "rollup_pricing_summary",
-    "dedup_subset_deterministic",
-    "topk_orders_by_price",
-    "anti_join_customers_without_orders",
-    "nullsafe_join_match",
-    "surrogate_keys_dense",
-    "incremental_insert_orders",
-    "upsert_customer_balances",
-    "group_rollup_brand",
-    "group_rollup_supplier",
-    "window_running_total",
-    "events_tumbling_hourly",
-    "rollup_grouping_sets",
-    "set_ops_intersect_except",
-    "events_json_extract",
-    "window_rank_top3_per_priority",
-    "rollup_cube_status_priority",
-    "regex_extract_long_words",
-    "array_higher_order_fns",
-    "events_sliding_30m15m",
-    # ---- window boundary (slot 50) — below rotates in next round --------
+    # -- (a) no driver row of any kind yet --------------------------------
+    "approx_hll_distinct_events",     # rows-only (HLL estimate, no hash oracle)
+    "stream_interval_join_batch",     # r3 err (NTZ) — fixed
+    # -- (b) round-3 red row, fixed this round ----------------------------
+    "range_join_signup_errors",       # r3 err (NTZ) — fixed
+    # -- (c) last verified round 1: the never-rotated tail -----------------
     "sql_gateway_rollup",
     "window_moving_avg",
     "window_ntile_quartiles",
@@ -110,6 +63,50 @@ _PRIORITY: list[str] = [
     "dim_fk_resolve",
     "distinct_count_customers",
     "count_probe",
+    # -- (d) rotation: last verified round 2, events-consumers first -------
+    "stream_user_totals_batch",
+    "pivot_daily_event_counts",
+    "histogram_event_values",
+    "window_rolling_10min_mean",
+    "events_gapfill_hourly",
+    "events_gapfill_ffill",
+    "events_funnel_conversion",
+    "asof_forward_next_error",
+    # -- (d) rotation: last verified round 2, registry order ---------------
+    "join_topk_shipping_priority",
+    "join_having_large_orders",
+    "semi_anti_customers_no_urgent",
+    "similarity_ivf_topk",
+    "dedup_embedding_cosine",
+    "embedding_stats",
+    "multimodal_binary_meta",
+    "multimodal_extract_features",
+    "multimodal_resize",
+    "multimodal_frame_sample",
+    "multimodal_payload_stats",
+    "dedup_cluster_components",
+    "dedup_keep_canonical",
+    "dedup_incremental_exact",
+    "dedup_incremental_minhash",
+    "curation_stratified_sample",
+    "curation_length_percentiles",
+    "curation_profile_documents",
+    "curation_tfidf_top_terms",
+    "curation_quality_filter",
+    "curation_token_budget",
+    "curation_mixture_sample",
+    "curation_mixture_report",
+    "text_repetition_metrics",
+    "text_pii_scrub",
+    "text_decontaminate_overlap",
+    "text_url_extract",
+    # ---- window boundary (slot 50) — below rotates in next round --------
+    "text_corpus_top_terms",
+    "sketch_count_min_terms",
+    "sketch_bloom_prefilter",
+    "curation_pack_sequences",
+    "curation_truncate_tokens",
+    "curation_final_corpus",
 ]
 
 
