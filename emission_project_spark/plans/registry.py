@@ -99,8 +99,8 @@ _PRIORITY: list[str] = [
     "text_repetition_metrics",
     "text_pii_scrub",
     "text_decontaminate_overlap",
-    "text_url_extract",
     # ---- window boundary (slot 50) — below rotates in next round --------
+    "text_url_extract",
     "text_corpus_top_terms",
     "sketch_count_min_terms",
     "sketch_bloom_prefilter",
