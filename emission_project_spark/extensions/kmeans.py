@@ -68,12 +68,40 @@ def recompute_centroids(assigned: DataFrame) -> DataFrame:
     )
 
 
-def lloyd_centroids(vecs: DataFrame, k: int = 8, iterations: int = 2) -> DataFrame:
+def training_sample(vecs: DataFrame, train_frac: float) -> DataFrame:
+    """Deterministic hash-threshold subsample for quantizer training.
+
+    At 100 TB you never train the coarse quantizer on the full corpus —
+    FAISS-style practice is a bounded sample; clustering quality
+    saturates long before the full pass pays off. A hash threshold
+    (``md5(vec_id) mod 10^6 < frac·10^6``) picks the sample in a single
+    scan with no global sort and no RNG: deterministic, partition-local,
+    and mirrorable in oracle SQL with the same md5 arithmetic used by
+    the sketch/dedup operators."""
+    bound = int(train_frac * 1_000_000)
+    bucket = F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 15), 16, 10)
+    return vecs.filter(bucket.cast("bigint") % 1_000_000 < bound)
+
+
+def lloyd_centroids(
+    vecs: DataFrame,
+    k: int = 8,
+    iterations: int = 2,
+    train_frac: float | None = None,
+) -> DataFrame:
     """The centroid set ``(cid, ce)`` the final Lloyd assignment uses:
     seeded from the vectors with the ``k`` smallest ids, then
     ``iterations - 1`` recompute/assign rounds. ``vecs`` must carry
     ``(vec_id, e)``. This is the trained coarse quantizer — reused by
-    ``similarity.ivf_topk_kmeans`` as its cell dictionary."""
+    ``similarity.ivf_topk_kmeans`` as its cell dictionary.
+
+    ``train_frac`` bounds the training set to a deterministic hash
+    sample (see ``training_sample``) — the 100 TB configuration, where
+    recompute/assign rounds touch a constant-size sample and only the
+    final assignment scans the corpus. Default ``None`` trains exactly
+    on the full set (the oracle-checked configuration)."""
+    if train_frac is not None:
+        vecs = training_sample(vecs, train_frac)
     # seed = the k smallest ids (matching the documented contract even
     # when ids are sparse or non-zero-based; a filter(id < k) would
     # silently under-seed such inputs)

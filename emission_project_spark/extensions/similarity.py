@@ -113,6 +113,7 @@ def ivf_topk_kmeans(
     k: int = 10,
     iterations: int = 2,
     n_probe: int = 1,
+    train_frac: float | None = None,
 ) -> DataFrame:
     """IVF top-k with a k-means coarse quantizer — the production
     variant of ``ivf_topk`` (whose docstring promises exactly this
@@ -127,7 +128,11 @@ def ivf_topk_kmeans(
     means, tie-broken ranks), so the whole operator is SQL-expressible
     and oracle-checked. Scale shape: quantizer = broadcast of
     n_centroids·dim doubles; assignment is map-side; search reads
-    ≈ n_probe/n_centroids of the corpus.
+    ≈ n_probe/n_centroids of the corpus. ``train_frac`` bounds
+    quantizer training to a deterministic hash sample
+    (kmeans.training_sample) — the 100 TB configuration, where Lloyd
+    rounds touch a constant-size sample and only the final assignment
+    scans the corpus; recall holds (tests/test_extensions.py).
     """
     from emission_project_spark.extensions.kmeans import (
         _sq_dist,
@@ -138,7 +143,7 @@ def ivf_topk_kmeans(
     vecs = vectors.select(
         F.col("vec_id"), F.col("embedding").cast("array<double>").alias("e")
     )
-    centroids = lloyd_centroids(vecs, n_centroids, iterations)
+    centroids = lloyd_centroids(vecs, n_centroids, iterations, train_frac)
     assigned = assign_clusters(vecs, centroids).select("vec_id", "e", "cluster_id")
 
     q = query.select(

@@ -183,6 +183,54 @@ def test_ivf_kmeans_recall_vs_bruteforce(spark):
     assert r4 >= 0.85  # measured 0.91; margin for data regeneration
 
 
+def test_ivf_kmeans_sampled_training_keeps_quality(spark):
+    """Quantizer trained on a deterministic hash sample (the 100 TB
+    configuration — Lloyd rounds touch a bounded sample, only the final
+    assignment scans the corpus) must produce a quantizer of near-equal
+    quality: full-corpus assignment inertia within 10% of full-training,
+    all cells populated, and recall still usable. (Raw recall@n_probe is
+    NOT compared tightly: with 10 natural clusters quantized into 8
+    cells, equally-good quantizers draw different cell boundaries and
+    top-k neighbors land in different probed cells — inertia is the
+    stable quality metric; measured: 471.7 vs 465.7, +1.3%.)"""
+    from pyspark.sql import functions as F
+    from emission_project_spark.catalog.tables import load_table
+    from emission_project_spark.extensions.kmeans import (
+        assign_clusters,
+        lloyd_centroids,
+        training_sample,
+    )
+    from emission_project_spark.extensions.similarity import (
+        brute_force_topk,
+        ivf_topk_kmeans,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    vecs = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    n = vecs.count()
+    sampled = training_sample(vecs, 0.5)
+    n_s = sampled.count()
+    assert 0.3 * n <= n_s <= 0.7 * n  # hash threshold lands near frac
+    assert sampled.count() == n_s  # deterministic: same filter, same rows
+
+    inertia = {}
+    for tf in (None, 0.5):
+        assigned = assign_clusters(vecs, lloyd_centroids(vecs, 8, 2, tf))
+        assert assigned.select("cluster_id").distinct().count() == 8
+        inertia[tf] = assigned.agg(F.sum("d2")).first()[0]
+    assert inertia[0.5] <= inertia[None] * 1.10
+
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = {(r.query_id, r.vec_id) for r in brute_force_topk(emb, q, 10).collect()}
+    got = {
+        (r.query_id, r.vec_id)
+        for r in ivf_topk_kmeans(
+            emb, q, n_centroids=8, k=10, n_probe=4, train_frac=0.5
+        ).collect()
+    }
+    assert len(exact & got) / len(exact) >= 0.65  # usable; boundary-luck margin
+
+
 def test_contamination_overlap_planted(spark):
     """A corpus doc embedding a benchmark passage verbatim must be
     flagged; unrelated docs must not. The benchmark side broadcasts."""
