@@ -290,6 +290,7 @@ def semantic_neardup_pairs(
     n_clusters: int = 8,
     iterations: int = 2,
     n_blocks: int = 4,
+    train_frac: float | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication: k-means-cluster the
     embedding space (deterministic Lloyd quantizer), then search for
@@ -305,13 +306,18 @@ def semantic_neardup_pairs(
 
     Returns (cluster_id, doc_a, doc_b, cosine_sim); deterministic and
     fully SQL-expressible (Lloyd rounds + within-cluster self-join).
+    ``train_frac`` bounds quantizer training to a deterministic hash
+    sample (kmeans.training_sample — the 100 TB configuration; default
+    full-corpus training is the oracle-checked path).
     """
     from emission_project_spark.extensions.kmeans import assign_clusters, lloyd_centroids
 
     vecs = vectors.select(
         F.col("vec_id"), F.col("embedding").cast("array<double>").alias("e")
     )
-    assigned = assign_clusters(vecs, lloyd_centroids(vecs, n_clusters, iterations)).select(
+    assigned = assign_clusters(
+        vecs, lloyd_centroids(vecs, n_clusters, iterations, train_frac)
+    ).select(
         "vec_id",
         F.col("e").alias("embedding"),
         F.col("cluster_id").cast("bigint").alias("cluster_id"),
