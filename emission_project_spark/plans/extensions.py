@@ -1118,6 +1118,49 @@ def stream_interval_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Batch twin of native session windows (streaming/stateful.py
+# session_window_totals): F.session_window merges per-key events whose
+# gaps stay under 30 minutes into [min ts, max ts + gap) sessions. The
+# SAME function runs streaming (watermarked state-store sessions,
+# proven by tests/test_streaming.py::test_streaming_session_windows);
+# this row proves the merge semantics against gaps-and-islands SQL: a
+# new session starts exactly when an event lands at or past the prior
+# event's ts + gap (the half-open window end).
+@register(
+    "stream_sessionize_batch",
+    oracle="""
+    WITH m AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts >= lag(ts) OVER w + INTERVAL 1800 SECOND
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    s AS (
+        SELECT user_id, ts, value,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM m
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 1800 SECOND AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 4) AS total_value
+    FROM s
+    GROUP BY user_id, sid
+    """,
+)
+def stream_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emission_project_spark.streaming.stateful import session_window_totals
+
+    e = load_table(spark, sf_dir, "events")
+    return session_window_totals(
+        e.select("user_id", "ts", "value"), key="user_id", ts_col="ts", gap="30 minutes"
+    )
+
+
 # --- Observability for the max_doc_freq recall cap (ADVICE round 2:
 # capped paths must emit a signal, not truncate silently). One summary
 # row quantifying what a cap of 3 would drop from the shingle inverted

@@ -41,11 +41,12 @@ def register(name: str, oracle: str | None = None):
 # the 13-query tail that sat below the boundary since round 1, (d)
 # rotation of round-2-verified queries, events-consumers first because
 # the loader's NTZ normalization changed their input representation
-# this round. The 7 round-2 queries that don't fit (below the
+# this round. The 8 round-2 queries that don't fit (below the
 # boundary) rotate in next round; everything else has an r3 row.
 _PRIORITY: list[str] = [
     # -- (a) no driver row of any kind yet --------------------------------
     "approx_hll_distinct_events",     # rows-only (HLL estimate, no hash oracle)
+    "stream_sessionize_batch",        # new round 4: native session windows
     "stream_interval_join_batch",     # r3 err (NTZ) — fixed
     # -- (b) round-3 red row, fixed this round ----------------------------
     "range_join_signup_errors",       # r3 err (NTZ) — fixed
@@ -98,8 +99,8 @@ _PRIORITY: list[str] = [
     "curation_mixture_report",
     "text_repetition_metrics",
     "text_pii_scrub",
-    "text_decontaminate_overlap",
     # ---- window boundary (slot 50) — below rotates in next round --------
+    "text_decontaminate_overlap",
     "text_url_extract",
     "text_corpus_top_terms",
     "sketch_count_min_terms",

@@ -52,3 +52,49 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def session_window_totals(
+    events: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    lateness: str = "10 minutes",
+) -> DataFrame:
+    """Per-key activity sessions via Spark's native merging session
+    windows (``F.session_window``): events whose gaps stay under
+    ``gap`` merge into one session spanning ``[min ts, max ts + gap)``.
+
+    One function, both engines: on a streaming frame a watermark is
+    attached and the engine maintains per-key open sessions in the
+    state store, merging across micro-batches and finalizing a session
+    once the watermark passes its end — bounded state (open sessions
+    only), the 100 TB/day pattern. On a batch frame the identical
+    expression compiles to a plain aggregation, which is what the
+    oracle-checked twin (plans/extensions.py stream_sessionize_batch)
+    verifies the semantics against.
+
+    The lag-based batch sessionizer (events_sessionize,
+    plans/relational.py) assigns ordinal session ids with analytic
+    windows; this operator is the windowed-aggregate formulation the
+    streaming engine can run incrementally.
+    """
+    from pyspark.sql import functions as F
+
+    e = events.withWatermark(ts_col, lateness) if events.isStreaming else events
+    return (
+        e.groupBy(
+            F.col(key), F.session_window(F.col(ts_col), gap).alias("session_window")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col(key),
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )

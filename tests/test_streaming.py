@@ -235,3 +235,49 @@ def test_stream_stream_interval_join(spark, tmp_path):
     q.awaitTermination(120)
     rows = sorted((r.sid, r.pid) for r in spark.sql("SELECT * FROM ss_join_out").collect())
     assert rows == [(100, 900)]
+
+
+def test_streaming_session_windows(spark, tmp_path):
+    """Native session windows maintained in the state store: events
+    under the gap merge into one session; the session finalizes (emits
+    in append mode) only once the watermark passes its end, so the
+    still-open session around the sentinel event stays unemitted —
+    bounded state, incremental emission."""
+    from emission_project_spark.streaming.stateful import session_window_totals
+
+    incoming = tmp_path / "incoming"
+    incoming.mkdir()
+    (incoming / "a.csv").write_text(
+        "user_id,ts,value\n"
+        "1,2024-01-01 10:00:00,1.5\n"
+        "1,2024-01-01 10:10:00,2.5\n"   # gap 10m < 30m → merges
+        # sentinel far past session end: watermark (max ts − 10m)
+        # passes 10:40:00, finalizing the session; its own session
+        # stays open and must NOT emit
+        "1,2024-01-01 20:00:00,9.0\n"
+    )
+    stream = (
+        spark.readStream.format("csv")
+        .schema("user_id bigint, ts timestamp, value double")
+        .option("header", "true")
+        .load(str(incoming))
+    )
+    q = (
+        session_window_totals(stream, gap="30 minutes", lateness="10 minutes")
+        .writeStream.format("memory")
+        .queryName("session_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        "SELECT user_id, session_start, session_end, n_events, total_value"
+        " FROM session_out"
+    ).collect()
+    assert len(rows) == 1
+    (r,) = rows
+    assert (r.user_id, r.n_events, r.total_value) == (1, 2, 4.0)
+    assert r.session_start.strftime("%H:%M:%S") == "10:00:00"
+    assert r.session_end.strftime("%H:%M:%S") == "10:40:00"  # max ts + gap
