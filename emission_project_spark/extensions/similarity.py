@@ -291,6 +291,7 @@ def semantic_neardup_pairs(
     iterations: int = 2,
     n_blocks: int = 4,
     train_frac: float | None = None,
+    assign_method: str = "expr",
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication: k-means-cluster the
     embedding space (deterministic Lloyd quantizer), then search for
@@ -310,13 +311,18 @@ def semantic_neardup_pairs(
     sample (kmeans.training_sample — the 100 TB configuration; default
     full-corpus training is the oracle-checked path).
     """
-    from emission_project_spark.extensions.kmeans import assign_clusters, lloyd_centroids
+    from emission_project_spark.extensions.kmeans import (
+        assign_clusters,
+        assign_clusters_blas,
+        lloyd_centroids,
+    )
 
     vecs = vectors.select(
         F.col("vec_id"), F.col("embedding").cast("array<double>").alias("e")
     )
-    assigned = assign_clusters(
-        vecs, lloyd_centroids(vecs, n_clusters, iterations, train_frac)
+    assign = assign_clusters_blas if assign_method == "blas" else assign_clusters
+    assigned = assign(
+        vecs, lloyd_centroids(vecs, n_clusters, iterations, train_frac, assign_method)
     ).select(
         "vec_id",
         F.col("e").alias("embedding"),

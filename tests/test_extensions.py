@@ -231,6 +231,36 @@ def test_ivf_kmeans_sampled_training_keeps_quality(spark):
     assert len(exact & got) / len(exact) >= 0.65  # usable; boundary-luck margin
 
 
+def test_blas_assignment_matches_expression_path(spark):
+    """assign_clusters_blas (batched matmul, the large-k path) must
+    produce the same cluster assignment as the oracle-checked
+    expression path for every vector, and d2 equal to the rounding
+    grid. Ulp-level float association differences must not flip an
+    argmin on real data."""
+    from pyspark.sql import functions as F
+    from emission_project_spark.catalog.tables import load_table
+    from emission_project_spark.extensions.kmeans import (
+        GRID,
+        assign_clusters,
+        assign_clusters_blas,
+        lloyd_centroids,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    vecs = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    for k in (8, 20):
+        cents = lloyd_centroids(vecs, k, 2)
+        expr = {
+            r["vec_id"]: (r["cluster_id"], round(r["d2"], GRID))
+            for r in assign_clusters(vecs, cents).collect()
+        }
+        blas = {
+            r["vec_id"]: (r["cluster_id"], round(r["d2"], GRID))
+            for r in assign_clusters_blas(vecs, cents).collect()
+        }
+        assert expr == blas
+
+
 def test_contamination_overlap_planted(spark):
     """A corpus doc embedding a benchmark passage verbatim must be
     flagged; unrelated docs must not. The benchmark side broadcasts."""
