@@ -114,6 +114,7 @@ def ivf_topk_kmeans(
     iterations: int = 2,
     n_probe: int = 1,
     train_frac: float | None = None,
+    assign_method: str = "expr",
 ) -> DataFrame:
     """IVF top-k with a k-means coarse quantizer — the production
     variant of ``ivf_topk`` (whose docstring promises exactly this
@@ -137,14 +138,16 @@ def ivf_topk_kmeans(
     from emission_project_spark.extensions.kmeans import (
         _sq_dist,
         assign_clusters,
+        assign_clusters_blas,
         lloyd_centroids,
     )
 
     vecs = vectors.select(
         F.col("vec_id"), F.col("embedding").cast("array<double>").alias("e")
     )
-    centroids = lloyd_centroids(vecs, n_centroids, iterations, train_frac)
-    assigned = assign_clusters(vecs, centroids).select("vec_id", "e", "cluster_id")
+    centroids = lloyd_centroids(vecs, n_centroids, iterations, train_frac, assign_method)
+    assign = assign_clusters_blas if assign_method == "blas" else assign_clusters
+    assigned = assign(vecs, centroids).select("vec_id", "e", "cluster_id")
 
     q = query.select(
         F.col("vec_id").alias("query_id"),
