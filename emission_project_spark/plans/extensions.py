@@ -1123,16 +1123,19 @@ def stream_interval_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 # gaps stay under 30 minutes into [min ts, max ts + gap) sessions. The
 # SAME function runs streaming (watermarked state-store sessions,
 # proven by tests/test_streaming.py::test_streaming_session_windows);
-# this row proves the merge semantics against gaps-and-islands SQL: a
-# new session starts exactly when an event lands at or past the prior
-# event's ts + gap (the half-open window end).
+# this row proves the merge semantics against gaps-and-islands SQL: an
+# event merges into the prior session up to AND INCLUDING ts + gap
+# (Spark merges when the new event's start <= the open session's end —
+# closed boundary, pinned by
+# test_session_window_gap_boundary_semantics), so a new session starts
+# only strictly past it.
 @register(
     "stream_sessionize_batch",
     oracle="""
     WITH m AS (
         SELECT user_id, ts, value,
                CASE WHEN lag(ts) OVER w IS NULL
-                         OR ts >= lag(ts) OVER w + INTERVAL 1800 SECOND
+                         OR ts > lag(ts) OVER w + INTERVAL 1800 SECOND
                     THEN 1 ELSE 0 END AS new_s
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts)

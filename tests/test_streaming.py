@@ -281,3 +281,36 @@ def test_streaming_session_windows(spark, tmp_path):
     assert (r.user_id, r.n_events, r.total_value) == (1, 2, 4.0)
     assert r.session_start.strftime("%H:%M:%S") == "10:00:00"
     assert r.session_end.strftime("%H:%M:%S") == "10:40:00"  # max ts + gap
+
+
+def test_session_window_gap_boundary_semantics(spark):
+    """Pin the closed merge boundary the oracle mirrors: Spark merges an
+    event landing EXACTLY at prev ts + gap into the open session (merge
+    when new start <= session end), so only an event strictly past
+    ts + gap starts a new session. The gaps-and-islands oracle must use
+    `ts > lag + gap`, not `>=` — the testdata's µs-resolution stamps
+    never land on the boundary, so only this test guards it."""
+    import datetime
+
+    from emission_project_spark.streaming.stateful import session_window_totals
+
+    t0 = datetime.datetime(2024, 1, 1, 10, 0, 0)
+
+    def rows_at(offset_s):
+        return [
+            (1, t0, 1.0),
+            (1, t0 + datetime.timedelta(seconds=offset_s), 2.0),
+        ]
+
+    df_at = spark.createDataFrame(rows_at(1800), "user_id bigint, ts timestamp, value double")
+    out_at = session_window_totals(df_at, gap="30 minutes").collect()
+    assert len(out_at) == 1  # exactly at gap → still merges (closed end)
+    assert out_at[0].n_events == 2
+
+    df_past = spark.createDataFrame(rows_at(1801), "user_id bigint, ts timestamp, value double")
+    out_past = sorted(
+        session_window_totals(df_past, gap="30 minutes").collect(),
+        key=lambda r: r.session_start,
+    )
+    assert len(out_past) == 2  # strictly past gap → new session
+    assert [r.n_events for r in out_past] == [1, 1]
