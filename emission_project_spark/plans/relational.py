@@ -555,8 +555,11 @@ def dim_fk_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- Session windows over the events stream (streaming/file_stream.py
 # twin; batch semantics oracle-checked via gaps-and-islands SQL).
-# Session break rule: new session when gap >= 30 min (session_window
-# windows are half-open [ts, ts+gap)).
+# Session break rule: new session only when the gap STRICTLY exceeds
+# 30 min — session_window merges an event landing exactly at the open
+# session's end (max_ts + gap), i.e. the boundary is closed (pinned by
+# tests/test_streaming.py::test_session_window_gap_boundary_semantics
+# and the boundary-corpus oracle test).
 @register(
     "events_sessionize",
     oracle="""
@@ -564,7 +567,7 @@ def dim_fk_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
                CASE WHEN CAST(ts AS TIMESTAMP)
                          - lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts)
-                         >= INTERVAL 30 MINUTE
+                         > INTERVAL 30 MINUTE
                     THEN 1 ELSE 0 END AS new_session
         FROM events
     ),
