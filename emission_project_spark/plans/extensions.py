@@ -1558,7 +1558,10 @@ def text_url_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents)
     SELECT doc_id,
            CAST(least(len(toks), 64) AS BIGINT) AS n_tokens_kept,
-           md5(array_to_string(toks[1:64], ' ')) AS truncated_md5
+           -- coalesce: DuckDB array_to_string([]) is NULL, but Spark
+           -- array_join(empty) is '' — a zero-token doc's truncation
+           -- is the empty string (md5 d41d8cd9...), not NULL
+           md5(coalesce(array_to_string(toks[1:64], ' '), '')) AS truncated_md5
     FROM t
     """,
 )
