@@ -294,8 +294,14 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
                FROM embeddings WHERE vec_id < 3),
     scored AS (
+        -- zero-norm guard: Spark's cosine_similarity emits NULL for a
+        -- degenerate vector (DuckDB's builtin returns a -1 sentinel);
+        -- NULLs rank last in both engines' DESC
         SELECT q.query_id, v.vec_id,
-               round(list_cosine_similarity(v.embedding::DOUBLE[], q.qe), 6) AS cosine_sim
+               CASE WHEN list_dot_product(v.embedding::DOUBLE[], v.embedding::DOUBLE[]) > 0
+                         AND list_dot_product(q.qe, q.qe) > 0
+                    THEN round(list_cosine_similarity(v.embedding::DOUBLE[], q.qe), 6)
+               END AS cosine_sim
         FROM embeddings v CROSS JOIN q
         WHERE v.vec_id <> q.query_id
     )
@@ -333,8 +339,12 @@ def similarity_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q AS (SELECT vec_id AS query_id, e AS qe, centroid_id AS qcell
           FROM assigned WHERE vec_id < 3),
     scored AS (
+        -- zero-norm guard: NULL (matching Spark), not DuckDB's -1
         SELECT q.query_id, a.vec_id,
-               round(list_cosine_similarity(a.e, q.qe), 6) AS cosine_sim
+               CASE WHEN list_dot_product(a.e, a.e) > 0
+                         AND list_dot_product(q.qe, q.qe) > 0
+                    THEN round(list_cosine_similarity(a.e, q.qe), 6)
+               END AS cosine_sim
         FROM assigned a JOIN q ON a.centroid_id = q.qcell AND a.vec_id <> q.query_id
     )
     SELECT query_id,
@@ -392,8 +402,12 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE rn <= 2
     ),
     scored AS (
+        -- zero-norm guard: NULL (matching Spark), not DuckDB's -1
         SELECT qc.query_id, a2.vec_id,
-               round(list_cosine_similarity(av.e, qv.e), 6) AS cosine_sim
+               CASE WHEN list_dot_product(av.e, av.e) > 0
+                         AND list_dot_product(qv.e, qv.e) > 0
+                    THEN round(list_cosine_similarity(av.e, qv.e), 6)
+               END AS cosine_sim
         FROM a2 JOIN qc ON a2.cid = qc.cid AND a2.vec_id <> qc.query_id
         JOIN v av ON av.vec_id = a2.vec_id
         JOIN v qv ON qv.vec_id = qc.query_id
