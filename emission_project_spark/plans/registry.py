@@ -35,71 +35,19 @@ def register(name: str, oracle: str | None = None):
 
 
 # The driver's correctness artifact covers the first 50 registered
-# queries. Window policy (round 4): (a) queries with no driver row of
-# any kind, (b) the round-3 red rows (NTZ regression, fixed in
-# catalog/tables.py), (c) queries last driver-verified in round 1 —
-# the 13-query tail that sat below the boundary since round 1, (d)
-# rotation of round-2-verified queries, events-consumers first because
-# the loader's NTZ normalization changed their input representation
-# this round. The 8 round-2 queries that don't fit (below the
-# boundary) rotate in next round; everything else has an r3 row.
+# queries. Window policy (round 5): (a) ``approx_hll_distinct_events``
+# in slot 1 — restructured this round from a rows-only HLL estimate
+# (which the driver graded ``err: no_oracle``) to an exact-distinct +
+# within-2%-assertion form that hash-checks; (b) the 8 queries whose
+# latest driver row is round 2 — the below-boundary tail round 4 left
+# behind; (c) 41 of the 48 round-3-verified queries, heaviest /
+# drift-sensitive (extensions, events-consumers) first. The 7 stable
+# lineitem/orders rollups that don't fit rotate in next round, at which
+# point every registered query's latest row will be r4 or newer.
 _PRIORITY: list[str] = [
-    # -- (a) no driver row of any kind yet --------------------------------
-    "approx_hll_distinct_events",     # rows-only (HLL estimate, no hash oracle)
-    "stream_sessionize_batch",        # new round 4: native session windows
-    "stream_interval_join_batch",     # r3 err (NTZ) — fixed
-    # -- (b) round-3 red row, fixed this round ----------------------------
-    "range_join_signup_errors",       # r3 err (NTZ) — fixed
-    # -- (c) last verified round 1: the never-rotated tail -----------------
-    "sql_gateway_rollup",
-    "window_moving_avg",
-    "window_ntile_quartiles",
-    "projection_rename",
-    "filter_predicate",
-    "derived_measure",
-    "cast_and_dateparts",
-    "date_id_smart_key",
-    "date_dim_generate",
-    "union_distinct_nations",
-    "dim_fk_resolve",
-    "distinct_count_customers",
-    "count_probe",
-    # -- (d) rotation: last verified round 2, events-consumers first -------
-    "stream_user_totals_batch",
-    "pivot_daily_event_counts",
-    "histogram_event_values",
-    "window_rolling_10min_mean",
-    "events_gapfill_hourly",
-    "events_gapfill_ffill",
-    "events_funnel_conversion",
-    "asof_forward_next_error",
-    # -- (d) rotation: last verified round 2, registry order ---------------
-    "join_topk_shipping_priority",
-    "join_having_large_orders",
-    "semi_anti_customers_no_urgent",
-    "similarity_ivf_topk",
-    "dedup_embedding_cosine",
-    "embedding_stats",
-    "multimodal_binary_meta",
-    "multimodal_extract_features",
-    "multimodal_resize",
-    "multimodal_frame_sample",
-    "multimodal_payload_stats",
-    "dedup_cluster_components",
-    "dedup_keep_canonical",
-    "dedup_incremental_exact",
-    "dedup_incremental_minhash",
-    "curation_stratified_sample",
-    "curation_length_percentiles",
-    "curation_profile_documents",
-    "curation_tfidf_top_terms",
-    "curation_quality_filter",
-    "curation_token_budget",
-    "curation_mixture_sample",
-    "curation_mixture_report",
-    "text_repetition_metrics",
-    "text_pii_scrub",
-    # ---- window boundary (slot 50) — below rotates in next round --------
+    # -- (a) restructured this round: first hash-checkable driver row -----
+    "approx_hll_distinct_events",
+    # -- (b) last verified round 2: the below-boundary tail ----------------
     "text_decontaminate_overlap",
     "text_url_extract",
     "text_corpus_top_terms",
@@ -108,6 +56,58 @@ _PRIORITY: list[str] = [
     "curation_pack_sequences",
     "curation_truncate_tokens",
     "curation_final_corpus",
+    # -- (c) rotation: last verified round 3, extensions first -------------
+    "curation_cluster_quality_join",
+    "approx_aggregates_events",
+    "dedup_semantic_pairs",
+    "similarity_ivf_kmeans_topk",
+    "embedding_cluster_quality",
+    "embedding_kmeans_lloyd",
+    "dedup_embedding_cosine_lsh",
+    "fk_orphan_check",
+    "text_winnow_fingerprints",
+    "dedup_winnow_pairs",
+    "stream_dedup_watermark_batch",
+    "winnow_oversized_report",
+    "dedup_bucket_cap_report",
+    "dedup_minhash_lsh",
+    "dedup_minhash_signatures",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_exact_documents",
+    "similarity_bruteforce_topk",
+    "text_token_count",
+    "text_quality_score",
+    "text_langid",
+    "text_fingerprint",
+    # -- (c) rotation: last verified round 3, events-consumers -------------
+    "asof_join_clicks_purchases",
+    "events_sessionize",
+    "events_tumbling_hourly",
+    "events_sliding_30m15m",
+    "events_json_extract",
+    "skew_salted_rollup_events",
+    # -- (c) rotation: last verified round 3, relational core --------------
+    "role_playing_nation_join",
+    "skew_salted_join_mktsegment",
+    "dedup_subset_deterministic",
+    "anti_join_customers_without_orders",
+    "nullsafe_join_match",
+    "surrogate_keys_dense",
+    "incremental_insert_orders",
+    "upsert_customer_balances",
+    "set_ops_intersect_except",
+    "window_rank_top3_per_priority",
+    "regex_extract_long_words",
+    "array_higher_order_fns",
+    # ---- window boundary (slot 50) — below rotates in round 6 -----------
+    "rollup_pricing_summary",
+    "topk_orders_by_price",
+    "group_rollup_brand",
+    "group_rollup_supplier",
+    "window_running_total",
+    "rollup_grouping_sets",
+    "rollup_cube_status_priority",
 ]
 
 

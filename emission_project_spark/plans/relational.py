@@ -942,15 +942,44 @@ def approx_aggregates_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- HLL++ showcase (engine-specific estimates — DuckDB's HLL yields
-# different values than Spark's HLL++, so no value oracle can exist;
-# deliberately NOT in the driver's correctness window. The oracle-backed
-# sibling above carries the correctness row for this surface).
-@register("approx_hll_distinct_events")
+# --- HLL++ surface, restructured (round 5) to be hash-checkable.
+# Engine-specific HLL estimates can't be value-compared across engines
+# (DuckDB's HLL ≠ Spark's HLL++), so the query emits the exact
+# ``count(DISTINCT user_id)`` per segment plus an *assertion* that the
+# HLL++ estimate (rsd=0.01) lands within 2% of it — ~2σ of the
+# published relative-standard-deviation bound, and exact in HLL++'s
+# sparse mode at these cardinalities. The DuckDB oracle emits the same
+# exact count and literal ``true``, so the sketch path is now asserted
+# by the driver's hash gate instead of unverifiable.
+@register(
+    "approx_hll_distinct_events",
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           CAST(true AS BOOLEAN) AS hll_within_2pct
+    FROM events
+    GROUP BY event_type
+    """,
+)
 def approx_hll_distinct_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
-    return e.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", 0.01).alias("approx_users")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("exact_users"),
+            F.approx_count_distinct("user_id", 0.01).alias("_hll"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            F.when(F.col("exact_users") == 0, F.col("_hll") == 0)
+            .otherwise(
+                F.abs(F.col("_hll") - F.col("exact_users"))
+                / F.col("exact_users")
+                <= F.lit(0.02)
+            )
+            .alias("hll_within_2pct"),
+        )
     )
 
 
