@@ -48,8 +48,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # runtime-settable: the driver's session may not have it
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # session.py sets this at build, but the external driver runs
+        # our queries with a VANILLA SparkSession that never saw
+        # session.py — so the reader conf must remain settable here at
+        # runtime. Guarded: repeated loads on an already-configured
+        # session no longer re-mutate session state.
+        if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
         if dict(df.dtypes).get("ts") == "bigint":
             # integer div: float division would lose sub-µs precision at 2^60 nanos

@@ -143,6 +143,12 @@ def training_sample(vecs: DataFrame, train_frac: float) -> DataFrame:
     and mirrorable in oracle SQL with the same md5 arithmetic used by
     the sketch/dedup operators."""
     bound = int(train_frac * 1_000_000)
+    if bound <= 0:
+        raise ValueError(
+            f"train_frac={train_frac} yields an empty hash sample "
+            "(bound=0 on the 10^6 grid); use train_frac >= 1e-6, or None "
+            "for full-corpus training"
+        )
     bucket = F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 15), 16, 10)
     return vecs.filter(bucket.cast("bigint") % 1_000_000 < bound)
 
@@ -166,7 +172,23 @@ def lloyd_centroids(
     final assignment scans the corpus. Default ``None`` trains exactly
     on the full set (the oracle-checked configuration)."""
     if train_frac is not None:
-        vecs = training_sample(vecs, train_frac)
+        sample = training_sample(vecs, train_frac)
+        # A tiny corpus × small frac can sample fewer than k vectors,
+        # which would silently seed an under-sized quantizer (degenerate
+        # cells downstream). One bounded action (count of at most k
+        # sampled rows) on the deployment path only — the oracle-checked
+        # configuration never sets train_frac, so registered-query plan
+        # construction stays action-free for tools/plancheck.
+        if sample.limit(k).count() < k:
+            import warnings
+
+            warnings.warn(
+                f"train_frac={train_frac} sampled <= k={k} vectors; "
+                "falling back to full-corpus training",
+                stacklevel=2,
+            )
+        else:
+            vecs = sample
     assign = assign_clusters_blas if assign_method == "blas" else assign_clusters
     # seed = the k smallest ids (matching the documented contract even
     # when ids are sparse or non-zero-based; a filter(id < k) would

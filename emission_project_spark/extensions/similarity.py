@@ -342,6 +342,7 @@ def lsh_neardup_pairs(
     n_planes: int = 16,
     max_bucket: int | None = 64,
     dim: int | None = None,
+    infer_dim: bool = False,
 ) -> DataFrame:
     """Approximate (subquadratic) embedding near-dup: random-hyperplane
     LSH — the 100 TB path where exact all-pairs can't run.
@@ -365,12 +366,19 @@ def lsh_neardup_pairs(
     expression to bucket sizes and filtering > max_bucket.
 
     Pass ``dim`` (the embedding dimensionality — a schema-level fact
-    the caller knows): plan construction is then action-free. With
-    ``dim=None`` the dimension is probed from the first row, which
-    launches a Spark job at PLAN-BUILD time — fine interactively,
-    wrong inside compile-only tooling or a lazily-composed pipeline.
+    the caller knows): plan construction is then action-free. Probing
+    the dimension from the first row launches a Spark job at PLAN-BUILD
+    time — fine interactively, wrong inside compile-only tooling or a
+    lazily-composed pipeline — so it is opt-in via ``infer_dim=True``
+    rather than a silent fallback.
     """
     if dim is None:
+        if not infer_dim:
+            raise ValueError(
+                "lsh_neardup_pairs needs the embedding dimensionality: pass "
+                "dim=<n> (keeps plan construction action-free), or opt into "
+                "a first-row probe job with infer_dim=True"
+            )
         dim = len(vectors.select("embedding").first()[0])
     # deterministic ±1 plane matrix: sign of a hash bit per (plane, dim)
     planes = [

@@ -104,10 +104,16 @@ def test_lsh_neardup_subset_of_exact(spark):
     rows += [(i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(3, 20)]
     vecs = _vecs(spark, [(i, [float(x) for x in v]) for i, v in rows])
     exact = {(r.doc_a, r.doc_b) for r in cosine_neardup_pairs(vecs, threshold=0.9).collect()}
-    approx = {(r.doc_a, r.doc_b) for r in lsh_neardup_pairs(vecs, threshold=0.9, n_planes=8).collect()}
+    # infer_dim=True keeps the opt-in first-row probe path covered
+    approx = {(r.doc_a, r.doc_b) for r in lsh_neardup_pairs(vecs, threshold=0.9, n_planes=8, infer_dim=True).collect()}
     assert (1, 2) in exact
     assert approx <= exact  # LSH verifies with exact cosine → no false positives
     assert (1, 2) in approx  # near-identical vectors agree on every sign bit
+    # plan-build contexts must state the dimensionality explicitly
+    import pytest
+
+    with pytest.raises(ValueError, match="infer_dim"):
+        lsh_neardup_pairs(vecs, threshold=0.9, n_planes=8)
 
 
 def test_winnow_shared_substring_shares_fingerprint(spark):
@@ -259,6 +265,65 @@ def test_blas_assignment_matches_expression_path(spark):
             for r in assign_clusters_blas(vecs, cents).collect()
         }
         assert expr == blas
+
+
+def test_training_sample_guards(spark):
+    """train_frac below the 10^-6 hash grid raises instead of silently
+    producing an empty sample; a sample with fewer than k vectors warns
+    and falls back to full-corpus training instead of seeding an
+    under-sized quantizer."""
+    import pytest
+    from pyspark.sql import functions as F
+    from emission_project_spark.extensions.kmeans import (
+        lloyd_centroids,
+        training_sample,
+    )
+
+    vecs = spark.range(40).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            (F.col("id") % 7).cast("double"), (F.col("id") % 3).cast("double")
+        ).alias("e"),
+    )
+    with pytest.raises(ValueError, match="empty hash sample"):
+        training_sample(vecs, 1e-9)
+    # bound=1 keeps ~1e-6 of rows -> far fewer than k=4 of the 40 ids
+    with pytest.warns(UserWarning, match="falling back to full-corpus"):
+        cents = lloyd_centroids(vecs, k=4, iterations=2, train_frac=1e-6)
+    assert cents.count() == 4  # seeded from the full corpus
+
+
+def test_blas_assignment_matches_expression_path_sf1(spark):
+    """The declared large-k path must agree with the expression path on
+    the 20k-embedding sf1 shard, not just the sf0.01 corpora — ulp-level
+    argmin flips get 10x the chances to appear here."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+    from emission_project_spark.catalog.tables import load_table
+    from emission_project_spark.extensions.kmeans import (
+        GRID,
+        assign_clusters,
+        assign_clusters_blas,
+        lloyd_centroids,
+    )
+
+    sf1 = "/root/repo/.scale/sf1"
+    if not os.path.isdir(sf1):
+        pytest.skip("sf1 scale dataset not generated (run bench.py once)")
+    emb = load_table(spark, sf1, "embeddings")
+    vecs = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    cents = lloyd_centroids(vecs, 20, 2)
+    expr = {
+        r["vec_id"]: (r["cluster_id"], round(r["d2"], GRID))
+        for r in assign_clusters(vecs, cents).collect()
+    }
+    blas = {
+        r["vec_id"]: (r["cluster_id"], round(r["d2"], GRID))
+        for r in assign_clusters_blas(vecs, cents).collect()
+    }
+    assert expr == blas
 
 
 def test_contamination_overlap_planted(spark):

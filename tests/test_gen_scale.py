@@ -111,6 +111,9 @@ def test_embeddings_geometry_preserved_within_shard(scaled):
 
 
 def test_fk_integrity_after_sharding(scaled):
+    """Every FK edge the warehouse queries join on — including the
+    part/supplier edges, whose bases come from the PK tables, not the
+    referencing table's own column max."""
     orders = pq.read_table(f"{scaled}/orders.parquet")
     customer = pq.read_table(f"{scaled}/customer.parquet")
     custkeys = set(customer.column("c_custkey").to_pylist())
@@ -118,6 +121,72 @@ def test_fk_integrity_after_sharding(scaled):
     lineitem = pq.read_table(f"{scaled}/lineitem.parquet")
     orderkeys = set(orders.column("o_orderkey").to_pylist())
     assert set(lineitem.column("l_orderkey").to_pylist()) <= orderkeys
+    partkeys = set(
+        pq.read_table(f"{scaled}/part.parquet").column("p_partkey").to_pylist()
+    )
+    assert set(lineitem.column("l_partkey").to_pylist()) <= partkeys
+    suppkeys = set(
+        pq.read_table(f"{scaled}/supplier.parquet").column("s_suppkey").to_pylist()
+    )
+    assert set(lineitem.column("l_suppkey").to_pylist()) <= suppkeys
+
+
+def test_fk_base_from_pk_table(tmp_path):
+    """A PK value with no referencing row must not misalign shard FKs:
+    customer has an extra unreferenced max key, so deriving orders'
+    o_custkey base from orders' own max would collide shard 1 FKs with
+    shard 0 customers (or orphan them)."""
+    import pyarrow as pa
+
+    src = tmp_path / "src"
+    dst = tmp_path / "dst"
+    src.mkdir()
+    dst.mkdir()
+    pq.write_table(
+        pa.table({"c_custkey": [1, 2, 9], "c_name": ["a", "b", "unref"]}),
+        f"{src}/customer.parquet",
+    )
+    pq.write_table(
+        pa.table({"o_orderkey": [10, 11], "o_custkey": [1, 2]}),
+        f"{src}/orders.parquet",
+    )
+    sys.path.insert(0, "/root/repo")
+    from tools.gen_scale import domain_base, scale_keyed
+
+    base = domain_base(str(src), "customer", "c_custkey")
+    assert base == 10  # from customer's max (9), not orders' max FK (2)
+    scale_keyed(str(src), str(dst), "customer", {"c_custkey": base}, 2)
+    scale_keyed(
+        str(src), str(dst), "orders",
+        {"o_orderkey": domain_base(str(src), "orders", "o_orderkey"),
+         "o_custkey": base},
+        2,
+    )
+    custkeys = set(
+        pq.read_table(f"{dst}/customer.parquet").column("c_custkey").to_pylist()
+    )
+    fks = set(pq.read_table(f"{dst}/orders.parquet").column("o_custkey").to_pylist())
+    assert fks <= custkeys
+    assert fks == {1, 2, 11, 12}
+
+
+def test_subst_vocab_injective_against_colliding_vocab():
+    """A source word that happens to look like another word's rename
+    ('foox1' vs renamed 'foo') must not merge with it after
+    substitution — the rename re-suffixes until free."""
+    sys.path.insert(0, "/root/repo")
+    from tools.gen_scale import _subst_vocab
+
+    vocab = [f"w{i}" for i in range(200)]
+    vocab += [w + "x1" for w in vocab]  # every rename candidate occupied
+    vocab = sorted(set(vocab))
+    sub = _subst_vocab(vocab, 1)
+    assert sub  # the 35% hash band picked something
+    renamed = set(sub.values())
+    kept = set(vocab) - set(sub)
+    assert len(renamed) == len(sub)  # injective among renames
+    assert not (renamed & kept)  # injective against kept tokens
+    assert not (renamed & set(vocab))  # never re-enters the vocabulary
 
 
 def test_deterministic(scaled, tmp_path):

@@ -294,8 +294,8 @@ def test_embedding_lsh_cap_bounds_degenerate_bucket_and_keeps_recall(spark):
         [(i, [float(x) for x in v]) for i, v in rows],
         "vec_id long, embedding array<float>",
     )
-    uncapped = lsh_neardup_pairs(vecs, threshold=0.99, n_planes=8, max_bucket=None)
-    capped = lsh_neardup_pairs(vecs, threshold=0.99, n_planes=8)  # default cap 64
+    uncapped = lsh_neardup_pairs(vecs, threshold=0.99, n_planes=8, max_bucket=None, dim=16)
+    capped = lsh_neardup_pairs(vecs, threshold=0.99, n_planes=8, dim=16)  # default cap 64
     got_uncapped = {(r.doc_a, r.doc_b) for r in uncapped.collect()}
     got_capped = {(r.doc_a, r.doc_b) for r in capped.collect()}
     # the degenerate bucket (100 > 64) is dropped entirely; planted

@@ -49,12 +49,26 @@ SUBST_FRACTION = 0.35
 
 
 def _subst_vocab(vocab: list[str], shard: int) -> dict[str, str]:
-    """Hash-chosen ~35% of vocab gets a shard-unique injective rename."""
+    """Hash-chosen ~35% of vocab gets a shard-unique injective rename.
+
+    The rename must be injective against the FULL token space of the
+    output shard — both the kept (unsubstituted) vocabulary and every
+    other renamed token — or two previously-distinct tokens could merge
+    and shift the duplicate rate the scale proof holds constant. The
+    plain ``w + 'x{shard}'`` suffix can collide with a source word that
+    already ends that way (e.g. vocab 'foox1' vs renamed 'foo' in
+    shard 1), so each candidate is checked against the occupied set and
+    re-suffixed until free. Deterministic: vocab is sorted, no RNG."""
+    used = set(vocab)
     out = {}
     for w in vocab:
         h = hashlib.md5(f"{w}|{shard}".encode()).digest()[0] / 255.0
         if h < SUBST_FRACTION:
-            out[w] = f"{w}x{shard}"
+            nw = f"{w}x{shard}"
+            while nw in used:
+                nw += "x"
+            used.add(nw)
+            out[w] = nw
     return out
 
 
@@ -112,17 +126,28 @@ def scale_embeddings(src: str, dst: str, shards: int, seed: int) -> None:
     pq.write_table(pa.concat_tables(parts), os.path.join(dst, "embeddings.parquet"))
 
 
-def scale_keyed(src: str, dst: str, name: str, key_cols: list[str], shards: int) -> None:
-    """Key-offset sharding: int key cols += shard * (max+1), FKs preserved."""
+def domain_base(src: str, table: str, col: str) -> int:
+    """Offset base for a key domain, computed from the table that OWNS
+    the domain (the PK side). Deriving a referencing table's FK base
+    from its own column max would silently misalign shards whenever the
+    PK domain's max value has no referencing row."""
+    t = pq.read_table(os.path.join(src, f"{table}.parquet"), columns=[col])
+    return max(t.column(col).to_pylist()) + 1
+
+
+def scale_keyed(src: str, dst: str, name: str, key_bases: dict[str, int], shards: int) -> None:
+    """Key-offset sharding: int key cols += shard * base, FKs preserved.
+    ``key_bases`` maps each key column to its DOMAIN base (one base per
+    key domain, from the PK table) so PK and FK columns of the same
+    domain shift by identical offsets across tables."""
     t = pq.read_table(os.path.join(src, f"{name}.parquet"))
-    bases = {c: max(t.column(c).to_pylist()) + 1 for c in key_cols}
     parts = [t]
     for shard in range(1, shards):
         cols = {}
         for field in t.schema:
             c = field.name
-            if c in key_cols:
-                cols[c] = pc.add(t.column(c), shard * bases[c]).cast(field.type)
+            if c in key_bases:
+                cols[c] = pc.add(t.column(c), shard * key_bases[c]).cast(field.type)
             else:
                 cols[c] = t.column(c)
         parts.append(pa.table(cols))
@@ -148,16 +173,32 @@ def main() -> None:
     scale_documents(args.src, args.dst, args.shards)
     scale_embeddings(args.src, args.dst, args.shards, args.seed)
     # Facts/dims: shard every key participating in an FK edge so joins
-    # stay consistent within a shard. nation/region stay fixed-cardinality.
-    scale_keyed(args.src, args.dst, "customer", ["c_custkey"], args.shards)
-    scale_keyed(args.src, args.dst, "supplier", ["s_suppkey"], args.shards)
-    scale_keyed(args.src, args.dst, "part", ["p_partkey"], args.shards)
-    scale_keyed(args.src, args.dst, "orders", ["o_orderkey", "o_custkey"], args.shards)
+    # stay consistent within a shard. One base per key DOMAIN, computed
+    # from the PK table, so o_custkey shifts by customer's base (not
+    # orders' own max) and the FK edges survive any key distribution.
+    # nation/region stay fixed-cardinality.
+    custkey = domain_base(args.src, "customer", "c_custkey")
+    suppkey = domain_base(args.src, "supplier", "s_suppkey")
+    partkey = domain_base(args.src, "part", "p_partkey")
+    orderkey = domain_base(args.src, "orders", "o_orderkey")
+    event_id = domain_base(args.src, "events", "event_id")
+    user_id = domain_base(args.src, "events", "user_id")
+    scale_keyed(args.src, args.dst, "customer", {"c_custkey": custkey}, args.shards)
+    scale_keyed(args.src, args.dst, "supplier", {"s_suppkey": suppkey}, args.shards)
+    scale_keyed(args.src, args.dst, "part", {"p_partkey": partkey}, args.shards)
+    scale_keyed(
+        args.src, args.dst, "orders",
+        {"o_orderkey": orderkey, "o_custkey": custkey}, args.shards,
+    )
     scale_keyed(
         args.src, args.dst, "lineitem",
-        ["l_orderkey", "l_partkey", "l_suppkey"], args.shards,
+        {"l_orderkey": orderkey, "l_partkey": partkey, "l_suppkey": suppkey},
+        args.shards,
     )
-    scale_keyed(args.src, args.dst, "events", ["event_id", "user_id"], args.shards)
+    scale_keyed(
+        args.src, args.dst, "events",
+        {"event_id": event_id, "user_id": user_id}, args.shards,
+    )
     copy_fixed(args.src, args.dst, "nation")
     copy_fixed(args.src, args.dst, "region")
 
