@@ -1178,6 +1178,60 @@ def stream_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Batch twin of the streaming windowed distinct-user count
+# (streaming/stateful.py windowed_distinct_users): the HLL++ sketch is
+# what makes distinct-count streamable (exact DISTINCT on a stream
+# would hold every user id of every open window in state; the sketch is
+# a fixed mergeable register array). Same assertion pattern as
+# approx_hll_distinct_events: the twin joins the streaming function's
+# output to the exact distinct and asserts the estimate lands within 2%
+# (~2σ of rsd=0.01, and exact in sparse mode at these cardinalities);
+# the oracle emits the exact count and literal true.
+# tests/test_streaming.py::test_streaming_windowed_distinct proves the
+# micro-batch path (watermarked append-mode finalization).
+@register(
+    "stream_windowed_distinct_batch",
+    oracle="""
+    SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+           date_trunc('hour', CAST(ts AS TIMESTAMP)) + INTERVAL 1 HOUR
+               AS window_end,
+           event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           CAST(true AS BOOLEAN) AS hll_within_2pct
+    FROM events
+    WHERE ts IS NOT NULL  -- F.window drops null event times (isnotnull filter in the plan)
+    GROUP BY 1, 2, 3
+    """,
+)
+def stream_windowed_distinct_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emission_project_spark.streaming.stateful import windowed_distinct_users
+
+    e = load_table(spark, sf_dir, "events")
+    approx = windowed_distinct_users(e.select("user_id", "event_type", "ts"))
+    exact = (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.countDistinct("user_id").alias("exact_users"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "exact_users",
+        )
+    )
+    return approx.join(exact, ["window_start", "event_type"]).select(
+        "window_start",
+        "window_end",
+        "event_type",
+        "exact_users",
+        F.when(F.col("exact_users") == 0, F.col("approx_users") == 0)
+        .otherwise(
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            / F.col("exact_users")
+            <= F.lit(0.02)
+        )
+        .alias("hll_within_2pct"),
+    )
+
+
 # --- Observability for the max_doc_freq recall cap (ADVICE round 2:
 # capped paths must emit a signal, not truncate silently). One summary
 # row quantifying what a cap of 3 would drop from the shingle inverted

@@ -47,6 +47,8 @@ def register(name: str, oracle: str | None = None):
 _PRIORITY: list[str] = [
     # -- (a) restructured this round: first hash-checkable driver row -----
     "approx_hll_distinct_events",
+    # -- (a) new round 5: streaming HLL windowed distinct, no row yet -----
+    "stream_windowed_distinct_batch",
     # -- (b) last verified round 2: the below-boundary tail ----------------
     "text_decontaminate_overlap",
     "text_url_extract",
@@ -99,8 +101,8 @@ _PRIORITY: list[str] = [
     "set_ops_intersect_except",
     "window_rank_top3_per_priority",
     "regex_extract_long_words",
-    "array_higher_order_fns",
     # ---- window boundary (slot 50) — below rotates in round 6 -----------
+    "array_higher_order_fns",
     "rollup_pricing_summary",
     "topk_orders_by_price",
     "group_rollup_brand",

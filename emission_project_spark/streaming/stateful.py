@@ -54,6 +54,49 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def windowed_distinct_users(
+    events: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    lateness: str = "10 minutes",
+    rsd: float = 0.01,
+) -> DataFrame:
+    """Distinct users per (event_type, tumbling window) via the HLL++
+    sketch — the aggregate that makes distinct-count *streamable*.
+
+    Exact ``count(DISTINCT)`` on a streaming frame is unsupported by
+    design: incremental execution would have to hold every user id of
+    every open window in the state store. The HLL++ sketch is the
+    standard fix — per-(window, event_type) state is a fixed register
+    array (~1.04/rsd² registers regardless of cardinality), mergeable
+    across micro-batches and executors, so state stays bounded no
+    matter how many distinct users flow by. The same property is why
+    ``approx_count_distinct`` is the 100 TB batch answer when an exact
+    distinct's extra shuffle isn't worth ±1%.
+
+    One function, both engines: on a streaming frame a watermark bounds
+    open-window state and windows finalize in append mode; on a batch
+    frame the identical expression compiles to a plain windowed
+    aggregation. The registered twin (plans/extensions.py
+    ``stream_windowed_distinct_batch``) joins this output against the
+    exact distinct and ASSERTS the estimate lands within 2% of it, so
+    the sketch path carries an oracle-checked driver row.
+    """
+    from pyspark.sql import functions as F
+
+    e = events.withWatermark(ts_col, lateness) if events.isStreaming else events
+    return (
+        e.groupBy(F.window(F.col(ts_col), window).alias("w"), "event_type")
+        .agg(F.approx_count_distinct("user_id", rsd).alias("approx_users"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "approx_users",
+        )
+    )
+
+
 def session_window_totals(
     events: DataFrame,
     key: str = "user_id",

@@ -283,6 +283,52 @@ def test_streaming_session_windows(spark, tmp_path):
     assert r.session_end.strftime("%H:%M:%S") == "10:40:00"  # max ts + gap
 
 
+def test_streaming_windowed_distinct(spark, tmp_path):
+    """HLL-backed distinct users per tumbling window on a stream:
+    windows finalize in append mode once the watermark passes their
+    end; the open window around the sentinel stays unemitted. At these
+    cardinalities HLL++ runs in sparse mode, so the streamed estimates
+    are exactly the batch-exact distinct counts."""
+    from emission_project_spark.streaming.stateful import windowed_distinct_users
+
+    incoming = tmp_path / "incoming"
+    incoming.mkdir()
+    (incoming / "a.csv").write_text(
+        "user_id,event_type,ts\n"
+        "1,click,2024-01-01 10:05:00\n"
+        "2,click,2024-01-01 10:15:00\n"
+        "1,click,2024-01-01 10:25:00\n"   # repeat user — not double-counted
+        "3,view,2024-01-01 10:45:00\n"
+        # sentinel: watermark (max ts − 10m) passes 11:00, finalizing
+        # the 10:00 window; the 20:00 window stays open, must not emit
+        "9,click,2024-01-01 20:00:00\n"
+    )
+    stream = (
+        spark.readStream.format("csv")
+        .schema("user_id bigint, event_type string, ts timestamp")
+        .option("header", "true")
+        .load(str(incoming))
+    )
+    q = (
+        windowed_distinct_users(stream, lateness="10 minutes")
+        .writeStream.format("memory")
+        .queryName("wdist_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_wdist"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        "SELECT window_start, event_type, approx_users FROM wdist_out"
+    ).collect()
+    got = {
+        (r.window_start.strftime("%H:%M"), r.event_type): r.approx_users
+        for r in rows
+    }
+    assert got == {("10:00", "click"): 2, ("10:00", "view"): 1}
+
+
 def test_session_window_gap_boundary_semantics(spark):
     """Pin the closed merge boundary the oracle mirrors: Spark merges an
     event landing EXACTLY at prev ts + gap into the open session (merge
