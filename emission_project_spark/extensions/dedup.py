@@ -254,6 +254,48 @@ def contamination_overlap(
     )
 
 
+def minhash_band_expr(text_col: str = "text", k: int = DEFAULT_SHINGLE, band: int = 0):
+    """Per-ROW minhash band signature as a pure Column expression:
+    shingle array → md5 base int per element → affine band transform →
+    ``array_min``. Bit-identical to ``minhash_band_signatures`` for the
+    same band (same hash family over the same shingles; min over a
+    per-row array vs min over exploded rows).
+
+    The trade vs the explode/groupBy formulation: the higher-order
+    ``transform`` lambda runs interpreted (outside whole-stage codegen),
+    but the computation is a NARROW map — no explode, no shuffle, no
+    aggregation state — which makes it legal on a streaming frame
+    before a stateful op (chaining an aggregation into
+    ``dropDuplicates`` is not) and free of exchange at any scale.
+    NULL when the document has fewer than ``k`` tokens (no shingles)."""
+    base = (
+        lambda x: F.conv(F.substring(F.md5(x), 1, 7), 16, 10).cast("bigint")
+    )
+    hashed = F.transform(
+        _shingle_array(text_col, k),
+        lambda x: (base(x) * F.lit(BAND_A[band]) + F.lit(BAND_B[band]))
+        % F.lit(MINHASH_MOD),
+    )
+    return F.array_min(hashed)
+
+
+def minhash_bucket(
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = DEFAULT_SHINGLE,
+    band: int = 0,
+):
+    """``minhash_band_expr`` with a per-document fallback for shingle-less
+    docs (fewer than ``k`` tokens): such a doc cannot be a near-dup of
+    anything, so it gets the unique negative bucket ``-(doc_id) - 1``
+    (signatures are in [0, P) — no collision) instead of a NULL that
+    would collapse every short doc into one dedup key."""
+    return F.coalesce(
+        minhash_band_expr(text_col, k, band),
+        -F.col(id_col).cast("bigint") - F.lit(1),
+    )
+
+
 def minhash_band_signatures(
     docs: DataFrame,
     text_col: str = "text",

@@ -262,6 +262,50 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_candidates(docs)
 
 
+# --- Batch twin of the streaming near-dup filter (streaming/dedup.py
+# minhash_keyed → dedup_stream): the per-ROW band-0 minhash bucket —
+# a narrow expression with no explode/shuffle, which is what makes it
+# legal upstream of a stateful streaming dedup — grouped to the
+# deterministic survivor (min doc id; streaming first-arrival order is
+# not oracle-stable). Shingle-less docs (< k tokens) take the unique
+# fallback bucket -(doc_id)-1 so they all survive. Proves the per-row
+# expression against the same md5/affine family the exploded signature
+# oracle uses; tests/test_streaming.py::test_streaming_neardup_filter
+# proves the micro-batch path.
+@register(
+    "dedup_minhash_bucket_survivors",
+    oracle=f"""
+    WITH {_SHINGLE_SQL},
+    based AS (
+        SELECT doc_id, ('0x' || substring(md5(shingle), 1, 7))::BIGINT AS h
+        FROM sh
+    ),
+    sig0 AS (
+        SELECT doc_id,
+               min((h * {BAND_A[0]} + {BAND_B[0]}) % {MINHASH_MOD}) AS bucket
+        FROM based GROUP BY doc_id
+    ),
+    keyed AS (
+        SELECT d.doc_id, COALESCE(s.bucket, -(d.doc_id) - 1) AS bucket
+        FROM documents d LEFT JOIN sig0 s USING (doc_id)
+    )
+    SELECT bucket,
+           CAST(min(doc_id) AS BIGINT) AS survivor_doc_id,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM keyed GROUP BY bucket
+    """,
+)
+def dedup_minhash_bucket_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emission_project_spark.streaming.dedup import minhash_keyed
+
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = minhash_keyed(docs.select("doc_id", "text"))
+    return keyed.groupBy("bucket").agg(
+        F.min("doc_id").alias("survivor_doc_id"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
 # --- SimHash fingerprints (bit-parity checkable via hex arithmetic).
 @register(
     "dedup_simhash",

@@ -47,8 +47,9 @@ def register(name: str, oracle: str | None = None):
 _PRIORITY: list[str] = [
     # -- (a) restructured this round: first hash-checkable driver row -----
     "approx_hll_distinct_events",
-    # -- (a) new round 5: streaming HLL windowed distinct, no row yet -----
+    # -- (a) new round 5: streaming twins with no driver row yet ----------
     "stream_windowed_distinct_batch",
+    "dedup_minhash_bucket_survivors",
     # -- (b) last verified round 2: the below-boundary tail ----------------
     "text_decontaminate_overlap",
     "text_url_extract",
@@ -100,8 +101,8 @@ _PRIORITY: list[str] = [
     "upsert_customer_balances",
     "set_ops_intersect_except",
     "window_rank_top3_per_priority",
-    "regex_extract_long_words",
     # ---- window boundary (slot 50) — below rotates in round 6 -----------
+    "regex_extract_long_words",
     "array_higher_order_fns",
     "rollup_pricing_summary",
     "topk_orders_by_price",

@@ -84,6 +84,32 @@ def content_keyed(stream: DataFrame, text_col: str = "text") -> DataFrame:
     return stream.withColumn("fingerprint", fingerprint(F.col(text_col)))
 
 
+def minhash_keyed(
+    stream: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    band: int = 0,
+    k: int = 3,
+) -> DataFrame:
+    """Add a NEAR-dup bucket as a dedup key: the per-row minhash band
+    signature (extensions/dedup.py ``minhash_bucket``) — near-identical
+    texts agree on the band min and collapse to one key, so
+    ``dedup_stream(minhash_keyed(s), ["bucket"])`` (or the
+    within-watermark variant) is a streaming near-duplicate filter.
+
+    The signature is a pure narrow expression — no explode, no
+    aggregation — which is what makes it legal upstream of the stateful
+    dedup (a groupBy-built signature would be a second stateful op).
+    State per bucket is one entry, evicted by watermark in the
+    within-watermark regime: the 100 TB/day crawl-ingest shape. A
+    single band is the high-precision regime (P[bucket match] = exact
+    Jaccard); multi-band recall composes as parallel filters over
+    ``band=0..7``, reconciled in the batch pipeline (minhash_lsh)."""
+    from emission_project_spark.extensions.dedup import minhash_bucket
+
+    return stream.withColumn("bucket", minhash_bucket(text_col, id_col, k, band))
+
+
 def interval_join_streams(
     left: DataFrame,
     right: DataFrame,

@@ -267,6 +267,33 @@ def test_blas_assignment_matches_expression_path(spark):
         assert expr == blas
 
 
+def test_minhash_band_expr_matches_exploded_signatures(spark):
+    """The per-row band expression (streaming path, narrow map) must be
+    bit-identical to the explode/groupBy signature pipeline for the
+    same band; docs with no shingles are NULL per-row and absent from
+    the exploded form."""
+    from emission_project_spark.catalog.tables import load_table
+    from emission_project_spark.extensions.dedup import (
+        minhash_band_expr,
+        minhash_band_signatures,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    per_row = {
+        r["doc_id"]: r["sig"]
+        for r in docs.select("doc_id", minhash_band_expr().alias("sig")).collect()
+    }
+    exploded = {
+        r["doc_id"]: r["signature"]
+        for r in minhash_band_signatures(docs).filter(F.col("band") == 0).collect()
+    }
+    assert exploded  # non-trivial corpus
+    for doc_id, sig in exploded.items():
+        assert per_row[doc_id] == sig
+    for doc_id in set(per_row) - set(exploded):
+        assert per_row[doc_id] is None
+
+
 def test_training_sample_guards(spark):
     """train_frac below the 10^-6 hash grid raises instead of silently
     producing an empty sample; a sample with fewer than k vectors warns

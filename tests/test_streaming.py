@@ -329,6 +329,52 @@ def test_streaming_windowed_distinct(spark, tmp_path):
     assert got == {("10:00", "click"): 2, ("10:00", "view"): 1}
 
 
+def test_streaming_neardup_filter(spark, tmp_path):
+    """Near-dup filter on a document stream: per-row minhash bucket
+    (narrow expression — legal upstream of the stateful dedup) +
+    dropDuplicates on the bucket. A re-delivered text in a LATER
+    micro-batch is suppressed by bucket state from the first batch;
+    shingle-less docs take the unique fallback bucket and always
+    survive."""
+    from emission_project_spark.streaming.dedup import dedup_stream, minhash_keyed
+
+    incoming = tmp_path / "incoming"
+    incoming.mkdir()
+    (incoming / "a.csv").write_text(
+        "doc_id,text\n"
+        '1,"alpha beta gamma delta epsilon zeta"\n'
+        '3,"one two three four five six"\n'
+    )
+    (incoming / "b.csv").write_text(
+        "doc_id,text\n"
+        '4,"alpha beta gamma delta epsilon zeta"\n'   # same bucket as 1
+        '5,"seven eight nine ten eleven twelve"\n'    # novel
+        '6,"hi"\n'                                    # < 3 tokens: fallback bucket
+    )
+    stream = (
+        spark.readStream.format("csv")
+        .schema("doc_id bigint, text string")
+        .option("header", "true")
+        .option("maxFilesPerTrigger", "1")   # force two micro-batches
+        .load(str(incoming))
+    )
+    q = (
+        dedup_stream(minhash_keyed(stream), ["bucket"])
+        .writeStream.format("memory")
+        .queryName("neardup_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_neardup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT doc_id, bucket FROM neardup_out").collect()
+    survivors = {r.doc_id for r in rows}
+    assert survivors == {1, 3, 5, 6}
+    buckets = {r.doc_id: r.bucket for r in rows}
+    assert buckets[6] == -7  # -(doc_id) - 1 fallback, unique per doc
+
+
 def test_session_window_gap_boundary_semantics(spark):
     """Pin the closed merge boundary the oracle mirrors: Spark merges an
     event landing EXACTLY at prev ts + gap into the open session (merge
