@@ -1,17 +1,25 @@
-"""JSONL document-corpus source — the standard interchange format for
-LLM training data (one JSON object per line, gzip-splittable at scale).
+"""JSONL document-corpus source/sink — the standard interchange format
+for LLM training data (one JSON object per line, splittable at scale).
 
 The reference's only ingestion surface is CSV feeds
 (``dags/emission-dag.py:35-66``); a training-data engine additionally
-needs corpus ingestion: schema-contracted JSONL reading with malformed
--line quarantine, so one bad record in a 100 TB crawl drop neither
-kills the job nor silently disappears.
+needs corpus ingestion and training-shard delivery. Contracts that
+matter at 100 TB:
 
-Scale shape: uncompressed (or zstd/bzip2) JSONL splits by line across
-executors; ``mode=PERMISSIVE`` + ``columnNameOfCorruptRecord`` keeps
-parsing map-side with no driver involvement. The corrupt-line channel
-is a FILTER over the same scan (two passes over cheap parquet-cached
-parse results beat a shuffle-side split).
+- **explicit schema on read** — an inference pass over a 100 TB dump is
+  a full extra scan, and inferred types drift between dumps. Malformed
+  lines are dropped by the scan itself (``DROPMALFORMED``) — a
+  billion-line crawl WILL contain bad records, and a fail-fast ingest
+  dying at line 900M wastes the cluster — with a separate quarantine
+  pass returning the raw text of exactly those lines. Both paths are
+  plain narrow scans: no cache of the full corpus (the earlier
+  PERMISSIVE + filter-on-corrupt-column formulation needed a
+  ``cache()`` because Spark disallows plans referencing only the
+  corrupt column — caching a 100 TB parse is not a plan).
+- **shard-controlled write** — trainers want N same-sized shards, not
+  one file per upstream partition; ``shard_by`` repartitions by a
+  uniform hash of an id column (deterministic placement, immune to
+  upstream groupBy skew), and gzip keeps the wire size ~5x down.
 """
 
 from __future__ import annotations
@@ -31,35 +39,53 @@ def read_jsonl_corpus(
     """Read a JSONL corpus with a declared schema contract.
 
     Returns ``(good, quarantined)``: ``good`` carries exactly the
-    contract columns for lines that parsed; ``quarantined`` carries the
-    raw text of lines that didn't (missing required fields are NOT
-    quarantined — they parse with nulls, matching JSON-lines practice
-    where optional fields are simply absent).
+    contract columns for lines that parsed (missing optional fields
+    parse with nulls, matching JSON-lines practice); ``quarantined``
+    carries the raw text of lines that didn't — implemented as a text
+    scan + ``from_json`` probe, which stays a narrow filter at any
+    scale and shares no state with the good-path scan.
     """
-    read_schema = StructType(
+    good = spark.read.schema(schema).option("mode", "DROPMALFORMED").json(path)
+    probe = StructType(
         list(schema.fields) + [StructField(CORRUPT_COL, StringType(), True)]
     )
-    df = (
-        spark.read.schema(read_schema)
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", CORRUPT_COL)
-        .json(path)
-    )
-    # Spark requires caching before filtering on the corrupt column
-    # alone (the parser may otherwise prune the referenced raw line)
-    df = df.cache()
-    good = df.filter(F.col(CORRUPT_COL).isNull()).select(
-        *[f.name for f in schema.fields]
-    )
-    quarantined = df.filter(F.col(CORRUPT_COL).isNotNull()).select(
-        F.col(CORRUPT_COL).alias("raw_line")
+    quarantined = (
+        spark.read.text(path)
+        .select(
+            "value",
+            F.from_json(
+                "value", probe, {"columnNameOfCorruptRecord": CORRUPT_COL}
+            ).alias("_p"),
+        )
+        .filter(F.col(f"_p.{CORRUPT_COL}").isNotNull())
+        .select(F.col("value").alias("raw_line"))
     )
     return good, quarantined
 
 
-def write_jsonl_corpus(df: DataFrame, path: str, partitions: int | None = None) -> None:
-    """Write a corpus back out as JSONL (one object per line). At 100 TB
-    pass ``partitions`` to size output files; compression is the
-    cluster default codec."""
-    w = df.repartition(partitions) if partitions else df
-    w.write.mode("overwrite").json(path)
+def write_jsonl_corpus(
+    df: DataFrame,
+    path: str,
+    partitions: int | None = None,
+    shard_by: str | None = None,
+    compression: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write a corpus as JSONL shards.
+
+    ``partitions`` + ``shard_by`` repartitions by a uniform hash of the
+    id column so shard sizes are balanced and row→shard placement is
+    deterministic across runs, regardless of upstream partitioning (a
+    corpus fresh out of a groupBy is keyed by that groupBy — writing it
+    as-is bakes the skew into the files). Plain ``partitions``
+    round-robins. No driver collect; each task writes its own shard."""
+    out = df
+    if partitions is not None:
+        if shard_by is not None:
+            out = df.repartition(partitions, F.xxhash64(F.col(shard_by)))
+        else:
+            out = df.repartition(partitions)
+    writer = out.write.mode(mode)
+    if compression:
+        writer = writer.option("compression", compression)
+    writer.json(path)

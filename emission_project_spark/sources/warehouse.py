@@ -113,14 +113,23 @@ class Warehouse:
     def compact(
         self,
         table: str,
-        target_file_mb: int = 128,
+        target_file_mb: float = 128,
         partition_by: list[str] | None = None,
         schema: StructType | None = None,
+        sort_by: list[str] | None = None,
     ) -> int:
         """Rewrite a table's many small files into ~``target_file_mb``
         files — the small-files maintenance every append-heavy parquet
         warehouse needs (each incremental append adds a file per
         partition; scans degrade as the file count grows).
+
+        ``sort_by`` makes the rewrite a RANGE-CLUSTERED one
+        (``repartitionByRange`` + ``sortWithinPartitions``): files then
+        carry disjoint min/max stats on the sort key, so a selective
+        predicate on it skips whole files and tight row groups — the
+        parquet stand-in for OPTIMIZE ... ZORDER on one key. With
+        ``partition_by`` the sort clusters within each partition value
+        instead (partition pruning already handles the first key).
 
         Repartition count is sized from the table's on-disk bytes, the
         rewrite goes through the atomic swap (readers never see a
@@ -137,6 +146,14 @@ class Warehouse:
             # writer emits one file per (task, value) — repartition by the
             # partition key, not round-robin
             df = df.repartition(n_files, *partition_by)
+            if sort_by:
+                df = df.sortWithinPartitions(*(partition_by + sort_by))
+        elif sort_by:
+            from pyspark.sql import functions as F
+
+            df = df.repartitionByRange(
+                n_files, *[F.col(c) for c in sort_by]
+            ).sortWithinPartitions(*sort_by)
         else:
             df = df.repartition(n_files)
         self.overwrite_atomic(df, table, partition_by=partition_by)

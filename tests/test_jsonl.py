@@ -1,5 +1,6 @@
-"""JSONL source/sink contracts (sources/jsonl.py): declared-schema
-reads with corrupt-line quarantine, and shard-controlled writes."""
+"""JSONL corpus source/sink contracts (sources/jsonl_corpus.py):
+declared-schema reads with corrupt-line quarantine, and shard-controlled
+writes. Complements the roundtrip test in test_operators.py."""
 
 from __future__ import annotations
 
@@ -15,7 +16,10 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from emission_project_spark.sources.jsonl import read_jsonl, write_jsonl
+from emission_project_spark.sources.jsonl_corpus import (
+    read_jsonl_corpus,
+    write_jsonl_corpus,
+)
 
 DOC_SCHEMA = StructType(
     [
@@ -31,16 +35,17 @@ def test_jsonl_roundtrip(spark, tmp_path):
         [(i, f"text {i}", "en") for i in range(100)], DOC_SCHEMA
     )
     out = str(tmp_path / "corpus")
-    write_jsonl(docs, out, compression=None)
-    back = read_jsonl(spark, out, DOC_SCHEMA)
-    assert back.count() == 100
+    write_jsonl_corpus(docs, out)
+    back, bad = read_jsonl_corpus(spark, out, DOC_SCHEMA)
+    assert back.count() == 100 and bad.count() == 0
     assert {r.doc_id for r in back.collect()} == set(range(100))
     assert back.schema == DOC_SCHEMA
 
 
 def test_jsonl_corrupt_lines_quarantined(spark, tmp_path):
     """A malformed line neither fails the scan nor leaks a half-parsed
-    row; it lands in the quarantine stream verbatim."""
+    row; it lands in the quarantine stream verbatim. Neither path needs
+    a cache of the parsed corpus."""
     p = tmp_path / "dump.jsonl"
     lines = [
         json.dumps({"doc_id": 1, "text": "good", "lang": "en"}),
@@ -48,16 +53,15 @@ def test_jsonl_corrupt_lines_quarantined(spark, tmp_path):
         json.dumps({"doc_id": 2, "text": "also good", "lang": "fi"}),
     ]
     p.write_text("\n".join(lines) + "\n")
-    clean = read_jsonl(spark, str(p), DOC_SCHEMA)
+    clean, quarantined = read_jsonl_corpus(spark, str(p), DOC_SCHEMA)
     assert {r.doc_id for r in clean.collect()} == {1, 2}
-    quarantined = read_jsonl(spark, str(p), DOC_SCHEMA, keep_corrupt=True)
     rows = quarantined.collect()
     assert len(rows) == 1
-    assert rows[0][0] == "{not json at all"
+    assert rows[0].raw_line == "{not json at all"
 
 
 def test_jsonl_sharded_write_balanced(spark, tmp_path):
-    """n_shards + shard_by produces exactly N part files with no empty
+    """partitions + shard_by produces exactly N part files with no empty
     shard and no skew bake-in, even when the input arrives keyed by a
     skewed column."""
     docs = spark.createDataFrame(
@@ -65,10 +69,12 @@ def test_jsonl_sharded_write_balanced(spark, tmp_path):
         DOC_SCHEMA,
     ).repartition(F.col("lang"))  # skewed upstream partitioning
     out = str(tmp_path / "shards")
-    write_jsonl(docs, out, n_shards=8, shard_by="doc_id", compression="gzip")
+    write_jsonl_corpus(
+        docs, out, partitions=8, shard_by="doc_id", compression="gzip"
+    )
     parts = sorted(glob.glob(os.path.join(out, "part-*.json.gz")))
     assert len(parts) == 8
-    back = read_jsonl(spark, out, DOC_SCHEMA)
+    back, _ = read_jsonl_corpus(spark, out, DOC_SCHEMA)
     assert back.count() == 1000
     sizes = [os.path.getsize(p) for p in parts]
     assert min(sizes) > 0
@@ -83,7 +89,7 @@ def test_jsonl_deterministic_sharding(spark, tmp_path):
     )
 
     def shard_map(out):
-        write_jsonl(docs, out, n_shards=4, shard_by="doc_id", compression=None)
+        write_jsonl_corpus(docs, out, partitions=4, shard_by="doc_id")
         mapping = {}
         for p in glob.glob(os.path.join(out, "part-*.json")):
             shard = os.path.basename(p).split("-")[1]

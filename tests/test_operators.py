@@ -293,6 +293,38 @@ def test_warehouse_compact_and_stale_tmp(spark, tmp_path):
     assert wh.exists("t") and wh.exists("tp")
 
 
+def test_warehouse_compact_range_clustered(spark, tmp_path):
+    """compact(sort_by=...) rewrites into range-clustered files: each
+    parquet file's min/max on the sort key is disjoint from every
+    other's, so a selective predicate skips whole files."""
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    from emission_project_spark.sources.warehouse import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    # scrambled insert order: id hashes spread across every file
+    df = (
+        spark.range(0, 20000)
+        .withColumn("v", F.md5(F.col("id").cast("string")))
+        .repartition(8, F.col("v"))
+    )
+    wh.append(df, "t")
+    after = wh.compact("t", target_file_mb=0.05, sort_by=["id"])
+    assert after >= 3  # fractional target forced a multi-file rewrite
+    ranges = []
+    for p in _glob.glob(str(tmp_path / "wh" / "t" / "*.parquet")):
+        md = _pq.read_metadata(p)
+        mins = [md.row_group(i).column(0).statistics.min for i in range(md.num_row_groups)]
+        maxs = [md.row_group(i).column(0).statistics.max for i in range(md.num_row_groups)]
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
+        assert hi < lo  # disjoint: file-level stats prune
+    assert wh.read("t").count() == 20000
+
+
 def test_asof_join_forward_direction(spark):
     from emission_project_spark.operators.asof import asof_join
 
