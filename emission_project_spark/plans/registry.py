@@ -47,9 +47,11 @@ def register(name: str, oracle: str | None = None):
 _PRIORITY: list[str] = [
     # -- (a) restructured this round: first hash-checkable driver row -----
     "approx_hll_distinct_events",
-    # -- (a) new round 5: streaming twins with no driver row yet ----------
+    # -- (a) new round 5: queries with no driver row yet ------------------
     "stream_windowed_distinct_batch",
     "dedup_minhash_bucket_survivors",
+    "join_q5_regional_supplier_revenue",
+    "events_retention_cohorts",
     # -- (b) last verified round 2: the below-boundary tail ----------------
     "text_decontaminate_overlap",
     "text_url_extract",
@@ -99,9 +101,9 @@ _PRIORITY: list[str] = [
     "surrogate_keys_dense",
     "incremental_insert_orders",
     "upsert_customer_balances",
+    # ---- window boundary (slot 50) — below rotates in round 6 -----------
     "set_ops_intersect_except",
     "window_rank_top3_per_priority",
-    # ---- window boundary (slot 50) — below rotates in round 6 -----------
     "regex_extract_long_words",
     "array_higher_order_fns",
     "rollup_pricing_summary",

@@ -532,6 +532,114 @@ def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- TPC-H Q5 shape: 6-table join (2 facts + 4 dims) with a selective
+# region filter and a same-nation correlation between customer and
+# supplier. The 100 TB plan this declares: lineitem⋈orders⋈customer⋈
+# supplier shuffle on their keys (all scale with data — none is hinted
+# for broadcast, AQE may still broadcast the post-filter small sides at
+# test SF), nation/region explicitly broadcast (fixed cardinality), the
+# date filter pushed into the orders scan, and the region filter prunes
+# nations before the fact ever joins a dim row it would discard.
+@register(
+    "join_q5_regional_supplier_revenue",
+    oracle="""
+    SELECT n.n_name AS nation,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND CAST(o.o_orderdate AS DATE) >= DATE '1996-01-01'
+      AND CAST(o.o_orderdate AS DATE) <  DATE '1997-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def join_q5_regional_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    od = F.to_date("o_orderdate")
+    o_f = o.filter((od >= F.lit("1996-01-01")) & (od < F.lit("1997-01-01")))
+    asia_nations = n.join(
+        F.broadcast(r.filter(F.col("r_name") == "ASIA")),
+        n["n_regionkey"] == r["r_regionkey"],
+    ).select("n_nationkey", "n_name")
+    return (
+        li.join(o_f, li["l_orderkey"] == o_f["o_orderkey"])
+        .join(c, o_f["o_custkey"] == c["c_custkey"])
+        .join(
+            s,
+            (li["l_suppkey"] == s["s_suppkey"])
+            & (c["c_nationkey"] == s["s_nationkey"]),
+        )
+        .join(F.broadcast(asia_nations), s["s_nationkey"] == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+    )
+
+
+# --- Retention cohort matrix: users grouped by ISO week of first
+# signup, distinct-active counts per week offset — the standard
+# product-analytics rollup. Week truncation is Monday-aligned in both
+# engines, so the offset division by 7 is exact; pre-cohort activity
+# (events before the signup week) is excluded identically on both
+# sides.
+@register(
+    "events_retention_cohorts",
+    oracle="""
+    WITH first_signup AS (
+        SELECT user_id,
+               date_trunc('week', min(CAST(ts AS TIMESTAMP))) AS cohort_week
+        FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    activity AS (
+        SELECT e.user_id, f.cohort_week,
+               CAST(date_diff('day', CAST(f.cohort_week AS DATE),
+                              CAST(date_trunc('week', CAST(e.ts AS TIMESTAMP)) AS DATE)) // 7
+                    AS BIGINT) AS week_offset
+        FROM events e JOIN first_signup f USING (user_id)
+        WHERE CAST(e.ts AS TIMESTAMP) >= f.cohort_week
+    )
+    SELECT CAST(cohort_week AS DATE) AS cohort_week, week_offset,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
+    FROM activity GROUP BY 1, 2
+    """,
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    first = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("ts")).alias("cohort_week"))
+    )
+    activity = (
+        e.join(first, "user_id")
+        .filter(F.col("ts") >= F.col("cohort_week"))
+        .select(
+            "user_id",
+            F.to_date("cohort_week").alias("cohort_week"),
+            F.expr(
+                "CAST(datediff(to_date(date_trunc('week', ts)),"
+                " to_date(cohort_week)) DIV 7 AS BIGINT)"
+            ).alias("week_offset"),
+        )
+    )
+    return activity.groupBy("cohort_week", "week_offset").agg(
+        F.countDistinct("user_id").alias("n_active")
+    )
+
+
 # --- Role-join via helper (J5 city→country FK resolve analog:
 # supplier→nation name attach, broadcast dim).
 @register(
