@@ -52,6 +52,7 @@ _PRIORITY: list[str] = [
     "dedup_minhash_bucket_survivors",
     "join_q5_regional_supplier_revenue",
     "events_retention_cohorts",
+    "validation_contract_orders",
     # -- (b) last verified round 2: the below-boundary tail ----------------
     "text_decontaminate_overlap",
     "text_url_extract",
@@ -100,8 +101,8 @@ _PRIORITY: list[str] = [
     "nullsafe_join_match",
     "surrogate_keys_dense",
     "incremental_insert_orders",
-    "upsert_customer_balances",
     # ---- window boundary (slot 50) — below rotates in round 6 -----------
+    "upsert_customer_balances",
     "set_ops_intersect_except",
     "window_rank_top3_per_priority",
     "regex_extract_long_words",

@@ -532,6 +532,58 @@ def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Declarative contract validation (operators/contracts.py): the
+# constraint surface the reference delegated to Postgres DDL
+# (create_tables.py NOT NULL / PRIMARY KEY / value domains), computed
+# as violation COUNTS in one scan + one distinct aggregate — the
+# parquet-warehouse gate pattern. All zeros on the driver's testdata;
+# the oracle restates every check, so a corpus WITH violations (the
+# boundary suites) must agree on the nonzero counts too.
+@register(
+    "validation_contract_orders",
+    oracle="""
+    SELECT 'not_null:o_orderkey' AS check_name,
+           CAST(count(*) FILTER (WHERE o_orderkey IS NULL) AS BIGINT) AS violations
+    FROM orders
+    UNION ALL
+    SELECT 'not_null:o_custkey',
+           CAST(count(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'unique:o_orderkey',
+           CAST(count(*) FILTER (WHERE o_orderkey IS NOT NULL)
+                - count(DISTINCT o_orderkey) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'accepted:o_orderstatus',
+           CAST(count(*) FILTER (WHERE o_orderstatus IS NOT NULL
+                                 AND o_orderstatus NOT IN ('O', 'F', 'P'))
+                AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'range:o_totalprice',
+           CAST(count(*) FILTER (WHERE o_totalprice IS NOT NULL
+                                 AND (o_totalprice < 0 OR o_totalprice > 1000000))
+                AS BIGINT)
+    FROM orders
+    """,
+)
+def validation_contract_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emission_project_spark.operators.contracts import (
+        TableContract,
+        contract_violations,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    contract = TableContract(
+        not_null=["o_orderkey", "o_custkey"],
+        unique=[["o_orderkey"]],
+        accepted_values={"o_orderstatus": ["O", "F", "P"]},
+        ranges={"o_totalprice": (0, 1_000_000)},
+    )
+    return contract_violations(o, contract)
+
+
 # --- TPC-H Q5 shape: 6-table join (2 facts + 4 dims) with a selective
 # region filter and a same-nation correlation between customer and
 # supplier. The 100 TB plan this declares: lineitem⋈orders⋈customer⋈

@@ -293,6 +293,43 @@ def test_warehouse_compact_and_stale_tmp(spark, tmp_path):
     assert wh.exists("t") and wh.exists("tp")
 
 
+def test_contract_violations_planted(spark):
+    """Every check type counts exactly its planted violations; NULLs
+    pass accepted/range checks and are skipped by unique (SQL UNIQUE
+    semantics)."""
+    from emission_project_spark.operators.contracts import (
+        TableContract,
+        validate_contract,
+    )
+
+    rows = [
+        # (id, status, price)
+        (1, "O", 10.0),
+        (1, "F", 20.0),      # duplicate id -> 1 surplus row
+        (2, "X", -5.0),      # bad status + below range
+        (None, "O", None),   # null id -> not_null hit; null price passes range
+        (3, None, 2_000_000.0),  # null status passes accepted; above range
+    ]
+    df = spark.createDataFrame(rows, "id bigint, status string, price double")
+    contract = TableContract(
+        not_null=["id"],
+        unique=[["id"]],
+        accepted_values={"status": ["O", "F", "P"]},
+        ranges={"price": (0, 1_000_000)},
+    )
+    got = validate_contract(df, contract)
+    assert got == {
+        "not_null:id": 1,
+        "unique:id": 1,
+        "accepted:status": 1,
+        "range:price": 2,
+    }
+
+    # empty table: every count is zero, not NULL
+    empty = spark.createDataFrame([], "id bigint, status string, price double")
+    assert set(validate_contract(empty, contract).values()) == {0}
+
+
 def test_warehouse_compact_range_clustered(spark, tmp_path):
     """compact(sort_by=...) rewrites into range-clustered files: each
     parquet file's min/max on the sort key is disjoint from every
