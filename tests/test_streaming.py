@@ -351,6 +351,10 @@ def test_streaming_neardup_filter(spark, tmp_path):
         '5,"seven eight nine ten eleven twelve"\n'    # novel
         '6,"hi"\n'                                    # < 3 tokens: fallback bucket
     )
+    # pin batch order: the file source orders by modification time, and
+    # back-to-back writes can land on the same mtime tick
+    os.utime(incoming / "a.csv", (1000000000, 1000000000))
+    os.utime(incoming / "b.csv", (1000000100, 1000000100))
     stream = (
         spark.readStream.format("csv")
         .schema("doc_id bigint, text string")
