@@ -1062,15 +1062,16 @@ def skew_salted_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- Approximate-aggregate surface, oracle-checkable form. The GK
-# quantile sketch at accuracy 10,000 has rank error ≤ n/10,000 < 1 for
-# the per-group row counts the driver compares at (sf0.01 ≈ 2k
-# rows/group), i.e. it is EXACT and returns an actual data element —
-# empirically identical to DuckDB's ``quantile_disc`` (element at rank
-# ceil(p·n)) on this data, so the sketch path itself is three-way
-# verified. Distinct users is exact ``count(DISTINCT ...)`` here; the
-# engine-specific HLL++ estimate (not portable across engines) lives in
-# ``approx_hll_distinct_events`` below, registered outside the driver's
-# correctness window.
+# quantile sketch at accuracy 100,000 has rank error ≤ n/100,000 < 1
+# for per-group row counts up to 100k — EXACT (returns an actual data
+# element, identical to DuckDB's ``quantile_disc``) not only at the
+# driver's sf0.01 (≈2k rows/group) but through sf0.1 (20k rows/group)
+# and any plausible testdata regeneration, so the gate can't be flipped
+# by a size change (a 10,000-accuracy sketch diverged at sf0.1 —
+# caught by the round-5 full-registry sweep at sf0.1). Distinct users
+# is exact ``count(DISTINCT ...)`` here; the engine-specific HLL++
+# estimate lives in ``approx_hll_distinct_events`` below in its
+# exact-plus-assertion form.
 @register(
     "approx_aggregates_events",
     oracle="""
@@ -1085,7 +1086,7 @@ def skew_salted_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def approx_aggregates_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
-    q = F.percentile_approx("value", F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99)), 10000)
+    q = F.percentile_approx("value", F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99)), 100000)
     return (
         e.groupBy("event_type")
         .agg(
@@ -1106,11 +1107,14 @@ def approx_aggregates_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Engine-specific HLL estimates can't be value-compared across engines
 # (DuckDB's HLL ≠ Spark's HLL++), so the query emits the exact
 # ``count(DISTINCT user_id)`` per segment plus an *assertion* that the
-# HLL++ estimate (rsd=0.01) lands within 2% of it — ~2σ of the
-# published relative-standard-deviation bound, and exact in HLL++'s
-# sparse mode at these cardinalities. The DuckDB oracle emits the same
-# exact count and literal ``true``, so the sketch path is now asserted
-# by the driver's hash gate instead of unverifiable.
+# HLL++ estimate (rsd=0.01) lands within tolerance — ~2σ of the
+# published relative-standard-deviation bound, with an absolute floor
+# of 3 because Spark's HyperLogLogPlusPlus has NO sparse mode: tiny
+# cardinalities go through linear counting and can miss by ±1, which
+# at 20 distinct is 5% (observed at sf0.1 in the windowed variant).
+# The DuckDB oracle emits the same exact count and literal ``true``,
+# so the sketch path is asserted by the driver's hash gate instead of
+# unverifiable.
 @register(
     "approx_hll_distinct_events",
     oracle="""
@@ -1132,13 +1136,12 @@ def approx_hll_distinct_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_type",
             "exact_users",
-            F.when(F.col("exact_users") == 0, F.col("_hll") == 0)
-            .otherwise(
+            (
                 F.abs(F.col("_hll") - F.col("exact_users"))
-                / F.col("exact_users")
-                <= F.lit(0.02)
-            )
-            .alias("hll_within_2pct"),
+                <= F.greatest(
+                    F.ceil(F.col("exact_users") * F.lit(0.02)), F.lit(3)
+                )
+            ).alias("hll_within_2pct"),
         )
     )
 
