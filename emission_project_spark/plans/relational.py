@@ -1788,3 +1788,256 @@ def events_gapfill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("hr").alias("hour"),
         F.last("v", ignorenulls=True).over(w).alias("filled_value"),
     )
+
+
+# --- TPC-H Q12-style conditional aggregation: per returnflag, how many
+# shipped lineitems belong to high- vs low-priority orders in one scan
+# (sum-of-CASE, the map-side-combinable form of a pivot). The
+# orders side joins on the FK; at 100 TB the join shuffles on
+# l_orderkey/o_orderkey while both conditional sums stay partial
+# aggregates — one exchange total. Reference analog: the brand-level
+# conditional roll-up surface (emission-dag.py:161-162) generalized to
+# CASE-classified measures.
+@register(
+    "conditional_agg_priority_classes",
+    oracle="""
+    SELECT l.l_returnflag,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT)  AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT)  AS low_line_count
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE CAST(l.l_shipdate AS DATE) >= DATE '1996-01-01'
+      AND CAST(l.l_shipdate AS DATE) <  DATE '1997-01-01'
+    GROUP BY l.l_returnflag
+    """,
+)
+def conditional_agg_priority_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.filter(
+            (F.to_date("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.to_date("l_shipdate") < F.lit("1997-01-01"))
+        )
+        .join(o.select("o_orderkey", "o_orderpriority"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+        )
+    )
+
+
+# --- TPC-H Q14-style promo-revenue ratio: per ship month, the share of
+# discounted revenue from PROMO parts. The part dim (2k rows at sf0.01,
+# still dim-sized at 100 TB facts) broadcasts, so the fact table never
+# shuffles for the join; the ratio is two conditional partial sums in
+# the same aggregate.
+@register(
+    "join_q14_promo_revenue",
+    oracle="""
+    SELECT date_trunc('month', CAST(l.l_shipdate AS DATE)) AS ship_month,
+           round(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                             THEN l.l_extendedprice * (1 - l.l_discount)
+                             ELSE 0 END)
+                 / sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_pct,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)   AS total_revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE CAST(l.l_shipdate AS DATE) >= DATE '1996-01-01'
+      AND CAST(l.l_shipdate AS DATE) <  DATE '1998-01-01'
+    GROUP BY 1
+    """,
+)
+def join_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(
+            (F.to_date("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.to_date("l_shipdate") < F.lit("1998-01-01"))
+        )
+        .join(F.broadcast(p.select("p_partkey", "p_type")), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.to_date(F.date_trunc("month", F.to_date("l_shipdate"))).alias("ship_month"))
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)))
+                / F.sum(rev),
+                4,
+            ).alias("promo_pct"),
+            F.round(F.sum(rev), 2).alias("total_revenue"),
+        )
+    )
+
+
+# --- TPC-H Q19-style disjunctive-predicate revenue: an OR-of-ANDs over
+# part attributes and lineitem quantity. The predicate references both
+# sides, so it evaluates post-join — but the part side broadcasts and
+# Catalyst still prunes both scans to the referenced columns; the
+# residual filter runs inside whole-stage codegen before the aggregate
+# (verified via .explain in PLANS.md). One row out.
+@register(
+    "join_q19_or_predicate_revenue",
+    oracle="""
+    SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(count(*) AS BIGINT)                              AS n_lines
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity >= 1 AND l.l_quantity <= 20)
+       OR (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 5 AND 30
+           AND l.l_quantity >= 10 AND l.l_quantity <= 40)
+       OR (p.p_type = 'PROMO' AND l.l_quantity >= 45)
+    """,
+)
+def join_q19_or_predicate_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    q = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & q.between(1, 20))
+        | ((F.col("p_brand") == "Brand#13") & F.col("p_size").between(5, 30) & q.between(10, 40))
+        | ((F.col("p_type") == "PROMO") & (q >= 45))
+    )
+    return (
+        li.join(F.broadcast(p.select("p_partkey", "p_brand", "p_size", "p_type")),
+                F.col("l_partkey") == F.col("p_partkey"))
+        .filter(cond)
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+# --- Correlated scalar subquery, re-expressed Spark-first: customers
+# whose balance beats their nation's average. The oracle states the
+# textbook correlated form; the Spark plan decorrelates it into a
+# 25-row per-nation aggregate broadcast-joined back — the rewrite
+# Catalyst itself applies to IN/EXISTS subqueries, made explicit. At
+# 100 TB the fact side streams map-side past the broadcast.
+@register(
+    "scalar_subquery_above_avg",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, round(c.c_acctbal, 2) AS acctbal,
+           round((SELECT avg(c2.c_acctbal) FROM customer c2
+                  WHERE c2.c_nationkey = c.c_nationkey), 2) AS nation_avg
+    FROM customer c
+    WHERE c.c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+                         WHERE c2.c_nationkey = c.c_nationkey)
+    """,
+)
+def scalar_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    per_nation = c.groupBy("c_nationkey").agg(F.avg("c_acctbal").alias("_avg"))
+    return (
+        c.join(F.broadcast(per_nation), "c_nationkey")
+        .filter(F.col("c_acctbal") > F.col("_avg"))
+        .select(
+            "c_custkey",
+            "c_name",
+            F.round("c_acctbal", 2).alias("acctbal"),
+            F.round("_avg", 2).alias("nation_avg"),
+        )
+    )
+
+
+# --- Distribution-rank windows: percent_rank + cume_dist of each
+# order's price within its priority class (the Pareto/ABC analysis
+# primitive). One shuffle on the partition key; both ranks come from
+# the same sort, and ties resolve identically in both engines by SQL
+# definition (same rank → same percent_rank/cume_dist).
+@register(
+    "window_pct_rank_cume_dist",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           round(o_totalprice, 2) AS totalprice,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist()    OVER w, 6) AS cume_d
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice)
+    """,
+)
+def window_pct_rank_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round("o_totalprice", 2).alias("totalprice"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume_d"),
+    )
+
+
+# --- Exact interpolated percentiles (percentile_cont semantics): p25 /
+# median / p90 of order price per priority. Spark's ``percentile`` is
+# the exact linear-interpolation aggregate (sort-based partial agg, not
+# the t-digest approximation) — it matches ANSI percentile_cont
+# bit-for-bit on doubles, which is exactly what the hash gate checks.
+# Contrast: approx_aggregates_events covers the sketch (GK) path for
+# when a 100 TB exact sort-agg isn't worth it.
+@register(
+    "percentile_exact_prices",
+    oracle="""
+    SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+           round(quantile_cont(o_totalprice, 0.50), 4) AS p50,
+           round(quantile_cont(o_totalprice, 0.90), 4) AS p90,
+           CAST(count(*) AS BIGINT)                    AS n_orders
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def percentile_exact_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.25)), 4).alias("p25"),
+        F.round(F.percentile("o_totalprice", F.lit(0.50)), 4).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.90)), 4).alias("p90"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+# --- Z-score anomaly flagging: events whose value sits > 2.5 sample
+# standard deviations from that user's mean. Whole-partition window
+# aggregates (no ORDER BY → unbounded frame in both engines) compute
+# mean/stddev in one pass over the same per-user shuffle that serves
+# the detection filter — the streaming-adjacent QC step a 100 TB/day
+# telemetry pipeline runs before training-data admission.
+@register(
+    "events_anomaly_zscore",
+    oracle="""
+    WITH s AS (
+        SELECT event_id, user_id, ts, value,
+               avg(value)         OVER (PARTITION BY user_id) AS mu,
+               stddev_samp(value) OVER (PARTITION BY user_id) AS sigma
+        FROM events
+    )
+    SELECT event_id, user_id, round(value, 4) AS value,
+           round((value - mu) / sigma, 3) AS zscore
+    FROM s
+    WHERE sigma > 0 AND abs(round((value - mu) / sigma, 3)) >= 2.5
+    """,
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    s = e.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.avg("value").over(w).alias("mu"),
+        F.stddev_samp("value").over(w).alias("sigma"),
+    )
+    z = F.round((F.col("value") - F.col("mu")) / F.col("sigma"), 3)
+    return (
+        s.filter((F.col("sigma") > 0) & (F.abs(z) >= 2.5))
+        .select(
+            "event_id",
+            "user_id",
+            F.round("value", 4).alias("value"),
+            z.alias("zscore"),
+        )
+    )
