@@ -279,3 +279,46 @@ def tfidf_top_terms(
         .filter(F.col("_rk") <= k)
         .select("doc_id", F.col("_rk").alias("rank"), "term", "tf", "df", "tfidf")
     )
+
+
+def chunk_tokens(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    window: int,
+    stride: int,
+) -> DataFrame:
+    """Split each document's token array into overlapping windows of
+    ``window`` tokens taken every ``stride`` tokens — the
+    context-length chunking step between cleaning and tokenization in
+    a training-data pipeline (stride < window ⇒ consecutive chunks
+    overlap by ``window - stride`` tokens, preserving cross-boundary
+    context).
+
+    Pure narrow plan: sequence → posexplode → slice, no shuffle and no
+    Python — each input partition chunks independently, so the operator
+    scales embarrassingly to a 100 TB corpus (output partitioning
+    inherits the input's; a downstream repartition on chunk count is
+    the caller's mixture decision). Chunk starts are
+    ``0, stride, 2·stride, …`` while the start lies inside the array;
+    the final chunk may be short (the tail), never empty for non-empty
+    input. Emits ``id_col, chunk_id, chunk_start, n_tokens,
+    chunk_text``.
+    """
+    if stride <= 0 or window <= 0:
+        raise ValueError(f"window={window} and stride={stride} must be positive")
+    n = F.size(F.col(tokens_col))
+    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride))
+    exploded = df.select(
+        F.col(id_col),
+        F.col(tokens_col),
+        F.posexplode(starts).alias("chunk_id", "chunk_start"),
+    )
+    chunk = F.slice(F.col(tokens_col), F.col("chunk_start") + 1, window)
+    return exploded.select(
+        id_col,
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        F.col("chunk_start").cast("bigint").alias("chunk_start"),
+        F.size(chunk).cast("bigint").alias("n_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )

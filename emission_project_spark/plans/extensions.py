@@ -2091,3 +2091,113 @@ def curation_final_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         canonical.join(contaminated, "doc_id", "left_anti")
         .select("doc_id", "lang", "source", "n_tokens", "quality")
     )
+
+
+# --- curation: context-window chunking with overlap (window 64,
+# stride 48 ⇒ 16-token overlap) — the step between cleaning and
+# tokenization that turns documents into training sequences. Narrow
+# plan (sequence → posexplode → slice), zero shuffle, zero Python;
+# the oracle restates it with generate_series + list_slice. Chunk
+# text is emitted verbatim so the hash gate checks token content,
+# boundaries, and the short tail chunk exactly.
+@register(
+    "curation_chunk_overlap",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, regexp_extract_all(text, '\\w+') AS toks
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(s / 48 AS BIGINT)                                 AS chunk_id,
+           CAST(s AS BIGINT)                                      AS chunk_start,
+           CAST(len(list_slice(toks, s + 1, s + 64)) AS BIGINT)   AS n_tokens,
+           array_to_string(list_slice(toks, s + 1, s + 64), ' ')  AS chunk_text
+    FROM d, unnest(generate_series(0, greatest(len(toks) - 1, 0), 48)) AS t(s)
+    """,
+)
+def curation_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emission_project_spark.extensions.curation import chunk_tokens
+    from emission_project_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    return chunk_tokens(toked, "doc_id", "toks", window=64, stride=48)
+
+
+# --- dedup: character-level edit-distance near-dups under
+# (lang, source, length-bucket) blocking — the exact ground truth the
+# token-set detectors approximate, kept tractable by shuffling on the
+# block key so the O(L²) DP never runs all-pairs. Oracle restates
+# blocking + levenshtein directly (both engines implement the same
+# Wagner-Fischer distance).
+@register(
+    "dedup_levenshtein_block",
+    oracle="""
+    WITH b AS (
+        SELECT doc_id, text, lang, source,
+               CAST(floor(length(text) / 64.0) AS BIGINT) AS lb
+        FROM documents
+    )
+    SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+           CAST(levenshtein(a.text, c.text) AS BIGINT) AS dist,
+           round(levenshtein(a.text, c.text)
+                 / greatest(length(a.text), length(c.text)), 4) AS rel_dist
+    FROM b a JOIN b c
+      ON a.lang = c.lang AND a.source = c.source AND a.lb = c.lb
+     AND a.doc_id < c.doc_id
+    WHERE levenshtein(a.text, c.text)
+           <= 0.25 * greatest(length(a.text), length(c.text))
+    """,
+)
+def dedup_levenshtein_block(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emission_project_spark.extensions.dedup import levenshtein_block_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return levenshtein_block_pairs(
+        docs, block_cols=("lang", "source"), len_bucket=64, max_rel_dist=0.25
+    )
+
+
+# --- text: corpus-level bigram frequencies (the n-gram LM / collocation
+# statistic; unigram twin is text_corpus_top_terms). Bigrams form via a
+# higher-order transform over the token array — narrow, no
+# self-join — then one hash aggregate; top-20 with a total order
+# (count desc, bigram asc) so the cut is deterministic in both engines.
+@register(
+    "text_bigrams_top",
+    oracle=f"""
+    WITH d AS (SELECT {_TOKS_SQL} AS toks FROM documents),
+    b AS (
+        SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+                                     i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+        FROM d WHERE len(toks) >= 2
+    )
+    SELECT bigram, CAST(count(*) AS BIGINT) AS n
+    FROM b GROUP BY bigram
+    ORDER BY n DESC, bigram ASC
+    LIMIT 20
+    """,
+)
+def text_bigrams_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emission_project_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select(tokens(F.lower(F.col("text"))).alias("toks")).filter(
+        F.size("toks") >= 2
+    )
+    bigrams = toked.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(F.col("toks"), i), F.element_at(F.col("toks"), i + 1)
+                ),
+            )
+        ).alias("bigram")
+    )
+    return (
+        bigrams.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram").asc())
+        .limit(20)
+    )

@@ -1,0 +1,103 @@
+"""Boundary semantics for the round-5 operator additions: overlapping
+token chunking, blocked edit-distance near-dup, bigram stats, and the
+conditional-aggregation relational family. Value-level oracle parity
+runs in tools/compare.py; these pin the edge cases the hash gate's
+aggregate view can't isolate."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from emission_project_spark.extensions.curation import chunk_tokens
+from emission_project_spark.extensions.dedup import levenshtein_block_pairs
+
+
+def _toked(spark, rows):
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    return df.select("doc_id", F.split("text", " ").alias("toks"))
+
+
+class TestChunkTokens:
+    def test_overlap_and_tail(self, spark):
+        # 100 tokens, window 64 stride 48: starts 0/48/96 (every
+        # stride while inside the array), tails short, never empty.
+        text = " ".join(f"t{i}" for i in range(100))
+        out = chunk_tokens(
+            _toked(spark, [(1, text)]), "doc_id", "toks", window=64, stride=48
+        ).collect()
+        assert [(r.chunk_id, r.chunk_start, r.n_tokens) for r in out] == [
+            (0, 0, 64),
+            (1, 48, 52),
+            (2, 96, 4),
+        ]
+        # overlap: chunk 1 starts 16 tokens before chunk 0 ends
+        assert out[0].chunk_text.split(" ")[48:] == out[1].chunk_text.split(" ")[:16]
+
+    def test_exact_window_multiple(self, spark):
+        # n == window: one full chunk plus the overlap tail at stride
+        text = " ".join(f"t{i}" for i in range(64))
+        out = chunk_tokens(
+            _toked(spark, [(1, text)]), "doc_id", "toks", window=64, stride=48
+        ).collect()
+        assert [(r.chunk_start, r.n_tokens) for r in out] == [(0, 64), (48, 16)]
+
+    def test_short_doc_single_chunk(self, spark):
+        out = chunk_tokens(
+            _toked(spark, [(1, "a b c")]), "doc_id", "toks", window=64, stride=48
+        ).collect()
+        assert [(r.chunk_id, r.n_tokens, r.chunk_text) for r in out] == [(0, 3, "a b c")]
+
+    def test_rejects_nonpositive(self, spark):
+        import pytest
+
+        with pytest.raises(ValueError):
+            chunk_tokens(_toked(spark, [(1, "a")]), "doc_id", "toks", 0, 48)
+
+
+class TestLevenshteinBlock:
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "doc_id bigint, text string, lang string, source string"
+        )
+
+    def test_finds_small_edit_within_block(self, spark):
+        base = "the quick brown fox jumps over the lazy dog " * 3
+        edited = base.replace("lazy", "hazy", 1)
+        docs = self._docs(spark, [(1, base, "en", "s"), (2, edited, "en", "s")])
+        out = levenshtein_block_pairs(docs).collect()
+        assert [(r.id_a, r.id_b, r.dist) for r in out] == [(1, 2, 1)]
+
+    def test_blocking_excludes_cross_lang(self, spark):
+        t = "identical text body " * 5
+        docs = self._docs(spark, [(1, t, "en", "s"), (2, t, "zh", "s")])
+        assert levenshtein_block_pairs(docs).count() == 0
+
+    def test_threshold_excludes_distant(self, spark):
+        a = "aaaa bbbb cccc dddd"
+        b = "wwww xxxx yyyy zzzz"  # same length/block, dist ≈ len
+        docs = self._docs(spark, [(1, a, "en", "s"), (2, b, "en", "s")])
+        assert levenshtein_block_pairs(docs).count() == 0
+
+
+class TestBigramsQuery:
+    def test_single_token_docs_contribute_nothing(self, spark, tmp_path):
+        # Registered query path at sf0.001 must not raise on the
+        # guard (size >= 2): covered by smoke; here pin the pure
+        # bigram formation on a tiny frame mirroring the plan.
+        toked = spark.createDataFrame(
+            [(["only"],), (["a", "b", "a", "b"],)], "toks: array<string>"
+        ).filter(F.size("toks") >= 2)
+        bigrams = toked.select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - 1),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at(F.col("toks"), i),
+                        F.element_at(F.col("toks"), i + 1),
+                    ),
+                )
+            ).alias("bigram")
+        )
+        counts = {r.bigram: r.n for r in bigrams.groupBy("bigram").agg(F.count(F.lit(1)).alias("n")).collect()}
+        assert counts == {"a b": 2, "b a": 1}
