@@ -2201,3 +2201,49 @@ def text_bigrams_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("bigram").asc())
         .limit(20)
     )
+
+
+# --- Batch twin of the LEFT-OUTER stream-stream interval join: the
+# funnel-abandonment query (signups that never converted within the
+# hour emit with NULL purchase columns). Same production function as
+# the inner twin with how="left_outer" — withWatermark is a no-op in
+# batch; streaming null-emission-after-watermark is proven by
+# tests/test_streaming.py::test_stream_stream_left_outer_join. The
+# oracle puts the right-side filter in the ON clause, which is exactly
+# what pre-filtering the right stream before the join expresses.
+@register(
+    "stream_left_outer_join_batch",
+    oracle="""
+    SELECT s.event_id AS signup_id, s.user_id AS user_id,
+           p.event_id AS purchase_id,
+           CAST(epoch_us(p.ts) - epoch_us(s.ts) AS BIGINT) AS delta_us
+    FROM events s
+    LEFT JOIN events p
+      ON s.user_id = p.user_id
+     AND p.ts > s.ts
+     AND p.ts <= s.ts + INTERVAL 1 HOUR
+     AND p.event_type = 'purchase'
+    WHERE s.event_type = 'signup'
+    """,
+)
+def stream_left_outer_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emission_project_spark.streaming.dedup import interval_join_streams
+
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", F.col("ts").alias("sts"), F.col("event_id").alias("sid")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts"), F.col("event_id").alias("pid")
+    )
+    joined = interval_join_streams(
+        s, p,
+        key="user_id", left_ts="sts", right_ts="pts",
+        lateness="10 minutes", window_seconds=3600, how="left_outer",
+    )
+    return joined.select(
+        F.col("sid").alias("signup_id"),
+        s["user_id"].alias("user_id"),
+        F.col("pid").alias("purchase_id"),
+        (F.unix_micros("pts") - F.unix_micros("sts")).cast("bigint").alias("delta_us"),
+    )

@@ -118,8 +118,9 @@ def interval_join_streams(
     right_ts: str,
     lateness: str = "10 minutes",
     window_seconds: int = 3600,
+    how: str = "inner",
 ) -> DataFrame:
-    """Watermarked stream-stream inner join: pair left and right events
+    """Watermarked stream-stream join: pair left and right events
     sharing ``key`` where the right event lands within
     ``(left_ts, left_ts + window_seconds]`` — the streaming twin of the
     batch range join (operators/range_join.py) and funnel candidate
@@ -130,7 +131,19 @@ def interval_join_streams(
     watermarks for BOTH buffers: each side holds at most
     lateness + window of data per key — bounded state, the requirement
     for running against an unbounded 100 TB/day stream.
+
+    ``how="left_outer"`` is the funnel-abandonment form: a left event
+    with no right match inside its window emits once with NULL right
+    columns — but only after the watermark passes ``left_ts + window +
+    lateness``, because until then a matching right event could still
+    arrive. That deferral is the semantic price of correctness on an
+    unbounded stream (a batch LEFT JOIN knows the future; a stream must
+    wait for the watermark to prove the negative), and it's why the
+    null rows surface one micro-batch later than the matches
+    (tests/test_streaming.py::test_stream_stream_left_outer_join).
     """
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"how={how!r}: expected 'inner' or 'left_outer'")
     lw = left.withWatermark(left_ts, lateness)
     rw = right.withWatermark(right_ts, lateness)
     cond = (
@@ -138,4 +151,4 @@ def interval_join_streams(
         & (rw[right_ts] > lw[left_ts])
         & (rw[right_ts] <= lw[left_ts] + F.expr(f"interval {window_seconds} seconds"))
     )
-    return lw.join(rw, cond, "inner")
+    return lw.join(rw, cond, how)

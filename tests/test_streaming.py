@@ -410,3 +410,82 @@ def test_session_window_gap_boundary_semantics(spark):
     )
     assert len(out_past) == 2  # strictly past gap → new session
     assert [r.n_events for r in out_past] == [1, 1]
+
+
+def test_stream_stream_left_outer_join(spark, tmp_path):
+    """Left-outer stream-stream join: matched pairs emit as in the
+    inner join; an unmatched signup emits with NULL purchase columns
+    only after the watermark passes its window end (proving the
+    negative requires watermark progress — batch 2's far-future
+    sentinel provides it)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from emission_project_spark.streaming.dedup import interval_join_streams
+
+    sdir, pdir = tmp_path / "s", tmp_path / "p"
+    sdir.mkdir(); pdir.mkdir()
+    (sdir / "s1.csv").write_text(
+        "user_id,sts,sid\n"
+        "1,2024-01-01 10:00:00,100\n"   # converts (purchase 900)
+        "2,2024-01-01 10:05:00,200\n"   # never converts → NULL row
+    )
+    # batch 2: a far-future signup pushes the watermark past signup
+    # 200's window end (11:05 + lateness), forcing its NULL emission.
+    (sdir / "s2.csv").write_text(
+        "user_id,sts,sid\n"
+        "9,2024-01-02 00:00:00,300\n"
+    )
+    os.utime(sdir / "s1.csv", (1000000000, 1000000000))
+    os.utime(sdir / "s2.csv", (1000000100, 1000000100))
+    (pdir / "p.csv").write_text(
+        "user_id,pts,pid\n"
+        "1,2024-01-01 10:30:00,900\n"   # within 1h of signup 100
+        "9,2024-01-02 00:30:00,901\n"   # keeps the purchase watermark moving too
+    )
+
+    def stream(d, schema):
+        return (
+            spark.readStream.format("csv").schema(schema)
+            .option("header", "true")
+            .option("maxFilesPerTrigger", "1")
+            .load(str(d))
+        )
+
+    s = stream(sdir, "user_id bigint, sts timestamp, sid int")
+    p = stream(pdir, "user_id bigint, pts timestamp, pid int")
+    joined = interval_join_streams(
+        s, p,
+        key="user_id", left_ts="sts", right_ts="pts",
+        lateness="5 minutes", window_seconds=3600, how="left_outer",
+    )
+    q = (
+        joined.select("sid", "pid")
+        .writeStream.format("memory")
+        .queryName("ss_loj_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = sorted(
+        (r.sid, r.pid) for r in spark.sql("SELECT * FROM ss_loj_out").collect()
+    )
+    assert (100, 900) in rows                      # the match
+    assert (200, None) in rows                     # watermark-proven abandonment
+    assert (200, 900) not in rows and (200, 901) not in rows
+
+
+def test_interval_join_rejects_unknown_how(spark):
+    import pytest
+
+    from emission_project_spark.streaming.dedup import interval_join_streams
+
+    df = spark.range(1).select(
+        F.col("id").alias("user_id"),
+        F.current_timestamp().alias("ts"),
+    )
+    with pytest.raises(ValueError, match="left_outer"):
+        interval_join_streams(df, df, key="user_id", left_ts="ts", right_ts="ts", how="full")
