@@ -38,12 +38,13 @@ def register(name: str, oracle: str | None = None):
 # queries. Window policy (round 5): (a) ``approx_hll_distinct_events``
 # in slot 1 — restructured this round from a rows-only HLL estimate
 # (which the driver graded ``err: no_oracle``) to an exact-distinct +
-# within-2%-assertion form that hash-checks; (b) the 8 queries whose
-# latest driver row is round 2 — the below-boundary tail round 4 left
-# behind; (c) 41 of the 48 round-3-verified queries, heaviest /
-# drift-sensitive (extensions, events-consumers) first. The 7 stable
-# lineitem/orders rollups that don't fit rotate in next round, at which
-# point every registered query's latest row will be r4 or newer.
+# within-2%-assertion form that hash-checks; (a') every query built
+# this round (16 new: 5 early + 11 late), so nothing ships without a
+# driver row attempt; (b) the 8 queries whose latest driver row is
+# round 2 — the below-boundary tail round 4 left behind; (c) the
+# round-3-verified queries that still fit, heaviest / drift-sensitive
+# (extensions, events-consumers) first. The displaced r3-verified
+# relational tail rotates in round 6.
 _PRIORITY: list[str] = [
     # -- (a) restructured this round: first hash-checkable driver row -----
     "approx_hll_distinct_events",
@@ -62,6 +63,18 @@ _PRIORITY: list[str] = [
     "curation_pack_sequences",
     "curation_truncate_tokens",
     "curation_final_corpus",
+    # -- (a') built later in round 5: no driver row yet --------------------
+    "conditional_agg_priority_classes",
+    "join_q14_promo_revenue",
+    "join_q19_or_predicate_revenue",
+    "scalar_subquery_above_avg",
+    "window_pct_rank_cume_dist",
+    "percentile_exact_prices",
+    "events_anomaly_zscore",
+    "curation_chunk_overlap",
+    "dedup_levenshtein_block",
+    "text_bigrams_top",
+    "stream_left_outer_join_batch",
     # -- (c) rotation: last verified round 3, extensions first -------------
     "curation_cluster_quality_join",
     "approx_aggregates_events",
@@ -91,9 +104,11 @@ _PRIORITY: list[str] = [
     "events_sessionize",
     "events_tumbling_hourly",
     "events_sliding_30m15m",
+    # ---- window boundary (slot 50) — below rotates in round 6 -----------
+    # (r3-verified tail displaced by the 11 new round-5 queries above;
+    # all have green r3 rows, rotate next round)
     "events_json_extract",
     "skew_salted_rollup_events",
-    # -- (c) rotation: last verified round 3, relational core --------------
     "role_playing_nation_join",
     "skew_salted_join_mktsegment",
     "dedup_subset_deterministic",
@@ -101,7 +116,6 @@ _PRIORITY: list[str] = [
     "nullsafe_join_match",
     "surrogate_keys_dense",
     "incremental_insert_orders",
-    # ---- window boundary (slot 50) — below rotates in round 6 -----------
     "upsert_customer_balances",
     "set_ops_intersect_except",
     "window_rank_top3_per_priority",
