@@ -1,0 +1,125 @@
+"""Slowly-changing-dimension maintenance (SCD Type 2).
+
+The reference's warehouse keeps dims current-state-only (its upsert,
+``upsert_query.text:5-9``, overwrites matched keys — Type 1, history
+lost). Type 2 is the standard extension a production warehouse needs:
+every attribute change closes the old version (``valid_to`` stamped,
+``is_current`` false) and opens a new one, so facts can join the
+version that was current at event time.
+
+Spark-first design: one pass, one shuffle. The change detection is a
+null-safe comparison join between the incoming batch and the CURRENT
+version rows only (history rows never rejoin anything), and the output
+is a unionByName of four disjoint row sets — untouched history,
+unchanged current, closed-out old versions, and newly-opened versions.
+At 100 TB the join shuffles on the dimension key (or broadcasts when
+the update batch is dim-sized, the common case); nothing is ever
+collected, and re-running the same batch is a no-op (change detection
+sees identical attributes), making the operator idempotent under
+at-least-once delivery.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SCD2_COLS = ("valid_from", "valid_to", "is_current")
+
+
+def scd2_init(dim: DataFrame, valid_from: str) -> DataFrame:
+    """Bootstrap a Type-2 dim from a current-state snapshot: every row
+    becomes the open version (``valid_to`` NULL, ``is_current`` true)."""
+    return dim.select(
+        "*",
+        F.lit(valid_from).cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+
+
+def _any_attr_differs(attrs: Sequence[str]) -> Column:
+    cond = F.lit(False)
+    for a in attrs:
+        cond = cond | ~F.col(f"cur.{a}").eqNullSafe(F.col(f"upd.{a}"))
+    return cond
+
+
+def scd2_apply(
+    dim: DataFrame,
+    updates: DataFrame,
+    key: str,
+    attrs: Sequence[str],
+    batch_ts: str,
+) -> DataFrame:
+    """Fold an update batch into a Type-2 dimension.
+
+    ``dim`` carries ``key``, ``attrs`` and the SCD2 bookkeeping columns
+    (see ``scd2_init``); ``updates`` carries ``key`` + ``attrs`` (the
+    new current truth for those keys). Returns the full new dimension:
+
+    - history rows (``is_current`` false): passed through untouched;
+    - current rows whose key is absent from the batch, or present with
+      identical attributes (null-safe): passed through untouched;
+    - current rows whose attributes changed: emitted closed
+      (``valid_to = batch_ts``, ``is_current`` false) AND re-emitted as
+      the new open version with the batch's attributes;
+    - brand-new keys: emitted as open versions.
+
+    The update batch is deduplicated to one row per key before folding
+    (last-write-wins needs an ordering column — callers with intra-batch
+    ordering resolve it upstream); a batch row equal to the current
+    version produces no new version, which is what makes replaying a
+    batch a no-op.
+    """
+    upd = updates.select(key, *attrs).dropDuplicates([key]).alias("upd")
+    hist = dim.filter(~F.col("is_current"))
+    cur = dim.filter(F.col("is_current")).alias("cur")
+
+    ts = F.lit(batch_ts).cast("timestamp")
+    joined = cur.join(upd, F.col(f"cur.{key}") == F.col(f"upd.{key}"), "left")
+    changed = _any_attr_differs(attrs) & F.col(f"upd.{key}").isNotNull()
+
+    untouched_cur = joined.filter(~changed).select("cur.*")
+    closed = (
+        joined.filter(changed)
+        .select("cur.*")
+        .withColumn("valid_to", ts)
+        .withColumn("is_current", F.lit(False))
+    )
+    reopened = joined.filter(changed).select(
+        F.col(f"cur.{key}").alias(key),
+        *[F.col(f"upd.{a}").alias(a) for a in attrs],
+        ts.alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    fresh = upd.join(cur, F.col(f"upd.{key}") == F.col(f"cur.{key}"), "left_anti").select(
+        F.col(key),
+        *[F.col(a) for a in attrs],
+        ts.alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    out_cols = [key, *attrs, *SCD2_COLS]
+    return (
+        hist.select(*out_cols)
+        .unionByName(untouched_cur.select(*out_cols))
+        .unionByName(closed.select(*out_cols))
+        .unionByName(reopened)
+        .unionByName(fresh)
+    )
+
+
+def scd2_as_of(dim: DataFrame, ts: str) -> DataFrame:
+    """Point-in-time view: the version of each key current at ``ts``
+    (``valid_from <= ts < valid_to``, open versions unbounded). A pure
+    filter — no shuffle — which is the payoff of Type 2: time travel
+    without snapshots."""
+    t = F.lit(ts).cast("timestamp")
+    return dim.filter(
+        (F.col("valid_from") <= t)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > t))
+    )

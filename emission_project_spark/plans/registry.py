@@ -75,6 +75,8 @@ _PRIORITY: list[str] = [
     "dedup_levenshtein_block",
     "text_bigrams_top",
     "stream_left_outer_join_batch",
+    "scd2_customer_segment",
+    "scd2_point_in_time",
     # -- (c) rotation: last verified round 3, extensions first -------------
     "curation_cluster_quality_join",
     "approx_aggregates_events",

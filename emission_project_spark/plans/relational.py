@@ -2041,3 +2041,105 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             z.alias("zscore"),
         )
     )
+
+
+# --- SCD Type-2 dimension maintenance (operators/scd.py): the
+# warehouse operator the reference's Type-1 upsert
+# (upsert_query.text:5-9) loses history to. One update batch folds into
+# a bootstrapped customer dim: segment changes close the old version at
+# the batch timestamp and open a new one; untouched and
+# attribute-identical keys pass through; brand-new keys open fresh
+# versions. The oracle restates the fold as four disjoint UNION ALL
+# branches over the same null-safe change predicate.
+@register(
+    "scd2_customer_segment",
+    oracle="""
+    WITH upd AS (
+        SELECT c_custkey, 'SEG_PROMO' AS c_mktsegment
+        FROM customer WHERE c_custkey % 5 = 0
+        UNION ALL
+        SELECT c_custkey, c_mktsegment
+        FROM customer WHERE c_custkey % 5 = 1
+        UNION ALL
+        SELECT c_custkey + 10000000, 'SEG_NEW'
+        FROM customer WHERE c_custkey % 97 = 0
+    ),
+    cur AS (SELECT c_custkey, c_mktsegment FROM customer),
+    j AS (
+        SELECT c.c_custkey, c.c_mktsegment AS old_seg, u.c_mktsegment AS new_seg,
+               (u.c_custkey IS NOT NULL
+                AND u.c_mktsegment IS DISTINCT FROM c.c_mktsegment) AS changed
+        FROM cur c LEFT JOIN upd u ON c.c_custkey = u.c_custkey
+    )
+    SELECT c_custkey, old_seg AS c_mktsegment,
+           TIMESTAMP '2024-01-01' AS valid_from,
+           CAST(NULL AS TIMESTAMP) AS valid_to, true AS is_current
+    FROM j WHERE NOT changed
+    UNION ALL
+    SELECT c_custkey, old_seg, TIMESTAMP '2024-01-01',
+           TIMESTAMP '2024-06-01', false
+    FROM j WHERE changed
+    UNION ALL
+    SELECT c_custkey, new_seg, TIMESTAMP '2024-06-01',
+           CAST(NULL AS TIMESTAMP), true
+    FROM j WHERE changed
+    UNION ALL
+    SELECT u.c_custkey, u.c_mktsegment, TIMESTAMP '2024-06-01',
+           CAST(NULL AS TIMESTAMP), true
+    FROM upd u LEFT JOIN cur c ON u.c_custkey = c.c_custkey
+    WHERE c.c_custkey IS NULL
+    """,
+)
+def scd2_customer_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emission_project_spark.operators.scd import scd2_apply, scd2_init
+
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    dim0 = scd2_init(c, "2024-01-01")
+    upd = (
+        c.filter(F.col("c_custkey") % 5 == 0)
+        .select("c_custkey", F.lit("SEG_PROMO").alias("c_mktsegment"))
+        .unionByName(c.filter(F.col("c_custkey") % 5 == 1))
+        .unionByName(
+            c.filter(F.col("c_custkey") % 97 == 0).select(
+                (F.col("c_custkey") + 10000000).alias("c_custkey"),
+                F.lit("SEG_NEW").alias("c_mktsegment"),
+            )
+        )
+    )
+    return scd2_apply(dim0, upd, "c_custkey", ["c_mktsegment"], "2024-06-01")
+
+
+# --- SCD2 point-in-time view: two successive batches build three
+# version generations, then scd2_as_of slices the dimension as it
+# stood between them — time travel as a pure filter, the payoff of
+# keeping history. The oracle collapses the two folds analytically
+# (batch 2's %10 keys are a subset of batch 1's %5 keys, so their
+# July-current version is the batch-1 PROMO row, already closed).
+@register(
+    "scd2_point_in_time",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN c_custkey % 5 = 0 THEN 'SEG_PROMO'
+                ELSE c_mktsegment END AS c_mktsegment,
+           CASE WHEN c_custkey % 5 = 0 THEN TIMESTAMP '2024-06-01'
+                ELSE TIMESTAMP '2024-01-01' END AS valid_from,
+           CASE WHEN c_custkey % 10 = 0 THEN TIMESTAMP '2024-09-01'
+                ELSE CAST(NULL AS TIMESTAMP) END AS valid_to,
+           c_custkey % 10 <> 0 AS is_current
+    FROM customer
+    """,
+)
+def scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emission_project_spark.operators.scd import scd2_apply, scd2_as_of, scd2_init
+
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    dim0 = scd2_init(c, "2024-01-01")
+    upd1 = c.filter(F.col("c_custkey") % 5 == 0).select(
+        "c_custkey", F.lit("SEG_PROMO").alias("c_mktsegment")
+    )
+    upd2 = c.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey", F.lit("SEG_FALL").alias("c_mktsegment")
+    )
+    dim1 = scd2_apply(dim0, upd1, "c_custkey", ["c_mktsegment"], "2024-06-01")
+    dim2 = scd2_apply(dim1, upd2, "c_custkey", ["c_mktsegment"], "2024-09-01")
+    return scd2_as_of(dim2, "2024-07-15")

@@ -101,3 +101,82 @@ class TestBigramsQuery:
         )
         counts = {r.bigram: r.n for r in bigrams.groupBy("bigram").agg(F.count(F.lit(1)).alias("n")).collect()}
         assert counts == {"a b": 2, "b a": 1}
+
+
+class TestScd2:
+    def _dim(self, spark):
+        from emission_project_spark.operators.scd import scd2_init
+
+        base = spark.createDataFrame(
+            [(1, "A", 10.0), (2, "B", 20.0), (3, None, 30.0)],
+            "k bigint, seg string, bal double",
+        )
+        return scd2_init(base, "2024-01-01")
+
+    def _upd(self, spark, rows):
+        return spark.createDataFrame(rows, "k bigint, seg string, bal double")
+
+    def test_change_closes_and_reopens(self, spark):
+        from emission_project_spark.operators.scd import scd2_apply
+
+        out = scd2_apply(
+            self._dim(spark),
+            self._upd(spark, [(1, "A2", 10.0)]),
+            "k", ["seg", "bal"], "2024-06-01",
+        )
+        k1 = sorted(
+            ((r.seg, str(r.valid_from)[:10], r.valid_to and str(r.valid_to)[:10], r.is_current)
+             for r in out.filter(F.col("k") == 1).collect())
+        )
+        assert k1 == [
+            ("A", "2024-01-01", "2024-06-01", False),
+            ("A2", "2024-06-01", None, True),
+        ]
+        # untouched keys: single open version
+        assert out.filter((F.col("k") == 2) & F.col("is_current")).count() == 1
+        assert out.count() == 4
+
+    def test_nullsafe_change_detection(self, spark):
+        from emission_project_spark.operators.scd import scd2_apply
+
+        # NULL -> value is a change; value -> same value is not
+        out = scd2_apply(
+            self._dim(spark),
+            self._upd(spark, [(3, "C", 30.0), (2, "B", 20.0)]),
+            "k", ["seg", "bal"], "2024-06-01",
+        )
+        assert out.filter(F.col("k") == 3).count() == 2       # closed + reopened
+        assert out.filter(F.col("k") == 2).count() == 1       # no-op
+        # replay idempotence: folding the same batch again changes nothing
+        out2 = scd2_apply(
+            out, self._upd(spark, [(3, "C", 30.0)]), "k", ["seg", "bal"], "2024-07-01"
+        )
+        assert out2.count() == out.count()
+
+    def test_new_key_and_history_preserved(self, spark):
+        from emission_project_spark.operators.scd import scd2_apply
+
+        d1 = scd2_apply(
+            self._dim(spark), self._upd(spark, [(1, "A2", 10.0)]),
+            "k", ["seg", "bal"], "2024-06-01",
+        )
+        d2 = scd2_apply(
+            d1, self._upd(spark, [(1, "A3", 10.0), (9, "NEW", 90.0)]),
+            "k", ["seg", "bal"], "2024-09-01",
+        )
+        k1 = d2.filter(F.col("k") == 1)
+        assert k1.count() == 3                                # full version chain
+        assert k1.filter(F.col("is_current")).select("seg").first().seg == "A3"
+        assert d2.filter((F.col("k") == 9) & F.col("is_current")).count() == 1
+
+    def test_as_of_slices_versions(self, spark):
+        from emission_project_spark.operators.scd import scd2_apply, scd2_as_of
+
+        d1 = scd2_apply(
+            self._dim(spark), self._upd(spark, [(1, "A2", 10.0)]),
+            "k", ["seg", "bal"], "2024-06-01",
+        )
+        assert scd2_as_of(d1, "2024-03-01").filter(F.col("k") == 1).first().seg == "A"
+        assert scd2_as_of(d1, "2024-07-01").filter(F.col("k") == 1).first().seg == "A2"
+        # exactly at the boundary the NEW version is current (valid_from <= ts)
+        assert scd2_as_of(d1, "2024-06-01").filter(F.col("k") == 1).first().seg == "A2"
