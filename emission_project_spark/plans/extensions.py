@@ -2247,3 +2247,80 @@ def stream_left_outer_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pid").alias("purchase_id"),
         (F.unix_micros("pts") - F.unix_micros("sts")).cast("bigint").alias("delta_us"),
     )
+
+
+# --- text: corpus-LM quality proxy — each document's mean negative
+# log2 unigram probability under the corpus's own empirical unigram
+# distribution (the CCNet/Gopher-style "perplexity filter" baseline,
+# with the corpus itself as the LM). Two aggregates: the vocab-sized
+# frequency table broadcasts back onto the exploded token stream, so
+# the only data-sized shuffles are the term count and the per-doc
+# regroup. High scores = rare-token-heavy documents (gibberish, code,
+# boilerplate tails) — the tail a quality gate inspects first.
+@register(
+    "text_unigram_logprob",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents
+    ),
+    f AS (SELECT term, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY term),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM f)
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT)                          AS n_tokens,
+           round(avg(-log2(CAST(f.n AS DOUBLE) / tot.total)), 4) AS avg_neg_log2p
+    FROM t JOIN f USING (term), tot
+    GROUP BY t.doc_id
+    """,
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emission_project_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("term")
+    )
+    f = t.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    tot = f.agg(F.sum("n").cast("bigint").alias("total"))
+    return (
+        t.join(F.broadcast(f), "term")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.avg(-F.log2(F.col("n").cast("double") / F.col("total"))), 4
+            ).alias("avg_neg_log2p"),
+        )
+    )
+
+
+# --- curation: temperature-scaled mixture weights — the multilingual
+# sampling-rate formula (p_l^α, α=0.3, renormalized; Conneau & Lample's
+# exponentiated smoothing) that up-samples low-resource strata. The
+# corpus total cancels algebraically (w_l = n_l^α / Σ n_l^α), so the
+# plan is one strata-sized aggregate plus a broadcast of the 1-row
+# normalizer — nothing data-sized moves twice.
+@register(
+    "curation_temperature_weights",
+    oracle=f"""
+    WITH per AS (
+        SELECT lang, CAST(sum(len({_TOKS_SQL})) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY lang
+    )
+    SELECT lang, n_tokens,
+           round(pow(n_tokens, 0.3)
+                 / (SELECT sum(pow(n_tokens, 0.3)) FROM per), 6) AS weight
+    FROM per
+    """,
+)
+def curation_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("lang").agg(
+        F.sum(token_count("text")).cast("bigint").alias("n_tokens")
+    )
+    norm = per.agg(F.sum(F.pow("n_tokens", F.lit(0.3))).alias("_norm"))
+    return per.crossJoin(F.broadcast(norm)).select(
+        "lang",
+        "n_tokens",
+        F.round(F.pow("n_tokens", F.lit(0.3)) / F.col("_norm"), 6).alias("weight"),
+    )

@@ -77,6 +77,8 @@ _PRIORITY: list[str] = [
     "stream_left_outer_join_batch",
     "scd2_customer_segment",
     "scd2_point_in_time",
+    "text_unigram_logprob",
+    "curation_temperature_weights",
     # -- (c) rotation: last verified round 3, extensions first -------------
     "curation_cluster_quality_join",
     "approx_aggregates_events",

@@ -489,3 +489,38 @@ def test_interval_join_rejects_unknown_how(spark):
     )
     with pytest.raises(ValueError, match="left_outer"):
         interval_join_streams(df, df, key="user_id", left_ts="ts", right_ts="ts", how="full")
+
+
+def test_foreachbatch_upsert_sink(spark, tmp_path):
+    """Streaming micro-batches MERGE into the parquet warehouse: a key
+    re-delivered in a later batch overwrites its row (upsert), fresh
+    keys append, and the final table has one row per key."""
+    import os
+
+    from emission_project_spark.sources.warehouse import Warehouse
+    from emission_project_spark.streaming.sink import upsert_sink
+
+    incoming = tmp_path / "incoming"
+    incoming.mkdir()
+    (incoming / "b1.csv").write_text(
+        "user_id,balance\n1,10.0\n2,20.0\n"
+    )
+    (incoming / "b2.csv").write_text(
+        "user_id,balance\n2,99.0\n3,30.0\n"   # key 2 re-delivered → overwrite
+    )
+    os.utime(incoming / "b1.csv", (1000000000, 1000000000))
+    os.utime(incoming / "b2.csv", (1000000100, 1000000100))
+
+    stream = (
+        spark.readStream.format("csv")
+        .schema("user_id bigint, balance double")
+        .option("header", "true")
+        .option("maxFilesPerTrigger", "1")   # two micro-batches
+        .load(str(incoming))
+    )
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    q = upsert_sink(stream, wh, "balances", ["user_id"], str(tmp_path / "ck"))
+    q.awaitTermination(120)
+
+    rows = {r.user_id: r.balance for r in wh.read("balances").collect()}
+    assert rows == {1: 10.0, 2: 99.0, 3: 30.0}

@@ -39,6 +39,8 @@ SCALAR_CROSS_OK = {
     "embedding_cluster_quality",   # Lloyd rounds again (k-centroid broadcast)
     "curation_mixture_report",     # 1-row corpus token total
     "curation_cluster_quality_join",  # Lloyd rounds (k-centroid broadcast)
+    "text_unigram_logprob",           # 1-row corpus token total
+    "curation_temperature_weights",   # 1-row mixture normalizer
 }
 
 
