@@ -2324,3 +2324,48 @@ def curation_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         F.round(F.pow("n_tokens", F.lit(0.3)) / F.col("_norm"), 6).alias("weight"),
     )
+
+
+# --- curation: deterministic weighted sampling WITHOUT replacement
+# (Efraimidis–Spirakis A-ES): each doc draws a reproducible uniform
+# u ∈ (0,1] from its id's md5, and the top-k by u^(1/w) — equivalently
+# ln(u)/w, monotone transform — are the sample; token-heavy docs win
+# proportionally more often. Hash-seeded, so the sample is identical
+# across runs, engines, and partitionings (same auditability contract
+# as curation_stratified_sample, which is the UNWEIGHTED hash-rank
+# twin). The top-k compiles to TakeOrderedAndProject — per-partition
+# heaps, no global sort — the 100 TB shape; only ids and integer
+# weights are emitted, so the hash gate sees no float.
+@register(
+    "curation_weighted_sample",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id,
+               CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens,
+               (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+                + 1) / 4294967296.0 AS u
+        FROM documents
+    )
+    SELECT doc_id, n_tokens
+    FROM d WHERE n_tokens > 0
+    ORDER BY ln(u) / n_tokens DESC, doc_id ASC
+    LIMIT 30
+    """,
+)
+def curation_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        + 1
+    ) / F.lit(4294967296.0)
+    d = docs.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        (F.log(u) / token_count("text")).alias("_key"),
+    ).filter(F.col("n_tokens") > 0)
+    return (
+        d.orderBy(F.col("_key").desc(), F.col("doc_id").asc())
+        .limit(30)
+        .select("doc_id", "n_tokens")
+    )

@@ -79,6 +79,9 @@ _PRIORITY: list[str] = [
     "scd2_point_in_time",
     "text_unigram_logprob",
     "curation_temperature_weights",
+    "argmin_cheapest_part_per_brand",
+    "revenue_mom_change",
+    "curation_weighted_sample",
     # -- (c) rotation: last verified round 3, extensions first -------------
     "curation_cluster_quality_join",
     "approx_aggregates_events",

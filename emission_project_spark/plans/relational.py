@@ -2143,3 +2143,74 @@ def scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim1 = scd2_apply(dim0, upd1, "c_custkey", ["c_mktsegment"], "2024-06-01")
     dim2 = scd2_apply(dim1, upd2, "c_custkey", ["c_mktsegment"], "2024-09-01")
     return scd2_as_of(dim2, "2024-07-15")
+
+
+# --- Deterministic arg-min (min_by semantics, tie-safe): the cheapest
+# part per brand. Plain min_by/arg_min tie-breaks nondeterministically
+# in BOTH engines; packing the ordering key and the payload into one
+# struct and taking min() gives a total order (price, then unique
+# partkey), so the winner is reproducible — one partial-aggregable
+# pass, no window sort. The payload fields ride along for free.
+@register(
+    "argmin_cheapest_part_per_brand",
+    oracle="""
+    SELECT p_brand,
+           round((min(struct_pack(price := p_retailprice,
+                                  partkey := p_partkey,
+                                  name := p_name))).price, 2) AS best_price,
+           (min(struct_pack(price := p_retailprice,
+                            partkey := p_partkey,
+                            name := p_name))).partkey         AS best_partkey,
+           (min(struct_pack(price := p_retailprice,
+                            partkey := p_partkey,
+                            name := p_name))).name            AS best_name
+    FROM part GROUP BY p_brand
+    """,
+)
+def argmin_cheapest_part_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    best = F.min(
+        F.struct(
+            F.col("p_retailprice").alias("price"),
+            F.col("p_partkey").alias("partkey"),
+            F.col("p_name").alias("name"),
+        )
+    )
+    return p.groupBy("p_brand").agg(
+        F.round(best.getField("price"), 2).alias("best_price"),
+        best.getField("partkey").alias("best_partkey"),
+        best.getField("name").alias("best_name"),
+    )
+
+
+# --- Period-over-period: monthly revenue with month-over-month % change
+# (lag over the post-aggregate frame). The window is global but runs on
+# the month-grain output — a bounded few-dozen rows at ANY input scale,
+# so the single-partition sort is free; all the data-sized work is the
+# partial+final hash aggregate underneath.
+@register(
+    "revenue_mom_change",
+    oracle="""
+    WITH m AS (
+        SELECT CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS month,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM orders GROUP BY 1
+    )
+    SELECT month, revenue,
+           round(100.0 * (revenue - lag(revenue) OVER (ORDER BY month))
+                 / lag(revenue) OVER (ORDER BY month), 4) AS mom_pct
+    FROM m
+    """,
+)
+def revenue_mom_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.to_date(F.date_trunc("month", F.to_date("o_orderdate"))).alias("month")
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    w = Window.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return m.select(
+        "month",
+        "revenue",
+        F.round(100.0 * (F.col("revenue") - prev) / prev, 4).alias("mom_pct"),
+    )
