@@ -2111,7 +2111,10 @@ def curation_final_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(s / 48 AS BIGINT)                                 AS chunk_id,
            CAST(s AS BIGINT)                                      AS chunk_start,
            CAST(len(list_slice(toks, s + 1, s + 64)) AS BIGINT)   AS n_tokens,
-           array_to_string(list_slice(toks, s + 1, s + 64), ' ')  AS chunk_text
+           -- coalesce: DuckDB array_to_string([]) is NULL, Spark
+           -- array_join([]) is '' (empty doc => one empty chunk)
+           coalesce(array_to_string(list_slice(toks, s + 1, s + 64), ' '), '')
+                                                                  AS chunk_text
     FROM d, unnest(generate_series(0, greatest(len(toks) - 1, 0), 48)) AS t(s)
     """,
 )
@@ -2309,7 +2312,8 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT lang, n_tokens,
            round(pow(n_tokens, 0.3)
-                 / (SELECT sum(pow(n_tokens, 0.3)) FROM per), 6) AS weight
+                 / nullif((SELECT sum(pow(n_tokens, 0.3)) FROM per), 0), 6)
+               AS weight
     FROM per
     """,
 )
@@ -2322,7 +2326,9 @@ def curation_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per.crossJoin(F.broadcast(norm)).select(
         "lang",
         "n_tokens",
-        F.round(F.pow("n_tokens", F.lit(0.3)) / F.col("_norm"), 6).alias("weight"),
+        F.round(
+            F.try_divide(F.pow("n_tokens", F.lit(0.3)), F.col("_norm")), 6
+        ).alias("weight"),
     )
 
 
@@ -2362,10 +2368,56 @@ def curation_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = docs.select(
         "doc_id",
         token_count("text").alias("n_tokens"),
-        (F.log(u) / token_count("text")).alias("_key"),
+        # try_divide: the n_tokens > 0 filter below protects semantics,
+        # but ANSI evaluation of the projection must not error first
+        F.try_divide(F.log(u), token_count("text")).alias("_key"),
     ).filter(F.col("n_tokens") > 0)
     return (
         d.orderBy(F.col("_key").desc(), F.col("doc_id").asc())
         .limit(30)
         .select("doc_id", "n_tokens")
+    )
+
+
+# --- curation: deterministic train/val/test split — each doc hashes
+# into a bucket of 100 from md5(doc_id) and the 80/10/10 cut is a pure
+# projection: reproducible across runs, engines, partitionings, and
+# INCREMENTAL ingests (a doc's split never changes when new docs
+# arrive — the property a random split lacks and leakage audits need).
+# Stratification is free: the bucket is independent of (lang, source),
+# so per-stratum proportions converge without per-stratum state. The
+# summary emits per (lang, split) counts — the table a leakage audit
+# reads first.
+@register(
+    "curation_train_val_test_split",
+    oracle="""
+    WITH s AS (
+        SELECT lang,
+               CASE
+                 WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                      AS BIGINT) % 100 < 80 THEN 'train'
+                 WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                      AS BIGINT) % 100 < 90 THEN 'val'
+                 ELSE 'test'
+               END AS split
+        FROM documents
+    )
+    SELECT lang, split, CAST(count(*) AS BIGINT) AS n_docs
+    FROM s GROUP BY lang, split
+    """,
+)
+def curation_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        docs.select("lang", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
     )

@@ -82,6 +82,7 @@ _PRIORITY: list[str] = [
     "argmin_cheapest_part_per_brand",
     "revenue_mom_change",
     "curation_weighted_sample",
+    "curation_train_val_test_split",
     # -- (c) rotation: last verified round 3, extensions first -------------
     "curation_cluster_quality_join",
     "approx_aggregates_events",

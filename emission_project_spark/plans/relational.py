@@ -1842,7 +1842,8 @@ def conditional_agg_priority_classes(spark: SparkSession, sf_dir: str) -> DataFr
            round(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
                              THEN l.l_extendedprice * (1 - l.l_discount)
                              ELSE 0 END)
-                 / sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_pct,
+                 / nullif(sum(l.l_extendedprice * (1 - l.l_discount)), 0), 4)
+               AS promo_pct,
            round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)   AS total_revenue
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     WHERE CAST(l.l_shipdate AS DATE) >= DATE '1996-01-01'
@@ -1863,9 +1864,11 @@ def join_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.to_date(F.date_trunc("month", F.to_date("l_shipdate"))).alias("ship_month"))
         .agg(
             F.round(
-                100.0
-                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)))
-                / F.sum(rev),
+                F.try_divide(
+                    100.0
+                    * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))),
+                    F.sum(rev),
+                ),
                 4,
             ).alias("promo_pct"),
             F.round(F.sum(rev), 2).alias("total_revenue"),
@@ -2031,7 +2034,9 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.avg("value").over(w).alias("mu"),
         F.stddev_samp("value").over(w).alias("sigma"),
     )
-    z = F.round((F.col("value") - F.col("mu")) / F.col("sigma"), 3)
+    # try_divide: conjunct evaluation order is engine-internal, so the
+    # sigma > 0 guard alone doesn't protect the division under ANSI
+    z = F.round(F.try_divide(F.col("value") - F.col("mu"), F.col("sigma")), 3)
     return (
         s.filter((F.col("sigma") > 0) & (F.abs(z) >= 2.5))
         .select(
@@ -2197,8 +2202,11 @@ def argmin_cheapest_part_per_brand(spark: SparkSession, sf_dir: str) -> DataFram
         FROM orders GROUP BY 1
     )
     SELECT month, revenue,
+           -- nullif: a zero-revenue month yields NULL change (Spark
+           -- try_divide parity; plain '/' is IEEE inf in DuckDB and an
+           -- ANSI error in Spark)
            round(100.0 * (revenue - lag(revenue) OVER (ORDER BY month))
-                 / lag(revenue) OVER (ORDER BY month), 4) AS mom_pct
+                 / nullif(lag(revenue) OVER (ORDER BY month), 0), 4) AS mom_pct
     FROM m
     """,
 )
@@ -2212,5 +2220,7 @@ def revenue_mom_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         "month",
         "revenue",
-        F.round(100.0 * (F.col("revenue") - prev) / prev, 4).alias("mom_pct"),
+        F.round(
+            F.try_divide(100.0 * (F.col("revenue") - prev), prev), 4
+        ).alias("mom_pct"),
     )
