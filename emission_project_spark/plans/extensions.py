@@ -2421,3 +2421,36 @@ def curation_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame
         .groupBy("lang", "split")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+# --- Batch twin of the stateful streaming top-k (streaming/stateful.py
+# topk_per_key): over a bounded input the maintained O(k)-per-key heap
+# converges to exactly the rank query below (value desc, event_id asc
+# total order — tie-deterministic). tests/test_streaming.py::
+# test_streaming_stateful_topk proves the cross-micro-batch path
+# (early-batch values survive displacement attempts); this row pins the
+# semantics against SQL. The batch plan itself is the WindowGroupLimit
+# shape: partial top-k runs map-side before the shuffle.
+@register(
+    "stream_topk_values_batch",
+    oracle="""
+    SELECT user_id, CAST(rn AS INT) AS rank, event_id, round(value, 4) AS value
+    FROM (
+        SELECT user_id, event_id, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY value DESC, event_id) AS rn
+        FROM events
+    )
+    WHERE rn <= 3
+    """,
+)
+def stream_topk_values_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("value").desc(), F.col("event_id"))
+    return (
+        e.select("user_id", "event_id", "value", F.row_number().over(w).alias("rank"))
+        .filter(F.col("rank") <= 3)
+        .select("user_id", "rank", "event_id", F.round("value", 4).alias("value"))
+    )

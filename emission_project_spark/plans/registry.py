@@ -83,6 +83,7 @@ _PRIORITY: list[str] = [
     "revenue_mom_change",
     "curation_weighted_sample",
     "curation_train_val_test_split",
+    "stream_topk_values_batch",
     # -- (c) rotation: last verified round 3, extensions first -------------
     "curation_cluster_quality_join",
     "approx_aggregates_events",

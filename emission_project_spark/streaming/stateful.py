@@ -141,3 +141,54 @@ def session_window_totals(
             "total_value",
         )
     )
+
+
+TOPK_SCHEMA = "user_id bigint, rank int, event_id bigint, value double"
+_TOPK_STATE_SCHEMA = "values array<double>, ids array<bigint>"
+
+
+def topk_per_key(events: DataFrame, k: int = 3) -> DataFrame:
+    """Per-key top-k maintained across micro-batches: each key's state
+    is the current k best (value, event_id) pairs — a bounded heap, so
+    state is O(k) per key FOREVER, no matter how many events stream by
+    (contrast a windowed rank, which buffers a window's worth).
+    Ordering is total (value desc, then event_id asc) so the result is
+    deterministic under ties and replay.
+
+    Emits each key's refreshed top-k every micro-batch that touches
+    the key (update mode — the "trending items per user" dashboard
+    feed). The oracle-checked batch twin
+    (plans/extensions.py stream_topk_values_batch) pins the semantics:
+    over a bounded input the maintained top-k is exactly the
+    row_number() <= k rank query.
+    """
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            vals, ids = state.get
+            best = list(zip(vals, ids))
+        else:
+            best = []
+        for pdf in pdfs:
+            best.extend(zip(pdf["value"].tolist(), pdf["event_id"].tolist()))
+        # total order: value desc, event_id asc — ties deterministic
+        best.sort(key=lambda p: (-p[0], p[1]))
+        best = best[:k]
+        state.update(([v for v, _ in best], [i for _, i in best]))
+        yield pd.DataFrame(
+            [
+                [key[0], rank + 1, int(i), float(v)]
+                for rank, (v, i) in enumerate(best)
+            ],
+            columns=["user_id", "rank", "event_id", "value"],
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=TOPK_SCHEMA,
+        stateStructType=_TOPK_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

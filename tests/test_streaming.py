@@ -524,3 +524,53 @@ def test_foreachbatch_upsert_sink(spark, tmp_path):
 
     rows = {r.user_id: r.balance for r in wh.read("balances").collect()}
     assert rows == {1: 10.0, 2: 99.0, 3: 30.0}
+
+
+def test_streaming_stateful_topk(spark, tmp_path):
+    """Per-key top-k state merges across micro-batches: batch 2's
+    mid-range value displaces nothing it shouldn't, a new high enters,
+    and the k-bound holds (state never grows past k per key)."""
+    import os
+
+    from emission_project_spark.streaming.stateful import topk_per_key
+
+    incoming = tmp_path / "incoming"
+    incoming.mkdir()
+    (incoming / "a.csv").write_text(
+        "user_id,event_id,value\n"
+        "1,10,5.0\n1,11,9.0\n1,12,7.0\n1,13,1.0\n"   # top3 after b1: 9,7,5
+    )
+    (incoming / "b.csv").write_text(
+        "user_id,event_id,value\n"
+        "1,14,8.0\n1,15,0.5\n"                        # 8 enters, 5 drops
+    )
+    os.utime(incoming / "a.csv", (1000000000, 1000000000))
+    os.utime(incoming / "b.csv", (1000000100, 1000000100))
+
+    stream = (
+        spark.readStream.format("csv")
+        .schema("user_id bigint, event_id bigint, value double")
+        .option("header", "true")
+        .option("maxFilesPerTrigger", "1")
+        .load(str(incoming))
+    )
+    q = (
+        topk_per_key(stream, k=3)
+        .writeStream.format("memory")
+        .queryName("topk_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    emitted = {
+        (r.rank, r.event_id, r.value)
+        for r in spark.sql("SELECT rank, event_id, value FROM topk_out").collect()
+    }
+    # batch 1 emitted (9,7,5); batch 2 re-emitted the merged (9,8,7)
+    assert {(1, 11, 9.0), (2, 12, 7.0), (3, 10, 5.0)} <= emitted   # batch-1 state
+    assert {(1, 11, 9.0), (2, 14, 8.0), (3, 12, 7.0)} <= emitted   # merged state
+    # never-top-k events are never emitted; the k-bound holds
+    assert not any(e in (13, 15) for _, e, _v in emitted)
+    assert len(emitted) == 5
