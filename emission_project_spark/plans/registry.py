@@ -84,6 +84,8 @@ _PRIORITY: list[str] = [
     "curation_weighted_sample",
     "curation_train_val_test_split",
     "stream_topk_values_batch",
+    "stats_corr_price_quantity",
+    "listagg_nations_per_region",
     # -- (c) rotation: last verified round 3, extensions first -------------
     "curation_cluster_quality_join",
     "approx_aggregates_events",

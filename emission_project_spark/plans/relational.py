@@ -2224,3 +2224,63 @@ def revenue_mom_change(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.try_divide(100.0 * (F.col("revenue") - prev), prev), 4
         ).alias("mom_pct"),
     )
+
+
+# --- Statistical aggregates: Pearson correlation, sample covariance,
+# and the component stddevs of (quantity, price) per return flag — the
+# co-movement profile a pricing/QC analysis starts from. All four are
+# single-pass mergeable aggregates (sum/sum-of-squares/cross-product
+# partials), so the plan is the same one-exchange partial+final shape
+# as any sum, at any scale. corr/covar_samp definitions are identical
+# ANSI forms in both engines (unlike skewness/kurtosis, whose bias
+# corrections differ — deliberately not registered).
+@register(
+    "stats_corr_price_quantity",
+    oracle="""
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 6)       AS corr_qty_price,
+           round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price,
+           round(stddev_samp(l_quantity), 6)                 AS sd_qty,
+           round(stddev_samp(l_extendedprice), 4)            AS sd_price,
+           CAST(count(*) AS BIGINT)                          AS n_lines
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def stats_corr_price_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("covar_qty_price"),
+        F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+# --- Deterministic list aggregation (LISTAGG / string_agg): nation
+# names per region, sorted inside the aggregate so the concatenation is
+# reproducible regardless of partitioning (collect_list order is
+# arrival order — never expose it unsorted). Group sizes here are
+# dim-bounded; for data-sized groups the cap-and-report pattern of the
+# dedup kit applies instead.
+@register(
+    "listagg_nations_per_region",
+    oracle="""
+    SELECT r.r_name AS region,
+           string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations,
+           CAST(count(*) AS BIGINT) AS n_nations
+    FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def listagg_nations_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        n.join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations"),
+            F.count(F.lit(1)).alias("n_nations"),
+        )
+    )
