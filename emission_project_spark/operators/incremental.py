@@ -52,3 +52,42 @@ def upsert(
     transactions this is ``MERGE INTO``; pure-parquet needs the swap."""
     keep = anti_join(existing, batch, keys)
     return keep.unionByName(batch)
+
+
+def merge_agg_state(
+    state: DataFrame,
+    batch_state: DataFrame,
+    keys: Sequence[str],
+    sums: Sequence[str] = (),
+    mins: Sequence[str] = (),
+    maxs: Sequence[str] = (),
+) -> DataFrame:
+    """Incremental view maintenance for mergeable aggregates: fold a
+    new batch's partial-aggregate table into the stored one.
+
+    ``state`` and ``batch_state`` share the schema ``keys + sums +
+    mins + maxs``, where each measure was produced by the matching
+    aggregate (sum/count under ``sums``, min under ``mins``, max under
+    ``maxs``) over disjoint row sets. The merge — union, regroup,
+    re-aggregate with the measure's own combiner — yields exactly the
+    aggregate over the union of inputs, because these aggregates are
+    commutative monoids (avg/stddev decompose into sums; exact
+    distinct/median do NOT belong here — that's what sketches are for).
+
+    The 100 TB point: the nightly roll-up never rescans history. The
+    stored state is group-grain (small), the batch is aggregated
+    map-side before it ever shuffles, and the merge is one hash
+    aggregate over |groups| + |batch groups| rows. Replay safety is the
+    caller's idempotence contract (dedup the batch first — see
+    ``incremental_insert``), same as the reference's anti-join load.
+    """
+    from pyspark.sql import functions as F
+
+    aggs = (
+        [F.sum(c).alias(c) for c in sums]
+        + [F.min(c).alias(c) for c in mins]
+        + [F.max(c).alias(c) for c in maxs]
+    )
+    if not aggs:
+        raise ValueError("merge_agg_state: no measures given")
+    return state.unionByName(batch_state).groupBy(*keys).agg(*aggs)

@@ -86,6 +86,7 @@ _PRIORITY: list[str] = [
     "stream_topk_values_batch",
     "stats_corr_price_quantity",
     "listagg_nations_per_region",
+    "incremental_rollup_merge",
     # -- (c) rotation: last verified round 3, extensions first -------------
     "curation_cluster_quality_join",
     "approx_aggregates_events",

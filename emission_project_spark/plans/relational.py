@@ -2284,3 +2284,60 @@ def listagg_nations_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_nations"),
         )
     )
+
+
+# --- Incremental view maintenance (operators/incremental.py
+# merge_agg_state): the stored roll-up state (lineitems with
+# l_orderkey % 3 != 0, standing in for history already aggregated on
+# past ticks) folds with the new batch's map-side partial aggregate
+# (the % 3 == 0 rows) WITHOUT rescanning history — and the merged
+# result is bit-identical to the full-table roll-up, which is exactly
+# what the oracle states (merge-equals-recompute, the defining IVM
+# property). Rounding happens only AFTER the merge: sums must fold at
+# full precision.
+@register(
+    "incremental_rollup_merge",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)       AS sum_qty,
+           round(sum(l_extendedprice), 2)  AS sum_price,
+           CAST(count(*) AS BIGINT)        AS n_lines,
+           round(min(l_extendedprice), 2)  AS min_price,
+           round(max(l_extendedprice), 2)  AS max_price
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emission_project_spark.operators.incremental import merge_agg_state
+
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("l_returnflag", "l_linestatus").agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum("l_extendedprice").alias("sum_price"),
+            F.count(F.lit(1)).alias("n_lines"),
+            F.min("l_extendedprice").alias("min_price"),
+            F.max("l_extendedprice").alias("max_price"),
+        )
+
+    state = partial(li.filter(F.col("l_orderkey") % 3 != 0))
+    batch = partial(li.filter(F.col("l_orderkey") % 3 == 0))
+    merged = merge_agg_state(
+        state,
+        batch,
+        keys=["l_returnflag", "l_linestatus"],
+        sums=["sum_qty", "sum_price", "n_lines"],
+        mins=["min_price"],
+        maxs=["max_price"],
+    )
+    return merged.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.round("sum_qty", 2).alias("sum_qty"),
+        F.round("sum_price", 2).alias("sum_price"),
+        F.col("n_lines").cast("bigint").alias("n_lines"),
+        F.round("min_price", 2).alias("min_price"),
+        F.round("max_price", 2).alias("max_price"),
+    )

@@ -180,3 +180,38 @@ class TestScd2:
         assert scd2_as_of(d1, "2024-07-01").filter(F.col("k") == 1).first().seg == "A2"
         # exactly at the boundary the NEW version is current (valid_from <= ts)
         assert scd2_as_of(d1, "2024-06-01").filter(F.col("k") == 1).first().seg == "A2"
+
+
+class TestMergeAggState:
+    def test_merge_equals_recompute_and_rejects_empty(self, spark):
+        import pytest
+
+        from emission_project_spark.operators.incremental import merge_agg_state
+
+        df = spark.createDataFrame(
+            [("a", 1.0), ("a", 2.0), ("b", 5.0), ("b", -1.0), ("c", 0.0)],
+            "k string, v double",
+        )
+
+        def partial(d):
+            return d.groupBy("k").agg(
+                F.sum("v").alias("s"),
+                F.count(F.lit(1)).alias("n"),
+                F.min("v").alias("lo"),
+                F.max("v").alias("hi"),
+            )
+
+        # split so one group ('a') spans both sides and one ('c') is batch-only
+        left = partial(df.filter(F.col("v") > 0.5))
+        right = partial(df.filter(F.col("v") <= 0.5))
+        merged = {
+            r.k: (r.s, r.n, r.lo, r.hi)
+            for r in merge_agg_state(
+                left, right, ["k"], sums=["s", "n"], mins=["lo"], maxs=["hi"]
+            ).collect()
+        }
+        full = {r.k: (r.s, r.n, r.lo, r.hi) for r in partial(df).collect()}
+        assert merged == full
+
+        with pytest.raises(ValueError):
+            merge_agg_state(left, right, ["k"])
