@@ -604,50 +604,61 @@ def levenshtein_block_pairs(
     block_cols: tuple[str, ...] = ("lang", "source"),
     len_bucket: int = 64,
     max_rel_dist: float = 0.25,
+    affix_len: int = 16,
 ) -> DataFrame:
-    """Edit-distance near-duplicate pairs under blocking: candidates
-    share ``block_cols`` plus a character-length bucket
-    (``len(text) DIV len_bucket``), and a pair survives when
+    """Edit-distance near-duplicate pairs under multi-pass blocking:
+    candidates share ``block_cols``, a character-length bucket
+    (``floor(len/len_bucket)``), and — per pass — either the first or
+    the last ``affix_len`` characters; a pair survives when
     ``levenshtein(a, b) <= max_rel_dist * max(len(a), len(b))``.
 
     Complements the token-set detectors (minhash/simhash/Jaccard are
     blind to ordering; winnowing to small in-place edits): Levenshtein
     is the character-level ground truth the others approximate, and
-    blocking is what keeps it tractable — the join shuffles on the
-    block key, so the O(|a|·|b|) DP runs only inside blocks, never
-    all-pairs. Recall is bounded by the blocking choice (an edit that
-    crosses a length-bucket boundary escapes — the standard
-    blocking/recall trade, same contract as the LSH band count);
-    precision is exact. At 100 TB: block sizes are observable via a
-    count-by-key, and oversized blocks get the same cap treatment as
-    shingle buckets (``shingle_cap_report``). Emits
-    ``id_a < id_b, dist, rel_dist``.
+    blocking is what keeps it tractable — each pass shuffles on its
+    block key so the O(|a|·|b|) DP runs only inside blocks, never
+    all-pairs. The affix keys are what make block size track TRUE
+    duplicate groups instead of corpus size: (lang, source, length)
+    alone puts every same-stratum same-length doc in one block, which
+    goes quadratic as the corpus grows; prefix/suffix equality is
+    sharply selective on natural text. Running BOTH passes and
+    unioning the candidates means a pair escapes only when edited in
+    the prefix AND the suffix — the standard multi-pass
+    entity-resolution recall repair (single-affix recall holes close
+    multiplicatively), with the residual miss (both-ends edits) being
+    exactly the kind the token-set detectors catch instead. Precision
+    is exact. Emits ``id_a < id_b, dist, rel_dist``.
     """
     blocked = docs.select(
         F.col(id_col),
         F.col(text_col),
         *[F.col(c) for c in block_cols],
         F.floor(F.length(text_col) / F.lit(len_bucket)).cast("bigint").alias("_lbucket"),
+        F.expr(f"left({text_col}, {affix_len})").alias("_pre"),
+        F.expr(f"right({text_col}, {affix_len})").alias("_suf"),
     )
-    a = blocked.select(
-        *[F.col(c) for c in block_cols],
-        "_lbucket",
-        F.col(id_col).alias("id_a"),
-        F.col(text_col).alias("_ta"),
+
+    def pass_pairs(affix: str) -> DataFrame:
+        keys = [*block_cols, "_lbucket", affix]
+        a = blocked.select(
+            *keys, F.col(id_col).alias("id_a"), F.col(text_col).alias("_ta")
+        )
+        b = blocked.select(
+            *keys, F.col(id_col).alias("id_b"), F.col(text_col).alias("_tb")
+        )
+        return (
+            a.join(b, keys)
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "_ta", "_tb")
+        )
+
+    cand = pass_pairs("_pre").unionByName(pass_pairs("_suf")).dropDuplicates(
+        ["id_a", "id_b"]
     )
-    b = blocked.select(
-        *[F.col(c) for c in block_cols],
-        "_lbucket",
-        F.col(id_col).alias("id_b"),
-        F.col(text_col).alias("_tb"),
-    )
-    keys = [*block_cols, "_lbucket"]
     dist = F.levenshtein("_ta", "_tb")
     bound = F.lit(max_rel_dist) * F.greatest(F.length("_ta"), F.length("_tb"))
     return (
-        a.join(b, keys)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(dist <= bound)
+        cand.filter(dist <= bound)
         .select(
             "id_a",
             "id_b",

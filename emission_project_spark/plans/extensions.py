@@ -2127,29 +2127,42 @@ def curation_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_tokens(toked, "doc_id", "toks", window=64, stride=48)
 
 
-# --- dedup: character-level edit-distance near-dups under
-# (lang, source, length-bucket) blocking — the exact ground truth the
-# token-set detectors approximate, kept tractable by shuffling on the
-# block key so the O(L²) DP never runs all-pairs. Oracle restates
-# blocking + levenshtein directly (both engines implement the same
-# Wagner-Fischer distance).
+# --- dedup: character-level edit-distance near-dups under multi-pass
+# (lang, source, length-bucket, prefix|suffix) blocking — the exact
+# ground truth the token-set detectors approximate, kept tractable by
+# shuffling on block keys so the O(L²) DP never runs all-pairs. The
+# affix keys keep block size tracking true duplicate groups instead of
+# corpus size (stratum+length alone goes quadratic as the corpus
+# grows); unioning a prefix pass and a suffix pass means a pair
+# escapes only when edited at BOTH ends. Oracle restates both passes
+# (UNION dedupes) over the same Wagner-Fischer distance.
 @register(
     "dedup_levenshtein_block",
     oracle="""
     WITH b AS (
         SELECT doc_id, text, lang, source,
-               CAST(floor(length(text) / 64.0) AS BIGINT) AS lb
+               CAST(floor(length(text) / 64.0) AS BIGINT) AS lb,
+               left(text, 16) AS pre, right(text, 16) AS suf
         FROM documents
+    ),
+    cand AS (
+        SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+               a.text AS ta, c.text AS tb
+        FROM b a JOIN b c
+          ON a.lang = c.lang AND a.source = c.source AND a.lb = c.lb
+         AND a.pre = c.pre AND a.doc_id < c.doc_id
+        UNION
+        SELECT a.doc_id, c.doc_id, a.text, c.text
+        FROM b a JOIN b c
+          ON a.lang = c.lang AND a.source = c.source AND a.lb = c.lb
+         AND a.suf = c.suf AND a.doc_id < c.doc_id
     )
-    SELECT a.doc_id AS id_a, c.doc_id AS id_b,
-           CAST(levenshtein(a.text, c.text) AS BIGINT) AS dist,
-           round(levenshtein(a.text, c.text)
-                 / greatest(length(a.text), length(c.text)), 4) AS rel_dist
-    FROM b a JOIN b c
-      ON a.lang = c.lang AND a.source = c.source AND a.lb = c.lb
-     AND a.doc_id < c.doc_id
-    WHERE levenshtein(a.text, c.text)
-           <= 0.25 * greatest(length(a.text), length(c.text))
+    SELECT id_a, id_b,
+           CAST(levenshtein(ta, tb) AS BIGINT) AS dist,
+           round(levenshtein(ta, tb)
+                 / greatest(length(ta), length(tb)), 4) AS rel_dist
+    FROM cand
+    WHERE levenshtein(ta, tb) <= 0.25 * greatest(length(ta), length(tb))
     """,
 )
 def dedup_levenshtein_block(spark: SparkSession, sf_dir: str) -> DataFrame:

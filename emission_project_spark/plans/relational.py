@@ -2341,3 +2341,37 @@ def incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("min_price", 2).alias("min_price"),
         F.round("max_price", 2).alias("max_price"),
     )
+
+
+# --- UNPIVOT (melt): the four lineitem measures rotate long-form into
+# (measure, value) and aggregate per measure — the wide→long reshaping
+# every metrics store and plotting layer needs. Spark's native
+# ``DataFrame.unpivot`` is a narrow expression-level expansion (each
+# input row yields 4 output rows map-side, no shuffle until the
+# aggregate), mirrored by DuckDB's UNPIVOT.
+@register(
+    "unpivot_lineitem_measures",
+    oracle="""
+    SELECT measure,
+           CAST(count(*) AS BIGINT) AS n_values,
+           round(sum(val), 2)       AS total,
+           round(avg(val), 6)       AS mean
+    FROM (UNPIVOT lineitem
+          ON l_quantity, l_extendedprice, l_discount, l_tax
+          INTO NAME measure VALUE val)
+    GROUP BY measure
+    """,
+)
+def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ids=["l_orderkey"],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="val",
+    )
+    return long.groupBy("measure").agg(
+        F.count(F.lit(1)).alias("n_values"),
+        F.round(F.sum("val"), 2).alias("total"),
+        F.round(F.avg("val"), 6).alias("mean"),
+    )

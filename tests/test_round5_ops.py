@@ -72,6 +72,22 @@ class TestLevenshteinBlock:
         docs = self._docs(spark, [(1, t, "en", "s"), (2, t, "zh", "s")])
         assert levenshtein_block_pairs(docs).count() == 0
 
+    def test_prefix_edit_caught_by_suffix_pass(self, spark):
+        # an edit INSIDE the 16-char prefix breaks the prefix block,
+        # but the suffix pass recovers the pair (multi-pass recall)
+        base = "the quick brown fox jumps over the lazy dog " * 3
+        edited = "thX" + base[3:]
+        docs = self._docs(spark, [(1, base, "en", "s"), (2, edited, "en", "s")])
+        out = levenshtein_block_pairs(docs).collect()
+        assert [(r.id_a, r.id_b, r.dist) for r in out] == [(1, 2, 1)]
+
+    def test_both_end_edits_escape_blocking(self, spark):
+        # edited at BOTH ends: the documented residual recall miss
+        base = "the quick brown fox jumps over the lazy dog " * 3
+        edited = "thX" + base[3:-4] + "dXg "
+        docs = self._docs(spark, [(1, base, "en", "s"), (2, edited, "en", "s")])
+        assert levenshtein_block_pairs(docs).count() == 0
+
     def test_threshold_excludes_distant(self, spark):
         a = "aaaa bbbb cccc dddd"
         b = "wwww xxxx yyyy zzzz"  # same length/block, dist ≈ len
