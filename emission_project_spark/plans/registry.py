@@ -87,6 +87,7 @@ _PRIORITY: list[str] = [
     "stats_corr_price_quantity",
     "listagg_nations_per_region",
     "incremental_rollup_merge",
+    "unpivot_lineitem_measures",
     # -- (c) rotation: last verified round 3, extensions first -------------
     "curation_cluster_quality_join",
     "approx_aggregates_events",
