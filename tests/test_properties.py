@@ -305,3 +305,128 @@ def test_embedding_lsh_cap_bounds_degenerate_bucket_and_keeps_recall(spark):
     for pair in planted:
         assert pair in got_capped
     assert all(a >= 1000 for a, _ in got_capped)  # no degenerate pairs
+
+
+# ---- round-5 operator properties ------------------------------------
+
+chunk_tokens_lists = st.lists(
+    st.sampled_from(["a", "bb", "ccc", "d"]), min_size=0, max_size=40
+)
+
+
+@settings(**SETTINGS)
+@given(toks=chunk_tokens_lists, window=st.integers(2, 10), stride=st.integers(1, 10))
+def test_chunk_tokens_reconstruction_and_bounds(spark, toks, window, stride):
+    """Chunking invariants for any (window, stride): every chunk is
+    non-empty (for non-empty input) and at most `window` tokens; chunk
+    starts advance by exactly `stride`; and when stride >= window
+    (no overlap) the chunks partition the input exactly."""
+    from emission_project_spark.extensions.curation import chunk_tokens
+
+    df = spark.createDataFrame([(1, toks)], "doc_id bigint, toks array<string>")
+    out = sorted(
+        chunk_tokens(df, "doc_id", "toks", window=window, stride=stride).collect(),
+        key=lambda r: r.chunk_id,
+    )
+    assert [r.chunk_start for r in out] == [i * stride for i in range(len(out))]
+    for r in out:
+        assert 0 <= r.n_tokens <= window
+        if toks:
+            assert r.n_tokens > 0 or r.chunk_start == 0
+    if toks and stride >= window:
+        rebuilt = [t for r in out for t in (r.chunk_text.split(" ") if r.chunk_text else [])]
+        assert rebuilt == toks
+
+
+merge_rows = st.lists(
+    st.tuples(st.sampled_from(["a", "b", "c"]), st.integers(-50, 50)),
+    min_size=1,
+    max_size=16,
+)
+
+
+@settings(**SETTINGS)
+@given(rows=merge_rows, cut=st.integers(-50, 50))
+def test_merge_agg_state_equals_recompute(spark, rows, cut):
+    """For ANY split of the input, folding the two sides' partial
+    aggregates equals aggregating the whole — the mergeable-monoid
+    property incremental_rollup_merge relies on."""
+    from pyspark.sql import functions as F
+
+    from emission_project_spark.operators.incremental import merge_agg_state
+
+    df = spark.createDataFrame(rows, "k string, v long")
+
+    def partial(d):
+        return d.groupBy("k").agg(
+            F.sum("v").alias("s"),
+            F.count(F.lit(1)).alias("n"),
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+        )
+
+    left, right = df.filter(F.col("v") <= cut), df.filter(F.col("v") > cut)
+    merged = {
+        r.k: (r.s, r.n, r.lo, r.hi)
+        for r in merge_agg_state(
+            partial(left), partial(right), ["k"], sums=["s", "n"], mins=["lo"], maxs=["hi"]
+        ).collect()
+    }
+    full = {r.k: (r.s, r.n, r.lo, r.hi) for r in partial(df).collect()}
+    assert merged == full
+
+
+scd_attr = st.one_of(st.none(), st.sampled_from(["X", "Y", "Z"]))
+scd_updates = st.lists(
+    st.tuples(st.integers(1, 4), scd_attr), min_size=0, max_size=6
+)
+
+
+@settings(**SETTINGS)
+@given(upd1=scd_updates, upd2=scd_updates)
+def test_scd2_invariants_under_random_batches(spark, upd1, upd2):
+    """SCD2 structural invariants after any two update batches: every
+    key has EXACTLY one current version; version intervals per key are
+    non-overlapping and ordered; replaying the last batch changes
+    nothing (idempotence)."""
+    from pyspark.sql import functions as F
+
+    from emission_project_spark.operators.scd import scd2_apply, scd2_init
+
+    base = spark.createDataFrame(
+        [(1, "X"), (2, None), (3, "Y")], "k bigint, seg string"
+    )
+    dim = scd2_init(base, "2024-01-01")
+    for i, upd in enumerate([upd1, upd2]):
+        batch = (
+            spark.createDataFrame(upd, "k bigint, seg string")
+            if upd
+            else spark.createDataFrame([], "k bigint, seg string")
+        )
+        # operator contract: one row per key per batch
+        batch = batch.dropDuplicates(["k"])
+        dim = scd2_apply(dim, batch, "k", ["seg"], f"2024-0{i + 6}-01")
+    rows = dim.collect()
+    by_key: dict = {}
+    for r in rows:
+        by_key.setdefault(r.k, []).append(r)
+    for k, vers in by_key.items():
+        currents = [v for v in vers if v.is_current]
+        assert len(currents) == 1, (k, vers)
+        assert currents[0].valid_to is None
+        closed = sorted(
+            (v for v in vers if not v.is_current), key=lambda v: v.valid_from
+        )
+        for v in closed:
+            assert v.valid_to is not None and v.valid_from <= v.valid_to
+        spans = [(v.valid_from, v.valid_to) for v in closed]
+        for (a_from, a_to), (b_from, b_to) in zip(spans, spans[1:]):
+            assert a_to <= b_from, (k, spans)
+    # idempotence: replaying batch 2 is a no-op
+    batch2 = (
+        spark.createDataFrame(upd2, "k bigint, seg string").dropDuplicates(["k"])
+        if upd2
+        else spark.createDataFrame([], "k bigint, seg string")
+    )
+    again = scd2_apply(dim, batch2, "k", ["seg"], "2024-09-01")
+    assert again.count() == len(rows)
