@@ -605,6 +605,7 @@ def levenshtein_block_pairs(
     len_bucket: int = 64,
     max_rel_dist: float = 0.25,
     affix_len: int = 16,
+    max_block: int | None = 256,
 ) -> DataFrame:
     """Edit-distance near-duplicate pairs under multi-pass blocking:
     candidates share ``block_cols``, a character-length bucket
@@ -628,6 +629,15 @@ def levenshtein_block_pairs(
     multiplicatively), with the residual miss (both-ends edits) being
     exactly the kind the token-set detectors catch instead. Precision
     is exact. Emits ``id_a < id_b, dist, rel_dist``.
+
+    ``max_block`` drops blocks larger than that many docs before
+    pairing — the same hot-bucket cap as ``max_doc_freq`` /
+    ``max_bucket`` in the shingle/LSH kit, bounding worst-case DP work
+    per block to max_block²/2. A corpus whose duplicate GROUPS are
+    genuinely huge (k near-identical copies ⇒ k²/2 true pairs — e.g.
+    boilerplate cliques) hits this cap by construction; the capped
+    blocks are observable the same way (count-by-key), and ``None``
+    uncaps for exact small runs.
     """
     blocked = docs.select(
         F.col(id_col),
@@ -640,10 +650,16 @@ def levenshtein_block_pairs(
 
     def pass_pairs(affix: str) -> DataFrame:
         keys = [*block_cols, "_lbucket", affix]
-        a = blocked.select(
+        rows = blocked
+        if max_block is not None:
+            w = Window.partitionBy(*keys)
+            rows = rows.withColumn("_bn", F.count(F.lit(1)).over(w)).filter(
+                F.col("_bn") <= max_block
+            )
+        a = rows.select(
             *keys, F.col(id_col).alias("id_a"), F.col(text_col).alias("_ta")
         )
-        b = blocked.select(
+        b = rows.select(
             *keys, F.col(id_col).alias("id_b"), F.col(text_col).alias("_tb")
         )
         return (
@@ -652,19 +668,31 @@ def levenshtein_block_pairs(
             .select("id_a", "id_b", "_ta", "_tb")
         )
 
-    cand = pass_pairs("_pre").unionByName(pass_pairs("_suf")).dropDuplicates(
-        ["id_a", "id_b"]
-    )
     dist = F.levenshtein("_ta", "_tb")
     bound = F.lit(max_rel_dist) * F.greatest(F.length("_ta"), F.length("_tb"))
-    return (
-        cand.filter(dist <= bound)
-        .select(
-            "id_a",
-            "id_b",
-            dist.cast("bigint").alias("dist"),
-            F.round(
-                dist / F.greatest(F.length("_ta"), F.length("_tb")), 4
-            ).alias("rel_dist"),
+
+    def pass_result(affix: str) -> DataFrame:
+        # distance + threshold INSIDE the pass: a pair caught by both
+        # passes costs one redundant (cheap) DP, but the cross-pass
+        # dedup then shuffles 4 scalar columns for the few survivors
+        # instead of two full text payloads for every candidate —
+        # the difference between a kB-scale and a GB-scale exchange
+        # at corpus size
+        return (
+            pass_pairs(affix)
+            .filter(dist <= bound)
+            .select(
+                "id_a",
+                "id_b",
+                dist.cast("bigint").alias("dist"),
+                F.round(
+                    dist / F.greatest(F.length("_ta"), F.length("_tb")), 4
+                ).alias("rel_dist"),
+            )
         )
+
+    return (
+        pass_result("_pre")
+        .unionByName(pass_result("_suf"))
+        .dropDuplicates(["id_a", "id_b"])
     )

@@ -2145,15 +2145,28 @@ def curation_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                left(text, 16) AS pre, right(text, 16) AS suf
         FROM documents
     ),
+    -- the max_block=256 hot-block cap, per pass
+    bp AS (
+        SELECT * FROM (
+            SELECT b.*, count(*) OVER (PARTITION BY lang, source, lb, pre) AS bn
+            FROM b
+        ) WHERE bn <= 256
+    ),
+    bs AS (
+        SELECT * FROM (
+            SELECT b.*, count(*) OVER (PARTITION BY lang, source, lb, suf) AS bn
+            FROM b
+        ) WHERE bn <= 256
+    ),
     cand AS (
         SELECT a.doc_id AS id_a, c.doc_id AS id_b,
                a.text AS ta, c.text AS tb
-        FROM b a JOIN b c
+        FROM bp a JOIN bp c
           ON a.lang = c.lang AND a.source = c.source AND a.lb = c.lb
          AND a.pre = c.pre AND a.doc_id < c.doc_id
         UNION
         SELECT a.doc_id, c.doc_id, a.text, c.text
-        FROM b a JOIN b c
+        FROM bs a JOIN bs c
           ON a.lang = c.lang AND a.source = c.source AND a.lb = c.lb
          AND a.suf = c.suf AND a.doc_id < c.doc_id
     )
@@ -2466,4 +2479,64 @@ def stream_topk_values_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.select("user_id", "event_id", "value", F.row_number().over(w).alias("rank"))
         .filter(F.col("rank") <= 3)
         .select("user_id", "rank", "event_id", F.round("value", 4).alias("value"))
+    )
+
+
+# --- dedup: chunk-level duplication profile — documents chunked into
+# disjoint 32-token windows, chunks fingerprinted, and each document
+# scored by the fraction of its chunks that also occur in ANOTHER
+# document (the paragraph-dedup signal large-scale pipelines act on:
+# boilerplate headers/footers and syndicated passages show up as high
+# shared fractions long before whole-document detectors fire). Reuses
+# chunk_tokens (narrow) + one chunk-grain aggregate; the per-chunk
+# occurrence table is the only shuffle-heavy step and it is exactly
+# the exact-dedup shape, at chunk grain.
+@register(
+    "dedup_chunk_level_profile",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS toks
+        FROM documents
+    ),
+    chunks AS (
+        SELECT doc_id,
+               md5(coalesce(array_to_string(
+                   list_slice(toks, s + 1, s + 32), ' '), '')) AS chunk_fp
+        FROM d, unnest(generate_series(0, greatest(len(toks) - 1, 0), 32)) AS t(s)
+    ),
+    occ AS (
+        SELECT chunk_fp, count(DISTINCT doc_id) AS n_docs
+        FROM chunks GROUP BY chunk_fp
+    )
+    SELECT c.doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(CASE WHEN o.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_shared,
+           round(sum(CASE WHEN o.n_docs > 1 THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 4) AS shared_frac
+    FROM chunks c JOIN occ o USING (chunk_fp)
+    GROUP BY c.doc_id
+    """,
+)
+def dedup_chunk_level_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emission_project_spark.extensions.curation import chunk_tokens
+    from emission_project_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", tokens(F.lower(F.col("text"))).alias("toks"))
+    chunks = chunk_tokens(toked, "doc_id", "toks", window=32, stride=32).select(
+        "doc_id", F.md5("chunk_text").alias("chunk_fp")
+    )
+    occ = chunks.groupBy("chunk_fp").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    shared = F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0))
+    return (
+        chunks.join(occ, "chunk_fp")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            shared.cast("bigint").alias("n_shared"),
+            F.round(shared / F.count(F.lit(1)).cast("double"), 4).alias("shared_frac"),
+        )
     )
