@@ -88,6 +88,7 @@ _PRIORITY: list[str] = [
     "listagg_nations_per_region",
     "incremental_rollup_merge",
     "unpivot_lineitem_measures",
+    "dedup_chunk_level_profile",
     # -- (c) rotation: last verified round 3, extensions first -------------
     "curation_cluster_quality_join",
     "approx_aggregates_events",
