@@ -52,6 +52,47 @@ def brute_force_topk(vectors: DataFrame, query: DataFrame, k: int = 10) -> DataF
     )
 
 
+def hard_negative_topk(vectors: DataFrame, query: DataFrame, k: int = 8) -> DataFrame:
+    """Contrastive hard-negative mining: for each query, the k corpus
+    vectors MOST similar by cosine whose ``label`` differs from the
+    query's — the near-miss negatives that make a retrieval/embedding
+    model train (random negatives are trivially separable; the hard
+    ones carry the gradient signal).
+
+    Same plan shape as :func:`brute_force_topk` — broadcast query side,
+    one scored pass, per-query top-k window — with the label
+    inequality applied BEFORE ranking so the window sees only eligible
+    rows. The IVF variants compose the same way for the scale path
+    (mine within probed cells); brute force is the audited baseline.
+    """
+    v = vectors.select(
+        "vec_id", F.col("embedding").alias("_emb"), F.col("label").alias("neg_label")
+    )
+    q = query.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("_q_emb"),
+        F.col("label").alias("_ql"),
+    )
+    scored = (
+        v.crossJoin(F.broadcast(q))
+        .filter(F.col("neg_label") != F.col("_ql"))
+        .select(
+            "query_id",
+            "vec_id",
+            "neg_label",
+            F.round(cosine_similarity("_emb", "_q_emb"), ROUND).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "neg_label", "cosine_sim")
+    )
+
+
 def assign_cells(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
     """IVF cell assignment: nearest centroid by cosine (ties → lowest
     centroid id). Centroids broadcast; one map-side pass."""

@@ -2540,3 +2540,40 @@ def dedup_chunk_level_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(shared / F.count(F.lit(1)).cast("double"), 4).alias("shared_frac"),
         )
     )
+
+
+# --- similarity: contrastive hard-negative mining — per query, the 8
+# most-similar corpus vectors with a DIFFERENT label (the near-miss
+# negatives that carry the gradient in retrieval/embedding training;
+# random negatives are trivially separable). Broadcast query side,
+# label inequality applied before the per-query top-k window; the IVF
+# kit composes the same way for the 100 TB path (mine within probed
+# cells).
+@register(
+    "similarity_hard_negatives",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe, label AS ql
+               FROM embeddings WHERE vec_id < 5),
+    scored AS (
+        -- zero-norm guard: NULL (matching Spark), not DuckDB's -1
+        SELECT q.query_id, v.vec_id, v.label AS neg_label,
+               CASE WHEN list_dot_product(v.embedding::DOUBLE[], v.embedding::DOUBLE[]) > 0
+                         AND list_dot_product(q.qe, q.qe) > 0
+                    THEN round(list_cosine_similarity(v.embedding::DOUBLE[], q.qe), 6)
+               END AS cosine_sim
+        FROM embeddings v CROSS JOIN q
+        WHERE v.label <> q.ql
+    )
+    SELECT query_id,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY cosine_sim DESC, vec_id) AS BIGINT) AS rank,
+           vec_id, neg_label, cosine_sim
+    FROM scored
+    QUALIFY rank <= 8
+    """,
+)
+def similarity_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emission_project_spark.extensions.similarity import hard_negative_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return hard_negative_topk(emb, emb.filter(F.col("vec_id") < 5), k=8)

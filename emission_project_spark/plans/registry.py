@@ -39,7 +39,7 @@ def register(name: str, oracle: str | None = None):
 # in slot 1 — restructured this round from a rows-only HLL estimate
 # (which the driver graded ``err: no_oracle``) to an exact-distinct +
 # within-2%-assertion form that hash-checks; (a') every query built
-# this round (16 new: 5 early + 11 late), so nothing ships without a
+# this round (31 new: 5 early + 26 late), so nothing ships without a
 # driver row attempt; (b) the 8 queries whose latest driver row is
 # round 2 — the below-boundary tail round 4 left behind; (c) the
 # round-3-verified queries that still fit, heaviest / drift-sensitive
@@ -89,6 +89,7 @@ _PRIORITY: list[str] = [
     "incremental_rollup_merge",
     "unpivot_lineitem_measures",
     "dedup_chunk_level_profile",
+    "similarity_hard_negatives",
     # -- (c) rotation: last verified round 3, extensions first -------------
     "curation_cluster_quality_join",
     "approx_aggregates_events",
@@ -100,6 +101,9 @@ _PRIORITY: list[str] = [
     "fk_orphan_check",
     "text_winnow_fingerprints",
     "dedup_winnow_pairs",
+    # ---- window boundary (slot 50 = dedup_winnow_pairs) ------------------
+    # everything below keeps its green r3 row and rotates in round 6;
+    # the 26 late-round-5 queries above consumed the remaining slots
     "stream_dedup_watermark_batch",
     "winnow_oversized_report",
     "dedup_bucket_cap_report",
@@ -118,9 +122,6 @@ _PRIORITY: list[str] = [
     "events_sessionize",
     "events_tumbling_hourly",
     "events_sliding_30m15m",
-    # ---- window boundary (slot 50) — below rotates in round 6 -----------
-    # (r3-verified tail displaced by the 11 new round-5 queries above;
-    # all have green r3 rows, rotate next round)
     "events_json_extract",
     "skew_salted_rollup_events",
     "role_playing_nation_join",

@@ -41,6 +41,7 @@ SCALAR_CROSS_OK = {
     "curation_cluster_quality_join",  # Lloyd rounds (k-centroid broadcast)
     "text_unigram_logprob",           # 1-row corpus token total
     "curation_temperature_weights",   # 1-row mixture normalizer
+    "similarity_hard_negatives",      # query set × corpus, the mining baseline
 }
 
 
