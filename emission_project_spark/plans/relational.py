@@ -1924,9 +1924,13 @@ def join_q19_or_predicate_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
 @register(
     "scalar_subquery_above_avg",
     oracle="""
+    -- nation_avg rounds at 6, not 2: an average of on-grid 2-decimal
+    -- balances can land exactly on a .005 tie, where Spark (BigDecimal
+    -- HALF_UP) and DuckDB (float-mediated) disagree — the §4.4 float
+    -- discipline (round at or below the value's own grid)
     SELECT c.c_custkey, c.c_name, round(c.c_acctbal, 2) AS acctbal,
            round((SELECT avg(c2.c_acctbal) FROM customer c2
-                  WHERE c2.c_nationkey = c.c_nationkey), 2) AS nation_avg
+                  WHERE c2.c_nationkey = c.c_nationkey), 6) AS nation_avg
     FROM customer c
     WHERE c.c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
                          WHERE c2.c_nationkey = c.c_nationkey)
@@ -1942,7 +1946,7 @@ def scalar_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_custkey",
             "c_name",
             F.round("c_acctbal", 2).alias("acctbal"),
-            F.round("_avg", 2).alias("nation_avg"),
+            F.round("_avg", 6).alias("nation_avg"),
         )
     )
 
