@@ -27,3 +27,20 @@ def test_query_runs(spark, sf_dir, name):
     df = QUERIES[name](spark, sf_dir)
     assert len(df.columns) == len(set(df.columns))  # no duplicate col names
     assert df.count() >= 0
+
+
+def test_priority_window_names_all_registered():
+    """Every _PRIORITY name must resolve to a registered query — a typo
+    would silently shrink the driver's 50-slot correctness window."""
+    from emission_project_spark.plans import registry
+
+    unknown = [n for n in registry._PRIORITY if n not in QUERIES]
+    assert unknown == []
+    # and the window is fully subscribed: at least 50 registered names
+    assert len(registry._PRIORITY) >= 50
+
+
+def test_every_query_has_oracle():
+    """Round-5 invariant: the whole registry is hash-checkable (the HLL
+    row was restructured precisely so no rows-only entries remain)."""
+    assert sorted(ORACLES) == sorted(QUERIES)
