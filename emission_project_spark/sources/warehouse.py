@@ -190,3 +190,40 @@ class Warehouse:
         os.rename(tmp, final)
         if os.path.exists(old):
             shutil.rmtree(old)
+
+    def delete_keys(
+        self, table: str, keys: DataFrame, key_cols: list[str]
+    ) -> int:
+        """Keyed hard delete (the right-to-be-forgotten path): drop
+        every row whose ``key_cols`` tuple appears in ``keys``, via
+        anti-join + atomic swap — the DELETE half of the reference's
+        upsert (upsert_query.text:6-7) standing alone.
+
+        Returns the number of rows removed. The anti-join shuffles on
+        the key (or broadcasts the deletion set — the common case: a
+        deletion request batch is tiny next to the table); the swap
+        keeps concurrent readers consistent and a crash leaves the old
+        table intact. On a transactional format this is DELETE WHERE
+        EXISTS; pure parquet pays one table rewrite, which is why
+        deletion requests batch daily, not per-request."""
+        from pyspark.sql import functions as F
+
+        from emission_project_spark.operators.joins import anti_join
+
+        current = self.read(table)
+        dele = keys.select(*key_cols).distinct()
+        kept = anti_join(current, dele, key_cols)
+        removed = current.count() - kept.count()
+        if removed:
+            self.overwrite_atomic(kept, table)
+        return removed
+
+    def read_merged_schema(self, table: str) -> DataFrame:
+        """Schema-evolution-tolerant scan: parquet footers are merged
+        across files (``mergeSchema``), so a table whose later appends
+        added columns reads back with the union schema — older files'
+        missing columns surface as NULL. The cost is a footer read per
+        file at planning time (why it's not the default read); pair
+        with ``compact()`` to rewrite history onto the wide schema once
+        the evolution settles."""
+        return self.spark.read.option("mergeSchema", "true").parquet(self.path(table))
