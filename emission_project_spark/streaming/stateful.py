@@ -192,3 +192,65 @@ def topk_per_key(events: DataFrame, k: int = 3) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+INACTIVITY_SCHEMA = "user_id bigint, last_ts timestamp, n_events bigint, expired boolean"
+_INACT_STATE_SCHEMA = "last_us bigint, n bigint"
+
+
+def inactivity_monitor(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    lateness: str = "10 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Event-time inactivity detection: a user's state expires — and an
+    ``expired=true`` row emits — once the WATERMARK passes their last
+    event + ``gap_seconds``. The streaming primitive behind session-
+    expiry notifications, cart-abandonment triggers, and liveness
+    alerts: the "nothing happened" signal that no window aggregation
+    can produce, because it fires on the ABSENCE of data.
+
+    Mechanics (``GroupStateTimeout.EventTimeTimeout``): each update
+    sets the state's timeout timestamp to ``last_ts + gap``; when the
+    watermark (driven by OTHER keys' events) crosses it, the engine
+    invokes the function with ``state.hasTimedOut`` and no rows — emit
+    the expiry row, drop the state. State is O(1) per live key and
+    self-cleaning: expired keys leave the store, the 100 TB/day
+    requirement a NoTimeout design can't meet.
+    """
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            last_us, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [[key[0], pd.Timestamp(last_us, unit="us"), n, True]],
+                columns=["user_id", "last_ts", "n_events", "expired"],
+            )
+            return
+        last_us, n = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            batch_max = int(pd.to_datetime(pdf[ts_col]).astype("int64").max() // 1000)
+            last_us = max(last_us, batch_max)
+        state.update((last_us, n))
+        state.setTimeoutTimestamp(last_us // 1000 + gap_seconds * 1000)
+        yield pd.DataFrame(
+            [[key[0], pd.Timestamp(last_us, unit="us"), n, False]],
+            columns=["user_id", "last_ts", "n_events", "expired"],
+        )
+
+    return (
+        events.withWatermark(ts_col, lateness)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=INACTIVITY_SCHEMA,
+            stateStructType=_INACT_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

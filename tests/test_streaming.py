@@ -574,3 +574,53 @@ def test_streaming_stateful_topk(spark, tmp_path):
     # never-top-k events are never emitted; the k-bound holds
     assert not any(e in (13, 15) for _, e, _v in emitted)
     assert len(emitted) == 5
+
+
+def test_streaming_inactivity_monitor(spark, tmp_path):
+    """EventTimeTimeout state expiry: user 1's state times out (and the
+    expired=true row emits) once batch 2's far-future event from user 9
+    drives the watermark past user 1's last event + gap. User 9's own
+    state stays live (no expiry row)."""
+    import os
+
+    from emission_project_spark.streaming.stateful import inactivity_monitor
+
+    incoming = tmp_path / "incoming"
+    incoming.mkdir()
+    (incoming / "a.csv").write_text(
+        "user_id,ts\n"
+        "1,2024-01-01 10:00:00\n"
+        "1,2024-01-01 10:10:00\n"          # last activity 10:10, expiry at 10:40
+    )
+    (incoming / "b.csv").write_text(
+        "user_id,ts\n"
+        "9,2024-01-01 12:00:00\n"          # watermark -> 11:50 >> 10:40
+    )
+    os.utime(incoming / "a.csv", (1000000000, 1000000000))
+    os.utime(incoming / "b.csv", (1000000100, 1000000100))
+
+    stream = (
+        spark.readStream.format("csv")
+        .schema("user_id bigint, ts timestamp")
+        .option("header", "true")
+        .option("maxFilesPerTrigger", "1")
+        .load(str(incoming))
+    )
+    q = (
+        inactivity_monitor(stream, gap_seconds=1800, lateness="5 minutes")
+        .writeStream.format("memory")
+        .queryName("inact_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = {
+        (r.user_id, str(r.last_ts), r.n_events, r.expired)
+        for r in spark.sql("SELECT * FROM inact_out").collect()
+    }
+    assert (1, "2024-01-01 10:10:00", 2, False) in rows     # live emission
+    assert (1, "2024-01-01 10:10:00", 2, True) in rows      # watermark-driven expiry
+    assert (9, "2024-01-01 12:00:00", 1, False) in rows     # still live
+    assert not any(u == 9 and e for u, _t, _n, e in rows)   # user 9 never expires
