@@ -2577,3 +2577,77 @@ def similarity_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return hard_negative_topk(emb, emb.filter(F.col("vec_id") < 5), k=8)
+
+
+# --- text: BM25 keyword ranking (Robertson/Spärck Jones; k1=1.2,
+# b=0.75) for a fixed query term set — the lexical retrieval baseline
+# that TF-IDF curation stats and the ANN kit bracket from either side.
+# Plan: one token explosion feeds term frequencies; document frequency
+# and the corpus (N, avgdl) scalars broadcast; the score is a per-doc
+# sum over matched query terms, ranked with a deterministic tiebreak.
+# Top-k compiles to TakeOrderedAndProject.
+@register(
+    "text_bm25_search",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ),
+    t AS (SELECT doc_id, unnest(toks) AS term FROM d),
+    tf AS (
+        SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS c
+        FROM t WHERE term IN ('spark', 'join', 'window')
+        GROUP BY doc_id, term
+    ),
+    dl AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS l FROM d),
+    stats AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n, avg(len(toks)) AS avgdl FROM d
+    ),
+    df AS (
+        SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+        FROM t WHERE term IN ('spark', 'join', 'window')
+        GROUP BY term
+    )
+    SELECT tf.doc_id,
+           round(sum(
+               ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1)
+               * tf.c * (1.2 + 1)
+               / (tf.c + 1.2 * (1 - 0.75 + 0.75 * dl.l / stats.avgdl))
+           ), 6) AS bm25
+    FROM tf
+    JOIN df ON tf.term = df.term
+    JOIN dl ON tf.doc_id = dl.doc_id
+    CROSS JOIN stats
+    GROUP BY tf.doc_id
+    ORDER BY bm25 DESC, tf.doc_id ASC
+    LIMIT 10
+    """,
+)
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emission_project_spark.functions.text import tokens
+
+    terms = ["spark", "join", "window"]
+    k1, b = 1.2, 0.75
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", tokens(F.lower(F.col("text"))).alias("toks"))
+    t = d.select("doc_id", F.explode("toks").alias("term")).filter(
+        F.col("term").isin(terms)
+    )
+    tf = t.groupBy("doc_id", "term").agg(F.count(F.lit(1)).cast("double").alias("c"))
+    dl = d.select("doc_id", F.size("toks").cast("double").alias("l"))
+    stats = d.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg(F.size("toks")).alias("avgdl"),
+    )
+    df_t = t.groupBy("term").agg(F.countDistinct("doc_id").cast("double").alias("df"))
+    idf = F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
+    denom = F.col("c") + k1 * (1 - b + b * F.col("l") / F.col("avgdl"))
+    contrib = idf * F.col("c") * (k1 + 1) / denom
+    return (
+        tf.join(F.broadcast(df_t), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(contrib), 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )

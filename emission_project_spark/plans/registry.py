@@ -90,6 +90,7 @@ _PRIORITY: list[str] = [
     "unpivot_lineitem_measures",
     "dedup_chunk_level_profile",
     "similarity_hard_negatives",
+    "text_bm25_search",
     # -- (c) rotation: last verified round 3, extensions first -------------
     "curation_cluster_quality_join",
     "approx_aggregates_events",
@@ -100,10 +101,11 @@ _PRIORITY: list[str] = [
     "dedup_embedding_cosine_lsh",
     "fk_orphan_check",
     "text_winnow_fingerprints",
-    "dedup_winnow_pairs",
-    # ---- window boundary (slot 50 = dedup_winnow_pairs) ------------------
+    # ---- window boundary (slot 50 = text_winnow_fingerprints) ------------
     # everything below keeps its green r3 row and rotates in round 6;
-    # the 26 late-round-5 queries above consumed the remaining slots
+    # the 27 late-round-5 queries above consumed the remaining slots.
+    # (tests/test_queries_smoke.py pins that all names here resolve)
+    "dedup_winnow_pairs",
     "stream_dedup_watermark_batch",
     "winnow_oversized_report",
     "dedup_bucket_cap_report",

@@ -42,6 +42,7 @@ SCALAR_CROSS_OK = {
     "text_unigram_logprob",           # 1-row corpus token total
     "curation_temperature_weights",   # 1-row mixture normalizer
     "similarity_hard_negatives",      # query set × corpus, the mining baseline
+    "text_bm25_search",               # 1-row corpus (N, avgdl) stats
 }
 
 
