@@ -91,3 +91,41 @@ def merge_agg_state(
     if not aggs:
         raise ValueError("merge_agg_state: no measures given")
     return state.unionByName(batch_state).groupBy(*keys).agg(*aggs)
+
+
+def apply_cdc(
+    existing: DataFrame,
+    changes: DataFrame,
+    keys: Sequence[str],
+    seq_col: str,
+    op_col: str = "op",
+) -> DataFrame:
+    """Apply a change-data-capture batch (the Debezium/binlog feed
+    shape): ``changes`` carries the key columns, the data columns, an
+    ``op_col`` ∈ {'u' (upsert), 'd' (delete)}, and a ``seq_col`` total
+    order (log offset / LSN). Per key, the LATEST change wins; a final
+    'u' replaces the row, a final 'd' removes it; untouched keys pass
+    through.
+
+    One window pass picks each key's last change (ordered by seq desc —
+    callers guarantee seq is unique per key, as log offsets are), one
+    anti-join clears all touched keys from the current state, one union
+    re-inserts the surviving upserts. Shuffles on the key throughout;
+    replaying the same batch is a no-op (same last ops ⇒ same result),
+    the at-least-once delivery contract. This is the general form of
+    ``upsert`` (a CDC batch with only 'u' ops) and of
+    ``Warehouse.delete_keys`` (only 'd' ops).
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy(*keys).orderBy(F.col(seq_col).desc())
+    latest = (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    touched = latest.select(*keys)
+    kept = anti_join(existing, touched, keys)
+    upserts = latest.filter(F.col(op_col) == "u").drop(op_col, seq_col)
+    return kept.unionByName(upserts)

@@ -91,6 +91,7 @@ _PRIORITY: list[str] = [
     "dedup_chunk_level_profile",
     "similarity_hard_negatives",
     "text_bm25_search",
+    "cdc_apply_customers",
     # -- (c) rotation: last verified round 3, extensions first -------------
     "curation_cluster_quality_join",
     "approx_aggregates_events",
@@ -100,11 +101,11 @@ _PRIORITY: list[str] = [
     "embedding_kmeans_lloyd",
     "dedup_embedding_cosine_lsh",
     "fk_orphan_check",
-    "text_winnow_fingerprints",
-    # ---- window boundary (slot 50 = text_winnow_fingerprints) ------------
+    # ---- window boundary (slot 50 = fk_orphan_check) ---------------------
     # everything below keeps its green r3 row and rotates in round 6;
-    # the 27 late-round-5 queries above consumed the remaining slots.
+    # the 28 late-round-5 queries above consumed the remaining slots.
     # (tests/test_queries_smoke.py pins that all names here resolve)
+    "text_winnow_fingerprints",
     "dedup_winnow_pairs",
     "stream_dedup_watermark_batch",
     "winnow_oversized_report",

@@ -2379,3 +2379,55 @@ def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("val"), 2).alias("total"),
         F.round(F.avg("val"), 6).alias("mean"),
     )
+
+
+# --- CDC apply (operators/incremental.py apply_cdc): a change batch in
+# binlog shape — (key, data, op ∈ u/d, seq) — folds into the customer
+# table with last-op-per-key-wins semantics. The derived batch
+# exercises every path: plain deletes (%8==4), plain upserts (%8==1
+# at seq 2 after a superseded delete at seq 1), upsert-then-delete
+# (%8==5 — the key must vanish), and untouched keys. The oracle states
+# the final CASE analysis directly.
+@register(
+    "cdc_apply_customers",
+    oracle="""
+    SELECT c_custkey, c_name,
+           CASE WHEN c_custkey % 8 = 1 THEN 'CDC_SEG' ELSE c_mktsegment END
+               AS c_mktsegment
+    FROM customer
+    WHERE NOT (c_custkey % 8 = 4 OR c_custkey % 8 = 5)
+    """,
+)
+def cdc_apply_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emission_project_spark.operators.incremental import apply_cdc
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    k = F.col("c_custkey")
+    # seq 1: delete %8==1 and %8==4; upsert %8==5
+    seq1 = (
+        c.filter((k % 8 == 1) | (k % 8 == 4))
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .withColumn("op", F.lit("d"))
+        .unionByName(
+            c.filter(k % 8 == 5)
+            .select("c_custkey", "c_name", F.lit("TMP_SEG").alias("c_mktsegment"))
+            .withColumn("op", F.lit("u"))
+        )
+        .withColumn("seq", F.lit(1).cast("bigint"))
+    )
+    # seq 2: upsert %8==1 (supersedes its delete); delete %8==5
+    seq2 = (
+        c.filter(k % 8 == 1)
+        .select("c_custkey", "c_name", F.lit("CDC_SEG").alias("c_mktsegment"))
+        .withColumn("op", F.lit("u"))
+        .unionByName(
+            c.filter(k % 8 == 5)
+            .select("c_custkey", "c_name", "c_mktsegment")
+            .withColumn("op", F.lit("d"))
+        )
+        .withColumn("seq", F.lit(2).cast("bigint"))
+    )
+    changes = seq1.unionByName(seq2)
+    return apply_cdc(c, changes, keys=["c_custkey"], seq_col="seq")

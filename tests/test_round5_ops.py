@@ -307,3 +307,31 @@ class TestWarehouseOps:
         assert set(merged.columns) == {"id", "v", "score"}
         rows = {r.id: r.score for r in merged.collect()}
         assert rows == {1: None, 2: 9.5}          # old files surface NULL
+
+
+class TestApplyCdc:
+    def test_last_op_per_key_wins(self, spark):
+        from emission_project_spark.operators.incremental import apply_cdc
+
+        existing = spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "k bigint, v string"
+        )
+        changes = spark.createDataFrame(
+            [
+                (1, "x", "u", 1), (1, None, "d", 2),      # upsert then delete → gone
+                (2, None, "d", 1), (2, "b2", "u", 2),     # delete then upsert → b2
+                (4, "new", "u", 1),                        # fresh key
+            ],
+            "k bigint, v string, op string, seq bigint",
+        )
+        out = {r.k: r.v for r in apply_cdc(existing, changes, ["k"], "seq").collect()}
+        assert out == {2: "b2", 3: "c", 4: "new"}
+        # replay: same batch over the result is a no-op
+        again = {
+            r.k: r.v
+            for r in apply_cdc(
+                spark.createDataFrame(list(out.items()), "k bigint, v string"),
+                changes, ["k"], "seq",
+            ).collect()
+        }
+        assert again == out
