@@ -51,6 +51,20 @@ HEADLINE = [
     "fk_orphan_check",
 ]
 
+# Representative round-5 additions, timed at sf0.1 into a separate
+# "r5_extras" block: visible per-round cost without perturbing the
+# HEADLINE set's round-over-round comparability.
+R5_EXTRA = [
+    "curation_chunk_overlap",
+    "dedup_levenshtein_block",
+    "text_unigram_logprob",
+    "text_bm25_search",
+    "scd2_point_in_time",
+    "cdc_apply_customers",
+    "dedup_chunk_level_profile",
+    "similarity_hard_negatives",
+]
+
 # The heaviest operators, re-run at the 10x dataset for the scale
 # proof (near-linear = caps/blocking hold an order of magnitude up).
 SF1_HEAVY = [
@@ -130,6 +144,13 @@ def main() -> None:
         "sf": sf,
         "runs": runs,
     }
+
+    extras = {name: timed(name, sf_dir, runs) for name in R5_EXTRA if name in qs}
+    if extras:
+        out["r5_extras"] = {
+            "queries": extras,
+            "value": round(sum(extras.values()), 3),
+        }
 
     # Scale proof: if the deterministic 10x dataset exists (generated by
     # tools/gen_scale.py — duplicate RATE held constant via per-shard
