@@ -59,6 +59,34 @@ def salted_join(
     return out.drop(_SALT)
 
 
+def key_skew_profile(df: DataFrame, key: str) -> DataFrame:
+    """One-row skew profile of ``key``: cardinality, max/avg count,
+    skew ratio, and the count of heavy hitters (> 2× average).
+
+    The pre-flight that decides between broadcast, salting, and AQE
+    skew-split before committing a join strategy. Cost: one grouped
+    count on ``key`` (map-side partials), then a scalar average
+    cross-joined (1 broadcast row) against the key-cardinality-sized
+    counts relation — nothing data-sized reaches the driver.
+    """
+    counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("cnt"))
+    stats = counts.agg(F.avg("cnt").alias("_avg_cnt"))
+    return (
+        counts.crossJoin(F.broadcast(stats))
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("cnt").alias("total_rows"),
+            F.max("cnt").alias("max_cnt"),
+            F.min("cnt").alias("min_cnt"),
+            F.round(F.first("_avg_cnt"), 6).alias("avg_cnt"),
+            F.round(F.max("cnt") / F.first("_avg_cnt"), 6).alias("skew_ratio"),
+            F.sum(
+                (F.col("cnt") > 2 * F.col("_avg_cnt")).cast("bigint")
+            ).alias("n_heavy"),
+        )
+    )
+
+
 def salted_aggregate(
     df: DataFrame,
     keys: Iterable[str],

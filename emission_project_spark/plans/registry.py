@@ -92,6 +92,23 @@ _PRIORITY: list[str] = [
     "similarity_hard_negatives",
     "text_bm25_search",
     "cdc_apply_customers",
+    # -- (a'') built in this session (still round 5): no driver row yet;
+    # these take precedence over refreshing rows that are already green
+    # from round 3, so the (c) block below slides past the boundary and
+    # rotates in round 6 instead.
+    "join_q7_nation_trade_volume",
+    "join_q9_product_profit",
+    "join_q13_order_count_distribution",
+    "join_q17_small_quantity_revenue",
+    "join_q18_large_volume_customers",
+    "join_q21_lone_late_supplier",
+    "join_q22_idle_balance_customers",
+    "join_full_outer_reconcile",
+    # ---- window boundary (slot 50 = join_full_outer_reconcile) -----------
+    # 42 prior entries + 8 of the 9 session queries fill the window;
+    # skew_key_profile_lineitem (locally oracle-swept + pytest-covered)
+    # heads the round-6 window together with the displaced (c) block.
+    "skew_key_profile_lineitem",
     # -- (c) rotation: last verified round 3, extensions first -------------
     "curation_cluster_quality_join",
     "approx_aggregates_events",
@@ -101,9 +118,9 @@ _PRIORITY: list[str] = [
     "embedding_kmeans_lloyd",
     "dedup_embedding_cosine_lsh",
     "fk_orphan_check",
-    # ---- window boundary (slot 50 = fk_orphan_check) ---------------------
     # everything below keeps its green r3 row and rotates in round 6;
-    # the 28 late-round-5 queries above consumed the remaining slots.
+    # the 28 late-round-5 queries plus the session block above consumed
+    # the remaining slots, pushing this (c) block past the boundary.
     # (tests/test_queries_smoke.py pins that all names here resolve)
     "text_winnow_fingerprints",
     "dedup_winnow_pairs",
@@ -166,5 +183,6 @@ def load_all() -> None:
     """Import every module that registers queries (idempotent)."""
     from emission_project_spark.plans import relational  # noqa: F401
     from emission_project_spark.plans import extensions  # noqa: F401
+    from emission_project_spark.plans import tpch_patterns  # noqa: F401
 
     _reorder()

@@ -1,0 +1,497 @@
+"""TPC-H-pattern queries: the classic decorrelation shapes.
+
+The reference's query surface is simple roll-ups (emission-dag.py:
+161-162 brand/car/driver totals), but a user replacing its warehouse
+with this engine immediately writes the standard analytic shapes on
+top: correlated scalar subqueries, EXISTS/NOT EXISTS pairs, double
+aggregation, full-outer reconciliation. Each query here states the
+textbook form in the DuckDB oracle and implements the *decorrelated*
+Spark plan explicitly — the rewrite a cost-based engine applies, made
+visible so the physical plan is auditable at 100 TB:
+
+- correlated aggregate  → per-key aggregate joined back (Q17, Q22)
+- EXISTS / NOT EXISTS   → counts folded in one aggregation pass (Q21)
+- double aggregation    → two hash aggregates, second over a tiny
+  intermediate (Q13)
+- fact⋈fact⋈dims        → shuffle on data-sized keys, broadcast on
+  fixed-cardinality dims only (Q7, Q9)
+
+No partsupp table exists in the testdata, so Q9's supplycost is
+adapted to a retail-price-fraction cost and Q2/Q11/Q16/Q20 are out of
+scope (their core shapes — correlated min, agg-over-total, grouped
+distinct, nested exists — are covered by argmin_cheapest_part_per_brand,
+curation_temperature_weights, and Q21/Q22 here).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from emission_project_spark.catalog.tables import load_table
+from emission_project_spark.operators.joins import anti_join
+from emission_project_spark.plans.registry import register
+
+
+# --- Q7 shape: volume shipped between two nations, both directions,
+# by shipment year. Two role-playing nation attaches (supplier's and
+# customer's) — both broadcast (25 rows, fixed cardinality); lineitem⋈
+# orders⋈customer and lineitem⋈supplier shuffle on their keys. The
+# shipdate range predicate is pushed into the lineitem parquet scan,
+# and the nation-pair filter prunes on the broadcast sides before the
+# final aggregate.
+@register(
+    "join_q7_nation_trade_volume",
+    oracle="""
+    SELECT n1.n_name AS supp_nation,
+           n2.n_name AS cust_nation,
+           CAST(EXTRACT(year FROM CAST(l.l_shipdate AS TIMESTAMP)) AS INTEGER)
+               AS l_year,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+    FROM lineitem l
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey  = o.o_custkey
+    JOIN supplier s ON s.s_suppkey  = l.l_suppkey
+    JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+    JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+    WHERE CAST(l.l_shipdate AS DATE) >= DATE '1996-01-01'
+      AND CAST(l.l_shipdate AS DATE) <  DATE '1998-01-01'
+      AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    GROUP BY 1, 2, 3
+    """,
+)
+def join_q7_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    sd = F.to_date("l_shipdate")
+    li_f = li.filter((sd >= F.lit("1996-01-01")) & (sd < F.lit("1998-01-01")))
+    n1 = n.select(
+        F.col("n_nationkey").alias("_n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("_n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li_f.join(o, li_f["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(s, li_f["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("_n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("_n2_key"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+    )
+
+
+# --- Q9 shape: product-line profit by supplier nation and order year.
+# partsupp does not exist in this schema, so supplycost is adapted to
+# 10% of the part's retail price per unit (documented; the join/agg
+# shape — fact⋈filtered-part⋈supplier⋈nation⋈orders with a LIKE
+# predicate — is what the query exercises). part is data-sized (scales
+# with sf), so the part join shuffles on partkey rather than
+# broadcasting; only the 25-row nation dim is broadcast.
+@register(
+    "join_q9_product_profit",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(EXTRACT(year FROM CAST(o.o_orderdate AS TIMESTAMP)) AS INTEGER)
+               AS o_year,
+           -- round at 4, the value's own grid (price 2dp × discount 2dp
+           -- → 4dp terms): a grid value is never a tie at its own
+           -- precision, whereas round-at-2 hit a .845 accumulation tie
+           round(sum(l.l_extendedprice * (1 - l.l_discount)
+                     - 0.1 * p.p_retailprice * l.l_quantity), 4) AS sum_profit
+    FROM lineitem l
+    JOIN part p     ON p.p_partkey  = l.l_partkey
+    JOIN supplier s ON s.s_suppkey  = l.l_suppkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE '%widget%'
+    GROUP BY 1, 2
+    """,
+)
+def join_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation")
+    p_f = p.filter(F.col("p_name").like("%widget%")).select(
+        "p_partkey", "p_retailprice"
+    )
+    return (
+        li.join(p_f, li["l_partkey"] == p_f["p_partkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    - 0.1 * F.col("p_retailprice") * F.col("l_quantity")
+                ),
+                4,
+            ).alias("sum_profit")
+        )
+    )
+
+
+# --- Q13 shape: customer order-count distribution — LEFT OUTER join
+# (customers with zero qualifying orders must appear with count 0)
+# followed by double aggregation. The second aggregate runs over a
+# customer-cardinality intermediate whose group domain is tiny
+# (distinct counts), so the final shuffle is negligible; the heavy
+# shuffle is the single custkey exchange of the outer join.
+@register(
+    "join_q13_order_count_distribution",
+    oracle="""
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM (
+        SELECT c.c_custkey,
+               CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+        FROM customer c
+        LEFT OUTER JOIN orders o
+          ON o.o_custkey = c.c_custkey
+         AND o.o_orderpriority <> '4-NOT SPECIFIED'
+        GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def join_q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "4-NOT SPECIFIED"
+    )
+    per_cust = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left_outer")
+        .groupBy(c["c_custkey"])
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+# --- Q17 shape: revenue impact of small-quantity orders for one
+# brand. The oracle states the correlated scalar subquery
+# (0.2 * avg(l_quantity) per part); the Spark plan decorrelates it:
+# one per-part average over the brand's lines, joined back on partkey.
+# Both sides of that join are already partitioned by partkey from the
+# same upstream shuffle, and the brand filter reaches the part scan.
+@register(
+    "join_q17_small_quantity_revenue",
+    oracle="""
+    SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#1'
+      AND l.l_quantity < (
+          SELECT 0.2 * avg(l2.l_quantity)
+          FROM lineitem l2
+          WHERE l2.l_partkey = l.l_partkey
+      )
+    """,
+)
+def join_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    brand_parts = p.filter(F.col("p_brand") == "Brand#1").select("p_partkey")
+    brand_lines = li.join(
+        F.broadcast(brand_parts), li["l_partkey"] == F.col("p_partkey")
+    )
+    per_part_avg = brand_lines.groupBy("l_partkey").agg(
+        (0.2 * F.avg("l_quantity")).alias("_qty_cut")
+    )
+    return (
+        brand_lines.join(per_part_avg, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("_qty_cut"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+# --- Q18 shape: large-volume orders — IN-subquery with HAVING over a
+# grouped fact. Spark plan: the qualifying-order set is ONE hash
+# aggregate on orderkey (map-side partials make the shuffle carry
+# per-order partial sums, not lines); the join back to orders/customer
+# reuses the orderkey partitioning. No row explosion: the agg output is
+# ~1% of orders at the 250-quantity threshold at every sf (threshold
+# is a per-order property, independent of row count).
+@register(
+    "join_q18_large_volume_customers",
+    oracle="""
+    SELECT c.c_name,
+           o.o_orderkey,
+           CAST(o.o_orderdate AS DATE) AS orderdate,
+           round(o.o_totalprice, 2) AS totalprice,
+           round(t.sum_qty, 2) AS sum_qty
+    FROM orders o
+    JOIN (
+        SELECT l_orderkey, sum(l_quantity) AS sum_qty
+        FROM lineitem
+        GROUP BY l_orderkey
+        HAVING sum(l_quantity) > 250
+    ) t ON t.l_orderkey = o.o_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+)
+def join_q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250)
+    )
+    return (
+        o.join(big, o["o_orderkey"] == big["l_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.to_date("o_orderdate").alias("orderdate"),
+            F.round("o_totalprice", 2).alias("totalprice"),
+            F.round("sum_qty", 2).alias("sum_qty"),
+        )
+    )
+
+
+# --- Q21 shape: suppliers who alone held up a multi-supplier order.
+# The oracle states the textbook EXISTS / NOT EXISTS pair; executing
+# that literally is two extra fact-fact joins. The Spark plan folds
+# both quantifiers into ONE aggregation pass: per (order, supplier)
+# collapse lines to a late flag, per order count suppliers and late
+# suppliers, then filter (late ∧ n_supp > 1 ∧ n_late = 1). Three hash
+# aggregates on the same orderkey partitioning vs. three fact joins —
+# the decorrelation that makes Q21 tractable at 100 TB. "Late" is
+# shipdate > orderdate + 1000 days (no receipt/commit dates in this
+# schema; threshold sits between the p50 and p90 of the synthetic
+# ship lag so both branches are exercised).
+@register(
+    "join_q21_lone_late_supplier",
+    oracle="""
+    SELECT s.s_name, CAST(count(DISTINCT l1.l_orderkey) AS BIGINT) AS numwait
+    FROM lineitem l1
+    JOIN orders o   ON o.o_orderkey = l1.l_orderkey
+    JOIN supplier s ON s.s_suppkey  = l1.l_suppkey
+    WHERE CAST(l1.l_shipdate AS DATE)
+            > CAST(o.o_orderdate AS DATE) + INTERVAL 1000 DAY
+      AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+          SELECT 1
+          FROM lineitem l3
+          JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey
+            AND CAST(l3.l_shipdate AS DATE)
+                  > CAST(o3.o_orderdate AS DATE) + INTERVAL 1000 DAY
+      )
+    GROUP BY s.s_name
+    """,
+)
+def join_q21_lone_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    lines = li.join(
+        o.select("o_orderkey", "o_orderdate"),
+        li["l_orderkey"] == F.col("o_orderkey"),
+    ).withColumn(
+        "_late",
+        (
+            F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate")) > 1000
+        ).cast("int"),
+    )
+    per_supp = lines.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("_late").alias("supp_late")
+    )
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("supp_late").alias("n_late"),
+    )
+    lone_late = (
+        per_supp.join(per_order, "l_orderkey")
+        .filter(
+            (F.col("supp_late") == 1)
+            & (F.col("n_supp") > 1)
+            & (F.col("n_late") == 1)
+        )
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+    return lone_late.join(s, lone_late["l_suppkey"] == s["s_suppkey"]).select(
+        "s_name", "numwait"
+    )
+
+
+# --- Q22 shape: well-funded customers gone idle (no order since
+# 1999 — "never ordered at all" selects zero rows on this synthetic
+# order distribution, so the recency cutoff keeps the anti-join
+# branch genuinely exercised) — a scalar
+# aggregate subquery (global positive-balance average) plus NOT
+# EXISTS. Spark plan: the scalar is a 1-row aggregate cross-joined
+# (broadcast nested loop on one row — allowlisted), the NOT EXISTS is
+# a left-anti join on custkey, and the 25-row nation dim is broadcast
+# for the final grouping label.
+@register(
+    "join_q22_idle_balance_customers",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(count(*) AS BIGINT) AS numcust,
+           round(sum(c.c_acctbal), 4) AS totacctbal
+    FROM customer c
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE c.c_acctbal > (
+        SELECT avg(c2.c_acctbal) FROM customer c2 WHERE c2.c_acctbal > 0
+    )
+      AND NOT EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+            AND CAST(o.o_orderdate AS DATE) >= DATE '1999-01-01'
+      )
+    GROUP BY n.n_name
+    """,
+)
+def join_q22_idle_balance_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation")
+    cutoff = c.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("_bal_cut")
+    )
+    rich = c.crossJoin(F.broadcast(cutoff)).filter(
+        F.col("c_acctbal") > F.col("_bal_cut")
+    )
+    recent = o.filter(F.to_date("o_orderdate") >= F.lit("1999-01-01")).select(
+        "o_custkey"
+    )
+    idle = anti_join(rich, recent, {"c_custkey": "o_custkey"})
+    return (
+        idle.join(F.broadcast(n), idle["c_nationkey"] == n["n_nationkey"])
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 4).alias("totacctbal"),
+        )
+    )
+
+
+# --- FULL OUTER reconciliation: per-customer revenue in 1996 vs 1997,
+# every customer classified as present in both years or only one. The
+# canonical snapshot-diff shape (the batch analog of the CDC apply
+# operator, operators/cdc.py). One custkey shuffle feeds both grouped
+# snapshots and the full-outer join; the final aggregate runs over a
+# 3-row group domain.
+@register(
+    "join_full_outer_reconcile",
+    oracle="""
+    WITH a AS (
+        SELECT o_custkey, sum(o_totalprice) AS rev
+        FROM orders
+        WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+          AND CAST(o_orderdate AS DATE) <  DATE '1997-01-01'
+        GROUP BY o_custkey
+    ),
+    b AS (
+        SELECT o_custkey, sum(o_totalprice) AS rev
+        FROM orders
+        WHERE CAST(o_orderdate AS DATE) >= DATE '1997-01-01'
+          AND CAST(o_orderdate AS DATE) <  DATE '1998-01-01'
+        GROUP BY o_custkey
+    )
+    SELECT CASE WHEN a.o_custkey IS NOT NULL AND b.o_custkey IS NOT NULL
+                THEN 'both'
+                WHEN a.o_custkey IS NOT NULL THEN 'only_1996'
+                ELSE 'only_1997' END AS status,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           round(sum(coalesce(a.rev, 0)), 4) AS rev_1996,
+           round(sum(coalesce(b.rev, 0)), 4) AS rev_1997
+    FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey
+    GROUP BY 1
+    """,
+)
+def join_full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    od = F.to_date("o_orderdate")
+
+    def year_rev(lo: str, hi: str, key: str, rev: str) -> DataFrame:
+        return (
+            o.filter((od >= F.lit(lo)) & (od < F.lit(hi)))
+            .groupBy(F.col("o_custkey").alias(key))
+            .agg(F.sum("o_totalprice").alias(rev))
+        )
+
+    a = year_rev("1996-01-01", "1997-01-01", "_key_a", "_rev_a")
+    b = year_rev("1997-01-01", "1998-01-01", "_key_b", "_rev_b")
+    joined = a.join(b, a["_key_a"] == b["_key_b"], "full_outer")
+    status = (
+        F.when(F.col("_key_a").isNotNull() & F.col("_key_b").isNotNull(), "both")
+        .when(F.col("_key_a").isNotNull(), "only_1996")
+        .otherwise("only_1997")
+    )
+    return joined.groupBy(status.alias("status")).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.sum(F.coalesce(F.col("_rev_a"), F.lit(0.0))), 4).alias("rev_1996"),
+        F.round(F.sum(F.coalesce(F.col("_rev_b"), F.lit(0.0))), 4).alias("rev_1997"),
+    )
+
+
+# --- Key-skew profile: the planning tool the salted operators
+# (operators/skew.py) act on. One grouped count on the candidate join
+# key, then a 1-row profile: cardinality, max/avg, skew ratio, and the
+# heavy-hitter count (keys above 2× the average). The per-key counts
+# relation is key-cardinality-sized (small next to the fact), so the
+# scalar-average cross join is a broadcast of one row against it. At
+# 100 TB this is the cheap pre-flight that decides broadcast vs salt
+# vs AQE-skew-split before committing to a join strategy.
+@register(
+    "skew_key_profile_lineitem",
+    oracle="""
+    WITH counts AS (
+        SELECT l_suppkey, CAST(count(*) AS BIGINT) AS cnt
+        FROM lineitem
+        GROUP BY l_suppkey
+    ),
+    stats AS (SELECT avg(cnt) AS avg_cnt FROM counts)
+    SELECT CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(cnt) AS BIGINT) AS total_rows,
+           CAST(max(cnt) AS BIGINT) AS max_cnt,
+           CAST(min(cnt) AS BIGINT) AS min_cnt,
+           round(any_value(s.avg_cnt), 6) AS avg_cnt,
+           round(max(cnt) / any_value(s.avg_cnt), 6) AS skew_ratio,
+           CAST(count(*) FILTER (WHERE cnt > 2 * s.avg_cnt) AS BIGINT)
+               AS n_heavy
+    FROM counts, stats s
+    """,
+)
+def skew_key_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emission_project_spark.operators.skew import key_skew_profile
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return key_skew_profile(li, "l_suppkey")

@@ -43,6 +43,8 @@ SCALAR_CROSS_OK = {
     "curation_temperature_weights",   # 1-row mixture normalizer
     "similarity_hard_negatives",      # query set × corpus, the mining baseline
     "text_bm25_search",               # 1-row corpus (N, avgdl) stats
+    "join_q22_idle_balance_customers",  # 1-row balance-average scalar
+    "skew_key_profile_lineitem",        # 1-row avg-count scalar vs key counts
 }
 
 
