@@ -614,6 +614,39 @@ def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Per-dimension moments of the embedding corpus: the first stage
+# of distributed PCA (extensions/pca.py — whose eigendecomposition has
+# no SQL form and is pytest-pinned against numpy instead). posexplode
+# keeps the whole pass in JVM built-ins: one explode (d rows per
+# vector, streamed — never materialized per-row in Python) and one
+# hash aggregate on the 64-value dim key. var_pop on both engines is
+# the exact population variance over float32-exact inputs.
+@register(
+    "embedding_dim_variance",
+    oracle="""
+    SELECT dim_idx,
+           round(avg(v), 6) AS dim_mean,
+           round(var_pop(v), 6) AS dim_var
+    FROM (
+        SELECT CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim_idx,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings
+    )
+    GROUP BY dim_idx
+    """,
+)
+def embedding_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select(F.posexplode("embedding").alias("dim_idx", "v"))
+        .groupBy("dim_idx")
+        .agg(
+            F.round(F.avg(F.col("v").cast("double")), 6).alias("dim_mean"),
+            F.round(F.var_pop(F.col("v").cast("double")), 6).alias("dim_var"),
+        )
+    )
+
+
 # --- multimodal: opaque binary payloads + typed metadata (plumbing is
 # real; heavy decode lives behind stubs in extensions/multimodal.py).
 @register(

@@ -109,6 +109,7 @@ _PRIORITY: list[str] = [
     # skew_key_profile_lineitem (locally oracle-swept + pytest-covered)
     # heads the round-6 window together with the displaced (c) block.
     "skew_key_profile_lineitem",
+    "embedding_dim_variance",
     # -- (c) rotation: last verified round 3, extensions first -------------
     "curation_cluster_quality_join",
     "approx_aggregates_events",
