@@ -43,3 +43,44 @@ def cosine_similarity(a: Column | str, b: Column | str) -> Column:
     d = dot(a, b)
     n = l2_norm(a) * l2_norm(b)
     return F.when(n > 0, d / n)
+
+
+def max_abs(a: Column | str) -> Column:
+    """Largest |element| (sequential fold, like the other reductions)."""
+    return F.aggregate(
+        _c(a),
+        F.lit(0.0),
+        lambda acc, v: F.greatest(acc, F.abs(v.cast("double"))),
+    )
+
+
+def int8_scale(a: Column | str) -> Column:
+    """Symmetric int8 quantization scale: max|x| / 127 (0 for the
+    all-zero vector — the quantize/dequantize pair guards it)."""
+    return max_abs(a) / F.lit(127.0)
+
+
+def int8_quantize(a: Column | str, scale: Column) -> Column:
+    """Per-element code = clamp(floor(x/scale + 0.5), ±127) as int.
+
+    floor(x + 0.5) is used instead of round() deliberately: it is
+    bit-identical across engines (DuckDB/Spark round() differ on .5
+    ties), which keeps the quantization oracle hash-checkable. 4×
+    memory cut for ANN corpora: 100 TB of float32 embeddings → 25 TB.
+    """
+    return F.transform(
+        _c(a),
+        lambda v: F.when(scale == 0, F.lit(0))
+        .otherwise(
+            F.greatest(
+                F.lit(-127.0),
+                F.least(F.lit(127.0), F.floor(v.cast("double") / scale + 0.5)),
+            )
+        )
+        .cast("int"),
+    )
+
+
+def int8_dequantize(codes: Column | str, scale: Column) -> Column:
+    """codes × scale back to array<double>."""
+    return F.transform(_c(codes), lambda c: c.cast("double") * scale)

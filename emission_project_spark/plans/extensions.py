@@ -647,6 +647,100 @@ def embedding_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Symmetric int8 quantization quality report: the 4× memory cut
+# that keeps a 100 TB float32 ANN corpus in executor memory, with the
+# reconstruction loss *measured* per label (MAE, worst element error,
+# cosine fidelity). Entirely JVM higher-order functions on both sides —
+# transform/aggregate in Spark, list_transform/list_sum in DuckDB —
+# and floor(x+0.5) instead of round() so the code grid is bit-identical
+# across engines (functions/vectors.py int8_quantize).
+@register(
+    "embedding_quantize_error",
+    oracle="""
+    WITH base AS (
+        SELECT label,
+               embedding::DOUBLE[] AS e,
+               list_max(list_transform(embedding::DOUBLE[], x -> abs(x)))
+                   / 127.0 AS scale
+        FROM embeddings
+    ),
+    per_vec AS (
+        SELECT label,
+               list_sum(list_transform(e, x -> abs(x -
+                   CASE WHEN scale = 0 THEN 0.0
+                        ELSE greatest(-127.0, least(127.0,
+                                 floor(x / scale + 0.5))) * scale END)))
+                   / len(e) AS mae,
+               list_max(list_transform(e, x -> abs(x -
+                   CASE WHEN scale = 0 THEN 0.0
+                        ELSE greatest(-127.0, least(127.0,
+                                 floor(x / scale + 0.5))) * scale END)))
+                   AS max_err,
+               list_sum(list_transform(e, x -> x *
+                   CASE WHEN scale = 0 THEN 0.0
+                        ELSE greatest(-127.0, least(127.0,
+                                 floor(x / scale + 0.5))) * scale END))
+                   AS dp,
+               sqrt(list_sum(list_transform(e, x -> x * x))) AS n1,
+               sqrt(list_sum(list_transform(e, x ->
+                   (CASE WHEN scale = 0 THEN 0.0
+                         ELSE greatest(-127.0, least(127.0,
+                                  floor(x / scale + 0.5))) * scale END)
+                   * (CASE WHEN scale = 0 THEN 0.0
+                           ELSE greatest(-127.0, least(127.0,
+                                    floor(x / scale + 0.5))) * scale END))))
+                   AS n2
+        FROM base
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           round(avg(mae), 6) AS avg_mae,
+           round(max(max_err), 6) AS worst_err,
+           round(avg(CASE WHEN n1 * n2 > 0 THEN dp / (n1 * n2) END), 6)
+               AS avg_cosine
+    FROM per_vec
+    GROUP BY label
+    """,
+)
+def embedding_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emission_project_spark.functions.vectors import (
+        cosine_similarity,
+        int8_dequantize,
+        int8_quantize,
+        int8_scale,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    with_scale = emb.select(
+        "label", "embedding", int8_scale("embedding").alias("scale")
+    )
+    deq = with_scale.select(
+        "label",
+        "embedding",
+        int8_dequantize(
+            int8_quantize("embedding", F.col("scale")), F.col("scale")
+        ).alias("dq"),
+    )
+    err = F.zip_with(
+        F.col("embedding"), F.col("dq"), lambda x, y: F.abs(x.cast("double") - y)
+    )
+    per_vec = deq.select(
+        "label",
+        (
+            F.aggregate(err, F.lit(0.0), lambda acc, v: acc + v)
+            / F.size("embedding")
+        ).alias("mae"),
+        F.array_max(err).alias("max_err"),
+        cosine_similarity("embedding", "dq").alias("cos"),
+    )
+    return per_vec.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.round(F.avg("mae"), 6).alias("avg_mae"),
+        F.round(F.max("max_err"), 6).alias("worst_err"),
+        F.round(F.avg("cos"), 6).alias("avg_cosine"),
+    )
+
+
 # --- multimodal: opaque binary payloads + typed metadata (plumbing is
 # real; heavy decode lives behind stubs in extensions/multimodal.py).
 @register(

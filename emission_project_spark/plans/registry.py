@@ -110,6 +110,7 @@ _PRIORITY: list[str] = [
     # heads the round-6 window together with the displaced (c) block.
     "skew_key_profile_lineitem",
     "embedding_dim_variance",
+    "embedding_quantize_error",
     # -- (c) rotation: last verified round 3, extensions first -------------
     "curation_cluster_quality_join",
     "approx_aggregates_events",

@@ -1,0 +1,137 @@
+"""Product quantization (extensions/pq.py). The correctness anchor is
+the ADC identity — ADC(q, codes) must equal the exact squared distance
+between q and the decoded reconstruction — plus encode determinism and
+an end-to-end recall sanity floor vs brute force."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from emission_project_spark.extensions.pq import (
+    fit_pq,
+    pq_decode,
+    pq_encode,
+    pq_topk,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def model(emb):
+    return fit_pq(emb, dim=64, m=8, k=16, iterations=3)
+
+
+@pytest.fixture(scope="module")
+def local(emb):
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    x = np.stack([np.array(r["embedding"], dtype=np.float64) for r in rows])
+    return ids, x
+
+
+@pytest.fixture(scope="module")
+def encoded(emb, model):
+    return pq_encode(emb, model).cache()
+
+
+def test_codebook_shape(model):
+    assert model.codebooks.shape == (8, 16, 8)
+    assert np.isfinite(model.codebooks).all()
+
+
+def test_encode_codes_in_range_and_deterministic(emb, model, encoded):
+    rows = encoded.collect()
+    assert len(rows) == emb.count()
+    for r in rows[:50]:
+        assert len(r["codes"]) == 8
+        assert all(0 <= c < 16 for c in r["codes"])
+    again = {
+        r["vec_id"]: tuple(r["codes"])
+        for r in pq_encode(emb.repartition(7), model).collect()
+    }
+    first = {r["vec_id"]: tuple(r["codes"]) for r in rows}
+    assert first == again  # partitioning-invariant
+
+
+def test_encode_matches_local_argmin(model, encoded, local):
+    ids, x = local
+    got = {r["vec_id"]: np.array(r["codes"]) for r in encoded.collect()}
+    dsub = model.dsub
+    for i in np.random.default_rng(0).choice(len(ids), 40, replace=False):
+        for s in range(model.m):
+            xs = x[i, s * dsub : (s + 1) * dsub]
+            d2 = ((model.codebooks[s] - xs) ** 2).sum(axis=1)
+            assert got[ids[i]][s] == int(np.argmin(d2))
+
+
+def test_adc_identity(model, encoded, local, spark):
+    """ADC distance == exact distance to the decoded vector, per pair."""
+    ids, x = local
+    q = x[:5]
+    out = pq_topk(encoded, q, ids[:5], model, k=7).collect()
+    codes = {r["vec_id"]: np.array(r["codes"]) for r in encoded.collect()}
+    for r in out:
+        qi = int(np.where(ids == r["query_id"])[0][0])
+        recon = pq_decode(codes[r["vec_id"]][None, :], model)[0]
+        exact = float(((x[qi] - recon) ** 2).sum())
+        assert r["ad2"] == pytest.approx(exact, rel=1e-9, abs=1e-9)
+
+
+def test_topk_shape_and_order(model, encoded, local):
+    ids, x = local
+    out = pq_topk(encoded, x[:3], ids[:3], model, k=10)
+    rows = out.collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append(r["ad2"])
+    assert set(per_q) == set(ids[:3].tolist())
+    for dists in per_q.values():
+        assert len(dists) == 10
+
+
+def test_recall_floor_vs_brute_force(model, encoded, local):
+    """PQ@10 must recover a meaningful share of the exact top-10 — and
+    beat chance by orders of magnitude (chance ≈ 10/500 = 2%)."""
+    ids, x = local
+    nq = 20
+    out = pq_topk(encoded, x[:nq], ids[:nq], model, k=10).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r["query_id"], set()).add(r["vec_id"])
+    hits = total = 0
+    for qi in range(nq):
+        d2 = ((x - x[qi]) ** 2).sum(axis=1)
+        exact = set(ids[np.argsort(d2, kind="stable")[:10]].tolist())
+        hits += len(exact & got[ids[qi]])
+        total += 10
+    recall = hits / total
+    assert recall >= 0.3, f"recall@10 = {recall}"
+
+
+def test_reconstruction_improves_with_k(emb, local):
+    ids, x = local
+    errs = []
+    for k in (2, 16):
+        mdl = fit_pq(emb, dim=64, m=8, k=k, iterations=3)
+        codes = np.stack(
+            [
+                np.array(r["codes"])
+                for r in pq_encode(emb, mdl).orderBy("vec_id").collect()
+            ]
+        )
+        order = np.argsort(ids)
+        recon = pq_decode(codes, mdl)
+        errs.append(float(((x[order] - recon) ** 2).mean()))
+    assert errs[1] < errs[0]
+
+
+def test_fit_validations(emb):
+    with pytest.raises(ValueError):
+        fit_pq(emb, dim=64, m=7, k=4)
