@@ -111,6 +111,8 @@ _PRIORITY: list[str] = [
     "skew_key_profile_lineitem",
     "embedding_dim_variance",
     "embedding_quantize_error",
+    "events_anomaly_mad",
+    "profile_orders_columns",
     # -- (c) rotation: last verified round 3, extensions first -------------
     "curation_cluster_quality_join",
     "approx_aggregates_events",

@@ -2052,6 +2052,111 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Robust (MAD-based) anomaly flags: the median/MAD twin of the
+# z-score query above — outlier-resistant, the form that survives the
+# heavy-tailed value distributions real event streams have. Two exact
+# percentile aggregates per user (percentile_cont parity on both
+# engines) plus re-joins on the SAME user_id partitioning, so the
+# whole plan is one exchange. Modified z-score per Iglewicz–Hoaglin
+# (0.6745 · dev / MAD, flag at 3.5).
+@register(
+    "events_anomaly_mad",
+    oracle="""
+    WITH med AS (
+        SELECT user_id, median(value) AS med
+        FROM events GROUP BY user_id
+    ),
+    mad AS (
+        SELECT e.user_id, median(abs(e.value - m.med)) AS mad
+        FROM events e JOIN med m USING (user_id)
+        GROUP BY e.user_id
+    )
+    SELECT e.event_id, e.user_id,
+           round(e.value, 4) AS value,
+           round(0.6745 * (e.value - m.med) / d.mad, 3) AS robust_z
+    FROM events e
+    JOIN med m USING (user_id)
+    JOIN mad d USING (user_id)
+    WHERE d.mad > 0
+      AND abs(round(0.6745 * (e.value - m.med) / d.mad, 3)) >= 3.5
+    """,
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    med = e.groupBy("user_id").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    mad = (
+        e.join(med, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.percentile(F.abs(F.col("value") - F.col("med")), F.lit(0.5)).alias(
+                "mad"
+            )
+        )
+    )
+    z = F.round(
+        0.6745 * F.try_divide(F.col("value") - F.col("med"), F.col("mad")), 3
+    )
+    return (
+        e.join(med, "user_id")
+        .join(mad, "user_id")
+        .filter((F.col("mad") > 0) & (F.abs(z) >= 3.5))
+        .select(
+            "event_id",
+            "user_id",
+            F.round("value", 4).alias("value"),
+            z.alias("robust_z"),
+        )
+    )
+
+
+# --- Column-census profile (operators/validation.py::profile_columns):
+# null count + exact distinct cardinality for every orders column in
+# ONE scan (Spark's multi-distinct Expand aggregate; the operator's
+# exact=False flag swaps HLL++ for the 100 TB configuration). The
+# oracle restates it as one UNION ALL branch per column.
+@register(
+    "profile_orders_columns",
+    oracle="""
+    SELECT 'o_orderkey' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) FILTER (WHERE o_orderkey IS NULL) AS BIGINT) AS n_null,
+           CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', CAST(count(*) AS BIGINT),
+           CAST(count(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT),
+           CAST(count(DISTINCT o_custkey) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', CAST(count(*) AS BIGINT),
+           CAST(count(*) FILTER (WHERE o_orderstatus IS NULL) AS BIGINT),
+           CAST(count(DISTINCT o_orderstatus) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', CAST(count(*) AS BIGINT),
+           CAST(count(*) FILTER (WHERE o_totalprice IS NULL) AS BIGINT),
+           CAST(count(DISTINCT o_totalprice) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderdate', CAST(count(*) AS BIGINT),
+           CAST(count(*) FILTER (WHERE o_orderdate IS NULL) AS BIGINT),
+           CAST(count(DISTINCT o_orderdate) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', CAST(count(*) AS BIGINT),
+           CAST(count(*) FILTER (WHERE o_orderpriority IS NULL) AS BIGINT),
+           CAST(count(DISTINCT o_orderpriority) AS BIGINT)
+    FROM orders
+    """,
+)
+def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emission_project_spark.operators.validation import profile_columns
+
+    o = load_table(spark, sf_dir, "orders")
+    return profile_columns(o)
+
+
 # --- SCD Type-2 dimension maintenance (operators/scd.py): the
 # warehouse operator the reference's Type-1 upsert
 # (upsert_query.text:5-9) loses history to. One update batch folds into
