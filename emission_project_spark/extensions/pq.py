@@ -189,3 +189,179 @@ def pq_topk(
         .filter(F.col("rk") <= k)
         .drop("rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: coarse inverted lists × residual product quantization — the
+# FAISS IndexIVFPQ composition (Jégou et al. 2011 §IV). The coarse
+# quantizer prunes the scan to n_probe cells (reads ≈ n_probe/C of the
+# corpus, the extensions/similarity.py IVF property); PQ shrinks what
+# is scanned 32×; encoding the RESIDUAL x − c(x) instead of x keeps
+# codeword resolution where the data actually is (within-cell spread,
+# not global position).
+
+
+@dataclass(frozen=True)
+class IVFPQModel:
+    coarse: np.ndarray      # (n_cells, dim) coarse centroids, row = cid
+    pq: PQModel             # trained on residuals
+
+
+def _residuals(emb: DataFrame, centroids: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(vec_id, cell_id, r = x − c_cell) via one broadcast assignment —
+    assign_clusters' min_by argmin, then a zip_with subtraction."""
+    from emission_project_spark.extensions.kmeans import assign_clusters
+
+    vecs = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("e"),
+    )
+    assigned = assign_clusters(vecs, centroids)
+    ce = centroids.select(
+        F.col("cid").alias("cluster_id"), F.col("ce").alias("_ce")
+    )
+    return (
+        assigned.join(F.broadcast(ce), "cluster_id")
+        .select(
+            "vec_id",
+            F.col("cluster_id").alias("cell_id"),
+            F.zip_with("e", "_ce", lambda x, c: x - c).alias("r"),
+        )
+    )
+
+
+def fit_ivfpq(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_cells: int = 8,
+    m: int = 8,
+    k: int = 16,
+    iterations: int = 3,
+    train_frac: float | None = None,
+) -> IVFPQModel:
+    from emission_project_spark.extensions.kmeans import lloyd_centroids
+
+    vecs = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("e"),
+    )
+    centroids = lloyd_centroids(
+        vecs, k=n_cells, iterations=iterations, train_frac=train_frac
+    ).cache()
+    rows = centroids.collect()
+    coarse = np.empty((n_cells, dim))
+    for r in rows:
+        coarse[int(r["cid"])] = np.asarray(r["ce"])
+    res = _residuals(emb, centroids, id_col, vec_col)
+    pq = fit_pq(
+        res,
+        id_col="vec_id",
+        vec_col="r",
+        dim=dim,
+        m=m,
+        k=k,
+        iterations=iterations,
+        train_frac=train_frac,
+    )
+    return IVFPQModel(coarse=coarse, pq=pq)
+
+
+def ivfpq_encode(
+    emb: DataFrame,
+    model: IVFPQModel,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, cell_id, codes) — the inverted-list relation. Persist
+    this partitioned by cell_id and a probe reads only its lists."""
+    centroids = _centroid_df(emb.sparkSession, model.coarse)
+    res = _residuals(emb, centroids, id_col, vec_col)
+    codes = pq_encode(res, model.pq, id_col="vec_id", vec_col="r")
+    return res.select("vec_id", "cell_id").join(codes, "vec_id")
+
+
+def _centroid_df(spark, coarse: np.ndarray) -> DataFrame:
+    return spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(coarse)],
+        "cid int, ce array<double>",
+    )
+
+
+def ivfpq_topk(
+    encoded: DataFrame,
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    model: IVFPQModel,
+    n_probe: int = 2,
+    k: int = 10,
+) -> DataFrame:
+    """ADC top-k over the n_probe nearest cells per query.
+
+    Driver side: per query, coarse distances pick its probe cells and
+    one (m × k) LUT per probed cell on the residual q − c. Executor
+    side: the scan is FILTERED to the union of probed cells (partition
+    pruning when the list relation is stored partitioned by cell_id);
+    each batch groups by cell, scores only the queries probing that
+    cell, and emits per-batch per-query top-k."""
+    m, dsub = model.pq.m, model.pq.dsub
+    books = model.pq.codebooks
+    qids = np.asarray(query_ids)
+    # (q, n_cells) coarse distances → probe lists
+    cd = ((queries[:, None, :] - model.coarse[None]) ** 2).sum(axis=2)
+    probe = np.argsort(cd, axis=1, kind="stable")[:, :n_probe]    # (q, p)
+    # cell → [(query_index, lut)] with lut on the residual
+    by_cell: dict[int, list[tuple[int, np.ndarray]]] = {}
+    for qi in range(len(queries)):
+        for c in probe[qi]:
+            r = queries[qi] - model.coarse[c]
+            lut = np.stack(
+                [
+                    (
+                        (r[s * dsub : (s + 1) * dsub][None, :] - books[s]) ** 2
+                    ).sum(axis=1)
+                    for s in range(m)
+                ]
+            )                                                      # (m, k)
+            by_cell.setdefault(int(c), []).append((qi, lut))
+    wanted = sorted(by_cell)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            for cell, grp in pdf.groupby("cell_id"):
+                probes = by_cell.get(int(cell))
+                if not probes:
+                    continue
+                codes = np.stack(grp["codes"].to_numpy())          # (n, m)
+                vec_ids = grp["vec_id"].to_numpy()
+                for qi, lut in probes:
+                    ad2 = np.zeros(len(codes))
+                    for s in range(m):
+                        ad2 += lut[s, codes[:, s]]
+                    top = min(k, len(ad2))
+                    idx = np.argpartition(ad2, top - 1)[:top]
+                    yield pd.DataFrame(
+                        {
+                            "query_id": np.full(top, qids[qi]),
+                            "vec_id": vec_ids[idx],
+                            "ad2": ad2[idx],
+                        }
+                    )
+
+    pruned = encoded.filter(F.col("cell_id").isin([int(c) for c in wanted]))
+    candidates = pruned.select("vec_id", "cell_id", "codes").mapInPandas(
+        gen, schema="query_id bigint, vec_id bigint, ad2 double"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("ad2").asc(), F.col("vec_id").asc()
+    )
+    return (
+        candidates.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .drop("rk")
+    )

@@ -135,3 +135,91 @@ def test_reconstruction_improves_with_k(emb, local):
 def test_fit_validations(emb):
     with pytest.raises(ValueError):
         fit_pq(emb, dim=64, m=7, k=4)
+
+
+# --- IVF-PQ ---------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def ivfpq_model(emb):
+    from emission_project_spark.extensions.pq import fit_ivfpq
+
+    return fit_ivfpq(emb, dim=64, n_cells=8, m=8, k=16, iterations=3)
+
+
+@pytest.fixture(scope="module")
+def ivfpq_encoded(emb, ivfpq_model):
+    from emission_project_spark.extensions.pq import ivfpq_encode
+
+    return ivfpq_encode(emb, ivfpq_model).cache()
+
+
+def test_ivfpq_encode_covers_corpus(emb, ivfpq_encoded):
+    rows = ivfpq_encoded.collect()
+    assert len(rows) == emb.count()
+    assert all(0 <= r["cell_id"] < 8 for r in rows)
+    assert all(len(r["codes"]) == 8 for r in rows)
+
+
+def test_ivfpq_adc_identity(ivfpq_model, ivfpq_encoded, local):
+    """ADC == ‖q − (c_cell + decode(codes))‖² for every returned pair."""
+    from emission_project_spark.extensions.pq import ivfpq_topk, pq_decode
+
+    ids, x = local
+    out = ivfpq_topk(
+        ivfpq_encoded, x[:5], ids[:5], ivfpq_model, n_probe=3, k=7
+    ).collect()
+    enc = {
+        r["vec_id"]: (r["cell_id"], np.array(r["codes"]))
+        for r in ivfpq_encoded.collect()
+    }
+    for r in out:
+        qi = int(np.where(ids == r["query_id"])[0][0])
+        cell, codes = enc[r["vec_id"]]
+        recon = (
+            ivfpq_model.coarse[cell]
+            + pq_decode(codes[None, :], ivfpq_model.pq)[0]
+        )
+        exact = float(((x[qi] - recon) ** 2).sum())
+        assert r["ad2"] == pytest.approx(exact, rel=1e-9, abs=1e-9)
+
+
+def test_ivfpq_scan_respects_probe_pruning(ivfpq_model, ivfpq_encoded, local):
+    """Returned neighbors must come only from each query's probed cells."""
+    from emission_project_spark.extensions.pq import ivfpq_topk
+
+    ids, x = local
+    n_probe = 2
+    out = ivfpq_topk(
+        ivfpq_encoded, x[:6], ids[:6], ivfpq_model, n_probe=n_probe, k=10
+    ).collect()
+    cells = {r["vec_id"]: r["cell_id"] for r in ivfpq_encoded.collect()}
+    cd = ((x[:6, None, :] - ivfpq_model.coarse[None]) ** 2).sum(axis=2)
+    probe = {
+        int(ids[qi]): set(np.argsort(cd[qi], kind="stable")[:n_probe].tolist())
+        for qi in range(6)
+    }
+    for r in out:
+        assert cells[r["vec_id"]] in probe[r["query_id"]]
+
+
+def test_ivfpq_recall_floor(ivfpq_model, ivfpq_encoded, local):
+    """Full probe (n_probe = n_cells) ⇒ residual-PQ ranking of the whole
+    corpus; recall@10 must beat the raw-PQ floor's chance level by far."""
+    from emission_project_spark.extensions.pq import ivfpq_topk
+
+    ids, x = local
+    nq = 20
+    out = ivfpq_topk(
+        ivfpq_encoded, x[:nq], ids[:nq], ivfpq_model, n_probe=8, k=10
+    ).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r["query_id"], set()).add(r["vec_id"])
+    hits = 0
+    for qi in range(nq):
+        d2 = ((x - x[qi]) ** 2).sum(axis=1)
+        exact = set(ids[np.argsort(d2, kind="stable")[:10]].tolist())
+        hits += len(exact & got[ids[qi]])
+    recall = hits / (10 * nq)
+    assert recall >= 0.3, f"ivfpq recall@10 = {recall}"
