@@ -63,6 +63,13 @@ R5_EXTRA = [
     "cdc_apply_customers",
     "dedup_chunk_level_profile",
     "similarity_hard_negatives",
+    # session-3 additions: heaviest of the decorrelation patterns and
+    # the vector/census ops
+    "join_q21_lone_late_supplier",
+    "join_q9_product_profit",
+    "embedding_quantize_error",
+    "events_anomaly_mad",
+    "profile_orders_columns",
 ]
 
 # The heaviest operators, re-run at the 10x dataset for the scale

@@ -1461,6 +1461,65 @@ def winnow_oversized_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rpt(docs)
 
 
+# --- Sentence segmentation stats: the per-document readability /
+# structure signals (sentence count, mean sentence length) that sit
+# beside the Gopher repetition gates in crawl-filter stacks. Pure
+# higher-order functions on both engines: split on terminal
+# punctuation runs, trim, drop empties, fold lengths — no explode, no
+# shuffle; one narrow projection then a label-level rollup.
+@register(
+    "text_sentence_stats",
+    oracle="""
+    WITH segs AS (
+        SELECT lang,
+               list_filter(
+                   list_transform(regexp_split_to_array(text, '[.!?]+'),
+                                  s -> trim(s)),
+                   s -> s <> '') AS ss
+        FROM documents
+    ),
+    per_doc AS (
+        SELECT lang,
+               CAST(len(ss) AS BIGINT) AS n_sent,
+               CASE WHEN len(ss) > 0
+                    THEN CAST(list_sum(list_transform(ss, s -> length(s)))
+                              AS DOUBLE) / len(ss) END AS mean_len
+        FROM segs
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_sent) AS BIGINT) AS total_sentences,
+           round(avg(n_sent), 6) AS avg_sentences_per_doc,
+           round(avg(mean_len), 6) AS avg_sentence_chars
+    FROM per_doc
+    GROUP BY lang
+    """,
+)
+def text_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ss = F.filter(
+        F.transform(F.split("text", r"[.!?]+"), lambda s: F.trim(s)),
+        lambda s: s != "",
+    )
+    per_doc = docs.select(
+        "lang",
+        F.size(ss).cast("bigint").alias("n_sent"),
+        F.when(
+            F.size(ss) > 0,
+            F.aggregate(
+                ss, F.lit(0.0), lambda acc, s: acc + F.length(s).cast("double")
+            )
+            / F.size(ss),
+        ).alias("mean_len"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_sent").alias("total_sentences"),
+        F.round(F.avg("n_sent"), 6).alias("avg_sentences_per_doc"),
+        F.round(F.avg("mean_len"), 6).alias("avg_sentence_chars"),
+    )
+
+
 # --- Gopher-style repetition metrics (Rae et al., table A1): the
 # repetition signals used to gate crawl corpora. top-token fraction is
 # computed RELATIONALLY (explode → (doc, token) counts → per-doc

@@ -113,6 +113,7 @@ _PRIORITY: list[str] = [
     "embedding_quantize_error",
     "events_anomaly_mad",
     "profile_orders_columns",
+    "text_sentence_stats",
     # -- (c) rotation: last verified round 3, extensions first -------------
     "curation_cluster_quality_join",
     "approx_aggregates_events",

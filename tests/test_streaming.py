@@ -624,3 +624,96 @@ def test_streaming_inactivity_monitor(spark, tmp_path):
     assert (1, "2024-01-01 10:10:00", 2, True) in rows      # watermark-driven expiry
     assert (9, "2024-01-01 12:00:00", 1, False) in rows     # still live
     assert not any(u == 9 and e for u, _t, _n, e in rows)   # user 9 never expires
+
+
+def test_stream_static_enrichment_picks_up_dim_updates(spark, tmp_path):
+    """Stream-static left join: unmatched stream rows keep NULLs; a dim
+    rewrite between availableNow drains is picked up (the static side
+    is re-planned per run — how a batch-maintained dimension feeds a
+    live enrichment)."""
+    import json
+
+    from emission_project_spark.streaming.enrich import enrich_stream
+
+    dim_dir = tmp_path / "dim"
+    spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], "k int, label string"
+    ).write.mode("overwrite").parquet(str(dim_dir))
+
+    incoming = tmp_path / "in"
+    incoming.mkdir()
+    (incoming / "a.jsonl").write_text(
+        "\n".join(json.dumps(r) for r in [{"id": 10, "k": 1}, {"id": 11, "k": 3}])
+    )
+
+    stream = (
+        spark.readStream.format("json")
+        .schema("id int, k int")
+        .load(str(incoming))
+    )
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (
+        enrich_stream(stream, spark.read.parquet(str(dim_dir)), "k")
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["id"]: r["label"] for r in spark.read.parquet(out_dir).collect()}
+    assert got == {10: "alpha", 11: None}  # orphan FK kept, NULL label
+
+    # dim rewritten (k=3 appears, k=1 relabeled) + a new stream file:
+    # the next drain enriches with the NEW dim rows
+    spark.createDataFrame(
+        [(1, "alpha2"), (3, "gamma")], "k int, label string"
+    ).write.mode("overwrite").parquet(str(dim_dir))
+    (incoming / "b.jsonl").write_text(
+        "\n".join(json.dumps(r) for r in [{"id": 12, "k": 1}, {"id": 13, "k": 3}])
+    )
+    q2 = (
+        enrich_stream(stream, spark.read.parquet(str(dim_dir)), "k")
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    got = {r["id"]: r["label"] for r in spark.read.parquet(out_dir).collect()}
+    assert got == {10: "alpha", 11: None, 12: "alpha2", 13: "gamma"}
+
+
+def test_stream_static_enrichment_inner_drops_orphans(spark, tmp_path):
+    import json
+
+    from emission_project_spark.streaming.enrich import enrich_stream
+
+    dim = spark.createDataFrame([(1, "alpha")], "k int, label string")
+    incoming = tmp_path / "in"
+    incoming.mkdir()
+    (incoming / "a.jsonl").write_text(
+        "\n".join(json.dumps(r) for r in [{"id": 1, "k": 1}, {"id": 2, "k": 9}])
+    )
+    stream = (
+        spark.readStream.format("json")
+        .schema("id int, k int")
+        .load(str(incoming))
+    )
+    q = (
+        enrich_stream(stream, dim, "k", how="inner")
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.read.parquet(str(tmp_path / "out")).collect()
+    assert [r["id"] for r in rows] == [1]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        enrich_stream(stream, dim, "k", how="full")
