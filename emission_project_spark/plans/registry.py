@@ -114,6 +114,9 @@ _PRIORITY: list[str] = [
     "events_anomaly_mad",
     "profile_orders_columns",
     "text_sentence_stats",
+    "events_dwell_times",
+    "events_transition_matrix",
+    "basket_part_pairs_lift",
     # -- (c) rotation: last verified round 3, extensions first -------------
     "curation_cluster_quality_join",
     "approx_aggregates_events",

@@ -1607,6 +1607,176 @@ def events_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Inter-event dwell times: microseconds between consecutive events
+# per user, rolled up per event_type of the EARLIER event (what users
+# do next, and how fast). One user_id window shuffle; the lead() pair
+# forms inside the sorted partition, so no self-join. Deltas are EXACT
+# integer microseconds (the testdata timestamps are sub-second-grained,
+# so any second-truncation would diverge between engines — µs is the
+# storage grid itself).
+@register(
+    "events_dwell_times",
+    oracle="""
+    WITH paired AS (
+        SELECT event_type,
+               date_diff('microsecond', CAST(ts AS TIMESTAMP),
+                   lead(CAST(ts AS TIMESTAMP)) OVER
+                       (PARTITION BY user_id
+                        ORDER BY CAST(ts AS TIMESTAMP), event_id))
+                   AS dwell_us
+        FROM events
+    )
+    SELECT event_type,
+           CAST(count(dwell_us) AS BIGINT) AS n_pairs,
+           round(avg(dwell_us), 4) AS avg_dwell_us,
+           round(median(dwell_us), 1) AS p50_dwell_us,
+           CAST(max(dwell_us) AS BIGINT) AS max_dwell_us
+    FROM paired
+    WHERE dwell_us IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def events_dwell_times(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    paired = e.select(
+        "event_type",
+        (
+            F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts")
+        ).alias("dwell_us"),
+    ).filter(F.col("dwell_us").isNotNull())
+    return paired.groupBy("event_type").agg(
+        F.count("dwell_us").alias("n_pairs"),
+        F.round(F.avg("dwell_us"), 4).alias("avg_dwell_us"),
+        F.round(F.percentile("dwell_us", F.lit(0.5)), 1).alias("p50_dwell_us"),
+        F.max("dwell_us").alias("max_dwell_us"),
+    )
+
+
+# --- First-order Markov transition counts: event_type → next
+# event_type per user, with row-normalized probabilities. The
+# sequence-mining primitive behind next-action prediction and
+# anomalous-flow detection. Same single user_id window as the dwell
+# query; the probability denominator is a broadcast-joined per-source
+# total (decorrelated ratio-to-report).
+@register(
+    "events_transition_matrix",
+    oracle="""
+    WITH paired AS (
+        SELECT event_type AS src,
+               lead(event_type) OVER
+                   (PARTITION BY user_id
+                    ORDER BY CAST(ts AS TIMESTAMP), event_id) AS dst
+        FROM events
+    ),
+    counts AS (
+        SELECT src, dst, CAST(count(*) AS BIGINT) AS n
+        FROM paired WHERE dst IS NOT NULL GROUP BY src, dst
+    )
+    SELECT src, dst, n,
+           round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY src), 6)
+               AS p
+    FROM counts
+    """,
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    paired = e.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    counts = paired.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n"))
+    # the per-src window runs over the #event_types² aggregate, not data
+    wsrc = Window.partitionBy("src")
+    return counts.select(
+        "src",
+        "dst",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(wsrc), 6).alias("p"),
+    )
+
+
+# --- Market-basket co-occurrence: part pairs bought in the same
+# order, with support and lift. The pair generator is a within-order
+# self-join (l1.partkey < l2.partkey) — bounded by lines-per-order
+# (~7), so fanout is ~k²/2 per order, NEVER corpus-quadratic; the
+# k-per-key cap discipline of the dedup kit applies structurally here
+# because order size is data-model-bounded. Lift's denominators are
+# per-part order counts, broadcast-joined onto the pair aggregate.
+@register(
+    "basket_part_pairs_lift",
+    oracle="""
+    WITH op AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    n_orders AS (
+        SELECT CAST(count(DISTINCT l_orderkey) AS DOUBLE) AS n FROM lineitem
+    ),
+    part_cnt AS (
+        SELECT l_partkey, CAST(count(*) AS BIGINT) AS cnt FROM op GROUP BY 1
+    ),
+    pairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               CAST(count(*) AS BIGINT) AS together
+        FROM op a JOIN op b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+    )
+    SELECT p.part_a, p.part_b, p.together,
+           round(p.together / n.n, 6) AS support,
+           round((p.together / n.n)
+                 / ((ca.cnt / n.n) * (cb.cnt / n.n)), 4) AS lift
+    FROM pairs p
+    JOIN part_cnt ca ON ca.l_partkey = p.part_a
+    JOIN part_cnt cb ON cb.l_partkey = p.part_b
+    CROSS JOIN n_orders n
+    WHERE p.together >= 3
+    """,
+)
+def basket_part_pairs_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = li.agg(
+        F.countDistinct("l_orderkey").cast("double").alias("n")
+    )
+    part_cnt = op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
+    a = op.select(
+        F.col("l_orderkey"), F.col("l_partkey").alias("part_a")
+    )
+    b = op.select(
+        F.col("l_orderkey").alias("_ok"), F.col("l_partkey").alias("part_b")
+    )
+    pairs = (
+        a.join(b, (a["l_orderkey"] == b["_ok"]) & (F.col("part_a") < F.col("part_b")))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("together"))
+        .filter(F.col("together") >= 3)
+    )
+    ca = part_cnt.select(
+        F.col("l_partkey").alias("part_a"), F.col("cnt").alias("_ca")
+    )
+    cb = part_cnt.select(
+        F.col("l_partkey").alias("part_b"), F.col("cnt").alias("_cb")
+    )
+    return (
+        pairs.join(ca, "part_a")
+        .join(cb, "part_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "together",
+            F.round(F.col("together") / F.col("n"), 6).alias("support"),
+            F.round(
+                (F.col("together") / F.col("n"))
+                / ((F.col("_ca") / F.col("n")) * (F.col("_cb") / F.col("n"))),
+                4,
+            ).alias("lift"),
+        )
+    )
+
+
 # --- funnel conversion: fraction of signups followed by a purchase
 # from the same user within 1 hour. The candidate join shuffles on
 # user_id (per-user event counts are bounded, so the fanout is too);

@@ -45,6 +45,7 @@ SCALAR_CROSS_OK = {
     "text_bm25_search",               # 1-row corpus (N, avgdl) stats
     "join_q22_idle_balance_customers",  # 1-row balance-average scalar
     "skew_key_profile_lineitem",        # 1-row avg-count scalar vs key counts
+    "basket_part_pairs_lift",           # 1-row order-count normalizer
 }
 
 
