@@ -227,3 +227,102 @@ class Warehouse:
         with ``compact()`` to rewrite history onto the wide schema once
         the evolution settles."""
         return self.spark.read.option("mergeSchema", "true").parquet(self.path(table))
+
+    # -- snapshot versioning (time travel + rollback) -------------------
+    #
+    # The multi-version layer the atomic swap hints at, made explicit:
+    # every publish is an immutable version directory plus an atomic
+    # pointer update, so history is queryable (audits, incident
+    # debugging, reproducing yesterday's training mix) and rollback is
+    # a pointer move — no data rewrite. On a transactional table format
+    # this maps to snapshots/time-travel; pure parquet implements it
+    # with directories and one pointer file. Write path: version dir is
+    # fully written BEFORE the pointer moves (os.replace = atomic), so
+    # a crash leaves either the old pointer (plus an orphan dir that
+    # vacuum reclaims) or the completed new state — never a torn table.
+
+    def _vroot(self, table: str) -> str:
+        return os.path.join(self.root, f"{table}.__versions")
+
+    def _vptr(self, table: str) -> str:
+        return os.path.join(self._vroot(table), "_CURRENT")
+
+    def snapshots(self, table: str) -> list[int]:
+        """All retained version numbers, ascending."""
+        vr = self._vroot(table)
+        if not os.path.isdir(vr):
+            return []
+        return sorted(
+            int(d[1:]) for d in os.listdir(vr)
+            if d.startswith("v") and d[1:].isdigit()
+        )
+
+    def current_version(self, table: str) -> int | None:
+        try:
+            with open(self._vptr(table)) as fh:
+                return int(fh.read().strip())
+        except FileNotFoundError:
+            return None
+
+    def snapshot_write(
+        self, df: DataFrame, table: str, partition_by: list[str] | None = None
+    ) -> int:
+        """Publish a new immutable version; returns its number."""
+        vr = self._vroot(table)
+        os.makedirs(vr, exist_ok=True)
+        vs = self.snapshots(table)
+        version = (vs[-1] + 1) if vs else 1
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(os.path.join(vr, f"v{version}"))
+        self._set_pointer(table, version)
+        return version
+
+    def _set_pointer(self, table: str, version: int) -> None:
+        tmp = self._vptr(table) + f".__tmp_{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as fh:
+            fh.write(str(version))
+        os.replace(tmp, self._vptr(table))
+
+    def read_snapshot(self, table: str, version: int | None = None) -> DataFrame:
+        """Read the current (pointer) version, or time-travel to a
+        specific retained one."""
+        if version is None:
+            version = self.current_version(table)
+            if version is None:
+                raise FileNotFoundError(f"no snapshots for table {table}")
+        if version not in self.snapshots(table):
+            raise FileNotFoundError(
+                f"table {table} has no version {version} "
+                f"(retained: {self.snapshots(table)})"
+            )
+        return self.spark.read.parquet(
+            os.path.join(self._vroot(table), f"v{version}")
+        )
+
+    def rollback(self, table: str, version: int) -> None:
+        """Point the table back at an older retained version — a pure
+        pointer move; no data is rewritten, newer versions stay
+        retained (re-rollback-able) until vacuumed."""
+        if version not in self.snapshots(table):
+            raise FileNotFoundError(
+                f"cannot roll back {table} to missing version {version}"
+            )
+        self._set_pointer(table, version)
+
+    def vacuum_snapshots(self, table: str, keep_last: int = 2) -> list[int]:
+        """Drop old version dirs, always retaining the current pointer's
+        version and the ``keep_last`` highest-numbered versions.
+        Returns the versions removed."""
+        current = self.current_version(table)
+        vs = self.snapshots(table)
+        keep = set(vs[-keep_last:] if keep_last > 0 else [])
+        if current is not None:
+            keep.add(current)
+        removed = []
+        for v in vs:
+            if v not in keep:
+                shutil.rmtree(os.path.join(self._vroot(table), f"v{v}"))
+                removed.append(v)
+        return removed

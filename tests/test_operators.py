@@ -425,3 +425,50 @@ def test_warehouse_append_migrates_legacy_flat_layout(spark, tmp_path):
     assert out.count() == 150
     assert out.filter("date_id = 3").count() == 50
     assert out.filter("date_id = 1").count() == 33  # legacy rows intact
+
+
+def test_warehouse_snapshot_versioning(spark, tmp_path):
+    """Time travel + rollback + vacuum on the snapshot layer: publishes
+    are immutable versions, the pointer move is the only mutation."""
+    import pytest as _pytest
+
+    from emission_project_spark.sources.warehouse import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    v1 = wh.snapshot_write(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"), "t"
+    )
+    v2 = wh.snapshot_write(
+        spark.createDataFrame([(1, "a2"), (3, "c")], "k int, v string"), "t"
+    )
+    assert (v1, v2) == (1, 2)
+    assert wh.current_version("t") == 2
+    assert {r["v"] for r in wh.read_snapshot("t").collect()} == {"a2", "c"}
+    # time travel: v1 still intact
+    assert {r["v"] for r in wh.read_snapshot("t", 1).collect()} == {"a", "b"}
+
+    # rollback is a pointer move; v2 stays retained
+    wh.rollback("t", 1)
+    assert wh.current_version("t") == 1
+    assert {r["v"] for r in wh.read_snapshot("t").collect()} == {"a", "b"}
+    assert wh.snapshots("t") == [1, 2]
+
+    # next publish continues the version sequence
+    v3 = wh.snapshot_write(
+        spark.createDataFrame([(9, "z")], "k int, v string"), "t"
+    )
+    assert v3 == 3 and wh.current_version("t") == 3
+
+    # vacuum keeps current + keep_last highest; current is protected
+    wh.rollback("t", 1)
+    removed = wh.vacuum_snapshots("t", keep_last=1)
+    assert removed == [2]
+    assert wh.snapshots("t") == [1, 3]
+    assert {r["v"] for r in wh.read_snapshot("t").collect()} == {"a", "b"}
+
+    with _pytest.raises(FileNotFoundError):
+        wh.read_snapshot("t", 2)
+    with _pytest.raises(FileNotFoundError):
+        wh.rollback("t", 99)
+    with _pytest.raises(FileNotFoundError):
+        wh.read_snapshot("missing")
