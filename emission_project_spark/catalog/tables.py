@@ -82,3 +82,20 @@ def register_temp_views(spark: SparkSession, sf_dir: str | None = None) -> None:
     """Register all tables as temp views for ``spark.sql`` use."""
     for name, df in load_tables(spark, sf_dir).items():
         df.createOrReplaceTempView(name)
+
+
+def load_table_with_provenance(spark, sf_dir: str, name: str):
+    """Table scan plus lineage columns from the parquet reader's
+    ``_metadata`` struct: source file path + row-group offsets let any
+    output row be traced back to its physical input — the audit
+    question ("which file produced this bad row?") answered without a
+    lineage service. Zero-cost: ``_metadata`` is populated by the scan
+    itself, no extra IO."""
+    from pyspark.sql import functions as F
+
+    df = load_table(spark, sf_dir, name)
+    return df.select(
+        "*",
+        F.col("_metadata.file_path").alias("_src_file"),
+        F.col("_metadata.file_size").alias("_src_file_size"),
+    )

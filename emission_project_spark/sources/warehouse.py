@@ -326,3 +326,25 @@ class Warehouse:
                 shutil.rmtree(os.path.join(self._vroot(table), f"v{v}"))
                 removed.append(v)
         return removed
+
+    def file_stats(self, table: str) -> dict:
+        """Small-files census for one table: parquet file count + byte
+        distribution — the metric that decides when ``compact()`` runs.
+        Pure metadata walk (driver-side listing, no Spark job), the
+        same cost class as the planner's own file listing."""
+        sizes = []
+        for dirpath, _, files in os.walk(self.path(table)):
+            for f in files:
+                if f.endswith(".parquet"):
+                    sizes.append(os.path.getsize(os.path.join(dirpath, f)))
+        if not sizes:
+            return {"n_files": 0, "total_bytes": 0,
+                    "min_bytes": 0, "max_bytes": 0, "avg_bytes": 0.0}
+        sizes.sort()
+        return {
+            "n_files": len(sizes),
+            "total_bytes": sum(sizes),
+            "min_bytes": sizes[0],
+            "max_bytes": sizes[-1],
+            "avg_bytes": round(sum(sizes) / len(sizes), 1),
+        }

@@ -472,3 +472,45 @@ def test_warehouse_snapshot_versioning(spark, tmp_path):
         wh.rollback("t", 99)
     with _pytest.raises(FileNotFoundError):
         wh.read_snapshot("missing")
+
+
+def test_observed_stage_counters_ride_the_action(spark):
+    """observe(): metrics come from the same action, no second scan;
+    counts match an independent recomputation."""
+    from emission_project_spark.operators.observe import observed_stage
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 500.0), (4, -3.0)],
+        "id int, v double",
+    )
+    inst, obs = observed_stage(
+        df, not_null=["v"], ranges={"v": (0, 100)}, name="probe"
+    )
+    assert inst.count() == 4          # the action that feeds the metrics
+    got = obs.get
+    assert got["n_rows"] == 4
+    assert got["null_v"] == 1
+    assert got["oor_v"] == 2          # 500 and -3; NULL not counted
+
+
+def test_warehouse_file_stats_census(spark, tmp_path):
+    from emission_project_spark.sources.warehouse import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    assert wh.file_stats("t")["n_files"] == 0
+    df = spark.range(1000).withColumnRenamed("id", "k")
+    wh.append(df.repartition(8), "t")
+    st = wh.file_stats("t")
+    assert st["n_files"] == 8
+    assert st["total_bytes"] > 0
+    assert st["min_bytes"] <= st["avg_bytes"] <= st["max_bytes"]
+
+
+def test_load_table_with_provenance(spark):
+    from emission_project_spark.catalog.tables import load_table_with_provenance
+
+    df = load_table_with_provenance(spark, "/root/testdata/sf0.001", "nation")
+    rows = df.collect()
+    assert len(rows) == 25
+    assert all(r["_src_file"].endswith(".parquet") for r in rows)
+    assert all(r["_src_file_size"] > 0 for r in rows)
