@@ -192,10 +192,12 @@ def join_q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataF
 
 # --- Q17 shape: revenue impact of small-quantity orders for one
 # brand. The oracle states the correlated scalar subquery
-# (0.2 * avg(l_quantity) per part); the Spark plan decorrelates it:
-# one per-part average over the brand's lines, joined back on partkey.
-# Both sides of that join are already partitioned by partkey from the
-# same upstream shuffle, and the brand filter reaches the part scan.
+# (0.2 * avg(l_quantity) per part); the Spark plan decorrelates it as
+# a WINDOW average over partkey rather than an aggregate-and-rejoin —
+# the rejoin form compiles to TWO scans of the brand lines (one per
+# SMJ side, the subplan is not reused under the aggregate), while the
+# window form is ONE scan + ONE partkey exchange. The brand filter
+# reaches the part scan and the filtered part side broadcasts.
 @register(
     "join_q17_small_quantity_revenue",
     oracle="""
@@ -214,15 +216,16 @@ def join_q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataF
 def join_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
+    from pyspark.sql import Window
+
     brand_parts = p.filter(F.col("p_brand") == "Brand#1").select("p_partkey")
     brand_lines = li.join(
         F.broadcast(brand_parts), li["l_partkey"] == F.col("p_partkey")
     )
-    per_part_avg = brand_lines.groupBy("l_partkey").agg(
-        (0.2 * F.avg("l_quantity")).alias("_qty_cut")
-    )
+    w = Window.partitionBy("l_partkey")
+    cut = (0.2 * F.avg("l_quantity").over(w)).alias("_qty_cut")
     return (
-        brand_lines.join(per_part_avg, "l_partkey")
+        brand_lines.select("l_partkey", "l_quantity", "l_extendedprice", cut)
         .filter(F.col("l_quantity") < F.col("_qty_cut"))
         .agg(
             F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
