@@ -1736,29 +1736,40 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def basket_part_pairs_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    n_orders = li.agg(
-        F.countDistinct("l_orderkey").cast("double").alias("n")
+    # One basket relation feeds everything: per-order sorted part set.
+    # Pairs are generated INSIDE the array (the minhash-LSH bucket
+    # pattern — no (order,part) self-join), and the three consumers
+    # (pairs, per-part counts, order total) share the identical
+    # subplan so the basket exchange is reused, not recomputed.
+    baskets = (
+        li.select("l_orderkey", "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
     )
-    part_cnt = op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
-    a = op.select(
-        F.col("l_orderkey"), F.col("l_partkey").alias("part_a")
-    )
-    b = op.select(
-        F.col("l_orderkey").alias("_ok"), F.col("l_partkey").alias("part_b")
+    n = F.size("parts")
+    pair_structs = F.flatten(
+        F.transform(
+            "parts",
+            lambda x, i: F.transform(
+                F.slice(F.col("parts"), i + 2, F.greatest(n - i - 1, F.lit(0))),
+                lambda y: F.struct(x.alias("part_a"), y.alias("part_b")),
+            ),
+        )
     )
     pairs = (
-        a.join(b, (a["l_orderkey"] == b["_ok"]) & (F.col("part_a") < F.col("part_b")))
-        .groupBy("part_a", "part_b")
+        baskets.select(F.explode(pair_structs).alias("pr"))
+        .groupBy(F.col("pr.part_a").alias("part_a"), F.col("pr.part_b").alias("part_b"))
         .agg(F.count(F.lit(1)).alias("together"))
         .filter(F.col("together") >= 3)
     )
-    ca = part_cnt.select(
-        F.col("l_partkey").alias("part_a"), F.col("cnt").alias("_ca")
+    part_cnt = (
+        baskets.select(F.explode("parts").alias("pk"))
+        .groupBy("pk")
+        .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    cb = part_cnt.select(
-        F.col("l_partkey").alias("part_b"), F.col("cnt").alias("_cb")
-    )
+    n_orders = baskets.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    ca = part_cnt.select(F.col("pk").alias("part_a"), F.col("cnt").alias("_ca"))
+    cb = part_cnt.select(F.col("pk").alias("part_b"), F.col("cnt").alias("_cb"))
     return (
         pairs.join(ca, "part_a")
         .join(cb, "part_b")
