@@ -2263,26 +2263,30 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Both medians as WINDOW aggregates on the same user_id partition:
+    # the aggregate-and-rejoin form executed ~5 fact scans (subplans
+    # under aggregates are not reused statically); this form is ONE
+    # scan and ONE exchange — the second window inherits the first's
+    # partitioning, so no re-shuffle (verified on the executed plan).
     e = load_table(spark, sf_dir, "events")
-    med = e.groupBy("user_id").agg(
-        F.percentile("value", F.lit(0.5)).alias("med")
+    w = Window.partitionBy("user_id")
+    with_med = e.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.percentile("value", F.lit(0.5)).over(w).alias("med"),
     )
-    mad = (
-        e.join(med, "user_id")
-        .groupBy("user_id")
-        .agg(
-            F.percentile(F.abs(F.col("value") - F.col("med")), F.lit(0.5)).alias(
-                "mad"
-            )
-        )
+    with_mad = with_med.select(
+        "*",
+        F.percentile(F.abs(F.col("value") - F.col("med")), F.lit(0.5))
+        .over(w)
+        .alias("mad"),
     )
     z = F.round(
         0.6745 * F.try_divide(F.col("value") - F.col("med"), F.col("mad")), 3
     )
     return (
-        e.join(med, "user_id")
-        .join(mad, "user_id")
-        .filter((F.col("mad") > 0) & (F.abs(z) >= 3.5))
+        with_mad.filter((F.col("mad") > 0) & (F.abs(z) >= 3.5))
         .select(
             "event_id",
             "user_id",
