@@ -514,3 +514,31 @@ def test_load_table_with_provenance(spark):
     assert len(rows) == 25
     assert all(r["_src_file"].endswith(".parquet") for r in rows)
     assert all(r["_src_file_size"] > 0 for r in rows)
+
+
+def test_v2_parquet_aggregate_pushdown(spark):
+    """Opt-in V2 session: a filterless count answers from footer stats
+    (PushedAggregation in the plan) and matches the V1 answer; the NTZ
+    events table stays readable under V2. Both knobs are dynamic SQL
+    confs, so a cloned session (shared SparkContext, isolated conf)
+    carries them without touching the suite's session."""
+    from pyspark.sql import functions as F
+
+    from emission_project_spark.session import v2_parquet_conf
+
+    spark2 = spark.newSession()
+    for k, v in v2_parquet_conf().items():
+        spark2.conf.set(k, v)
+    df = spark2.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    agg = df.agg(F.count(F.lit(1)).alias("n"))
+    plan = agg._jdf.queryExecution().explainString(
+        spark2._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "PushedAggregation" in plan
+    assert agg.first()["n"] == df.count()
+    ev = spark2.read.parquet("/root/testdata/sf0.001/events.parquet")
+    assert ev.count() > 0
+    # and the suite's session is untouched (still V1 for parquet)
+    assert "parquet" in spark.conf.get("spark.sql.sources.useV1SourceList")
