@@ -362,6 +362,75 @@ def similarity_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(emb, emb.filter(F.col("vec_id") < 3), k=10)
 
 
+# --- kNN classification by majority vote over the cosine top-k: the
+# supervised primitive on top of the ANN stack (label propagation /
+# weak-labeling in curation pipelines). Votes tie-break to the
+# smallest label; the neighbor ranking is exactly
+# similarity_bruteforce_topk's (rank ties by vec_id), so the vote is
+# deterministic end-to-end. Swap the brute-force neighbor source for
+# IVF/IVF-PQ at scale — the vote layer is source-agnostic.
+@register(
+    "similarity_knn_classify",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+               FROM embeddings WHERE vec_id < 20),
+    scored AS (
+        SELECT q.query_id, v.vec_id, v.label,
+               CASE WHEN list_dot_product(v.embedding::DOUBLE[], v.embedding::DOUBLE[]) > 0
+                         AND list_dot_product(q.qe, q.qe) > 0
+                    THEN round(list_cosine_similarity(v.embedding::DOUBLE[], q.qe), 6)
+               END AS s
+        FROM embeddings v CROSS JOIN q
+        WHERE v.vec_id <> q.query_id
+    ),
+    topk AS (
+        SELECT query_id, label
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                         ORDER BY s DESC, vec_id) AS rn FROM scored)
+        WHERE rn <= 10
+    ),
+    votes AS (
+        SELECT query_id, label, CAST(count(*) AS BIGINT) AS votes
+        FROM topk GROUP BY query_id, label
+    )
+    SELECT v.query_id,
+           t.label AS true_label,
+           v.label AS predicted_label,
+           v.votes
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                     ORDER BY votes DESC, label) AS rn FROM votes) v
+    JOIN embeddings t ON t.vec_id = v.query_id
+    WHERE v.rn = 1
+    """,
+)
+def similarity_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    topk = brute_force_topk(emb, emb.filter(F.col("vec_id") < 20), k=10)
+    labels = emb.select("vec_id", "label")
+    votes = (
+        topk.join(labels, "vec_id")
+        .groupBy("query_id", "label")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("votes").desc(), F.col("label").asc()
+    )
+    best = votes.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    truth = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
+    )
+    return best.join(truth, "query_id").select(
+        "query_id",
+        "true_label",
+        F.col("label").alias("predicted_label"),
+        "votes",
+    )
+
+
 # --- similarity: IVF approximate top-k (the scale path).
 @register(
     "similarity_ivf_topk",

@@ -117,6 +117,7 @@ _PRIORITY: list[str] = [
     "events_dwell_times",
     "events_transition_matrix",
     "basket_part_pairs_lift",
+    "similarity_knn_classify",
     # -- (c) rotation: last verified round 3, extensions first -------------
     "curation_cluster_quality_join",
     "approx_aggregates_events",

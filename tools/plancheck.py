@@ -46,6 +46,7 @@ SCALAR_CROSS_OK = {
     "join_q22_idle_balance_customers",  # 1-row balance-average scalar
     "skew_key_profile_lineitem",        # 1-row avg-count scalar vs key counts
     "basket_part_pairs_lift",           # 1-row order-count normalizer
+    "similarity_knn_classify",          # query set × corpus (brute-force source)
 }
 
 
