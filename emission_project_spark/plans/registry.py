@@ -118,6 +118,7 @@ _PRIORITY: list[str] = [
     "events_transition_matrix",
     "basket_part_pairs_lift",
     "similarity_knn_classify",
+    "join_q16_supplier_diversity",
     # -- (c) rotation: last verified round 3, extensions first -------------
     "curation_cluster_quality_join",
     "approx_aggregates_events",

@@ -405,6 +405,50 @@ def join_q22_idle_balance_customers(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+# --- Q16 shape: supplier diversity per part attribute — grouped
+# COUNT(DISTINCT) with a NOT IN exclusion subquery. lineitem stands in
+# for partsupp as the part↔supplier bridge (the schema has no
+# partsupp; the shape — distinct-agg over a bridge with a
+# subquery-driven exclusion — is the point). The NOT IN compiles to a
+# broadcast left-anti join (the excluded supplier set is tiny and has
+# no NULLs, so NOT IN ≡ anti-join here; with a nullable subquery
+# column the null-safe variant of operators/joins.py would be
+# required). The distinct-agg shuffles once on the group key after a
+# (part_attr, suppkey) pre-dedup with map-side partials.
+@register(
+    "join_q16_supplier_diversity",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_type NOT IN ('PROMO', 'ECONOMY')
+      AND p.p_size IN (1, 4, 9, 16, 25, 36, 49)
+      AND l.l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+)
+def join_q16_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    p_f = p.filter(
+        (F.col("p_brand") != "Brand#1")
+        & ~F.col("p_type").isin("PROMO", "ECONOMY")
+        & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    excluded = s.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    kept = anti_join(li, excluded, {"l_suppkey": "s_suppkey"})
+    return (
+        kept.join(p_f, kept["l_partkey"] == p_f["p_partkey"])
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
 # --- FULL OUTER reconciliation: per-customer revenue in 1996 vs 1997,
 # every customer classified as present in both years or only one. The
 # canonical snapshot-diff shape (the batch analog of the CDC apply
