@@ -119,6 +119,8 @@ _PRIORITY: list[str] = [
     "basket_part_pairs_lift",
     "similarity_knn_classify",
     "join_q16_supplier_diversity",
+    "stats_regression_price_on_qty",
+    "text_zipf_slope",
     # -- (c) rotation: last verified round 3, extensions first -------------
     "curation_cluster_quality_join",
     "approx_aggregates_events",

@@ -2520,6 +2520,83 @@ def revenue_mom_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Linear-regression aggregates (the regr_* ANSI family, completing
+# the corr/covar coverage below): OLS slope / intercept / R² of
+# extendedprice on quantity per return flag — the "price per unit"
+# fit. Same single-pass mergeable-partials plan as corr; both engines
+# implement the identical ANSI definitions over doubles.
+@register(
+    "stats_regression_price_on_qty",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n,
+           round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+           round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+           round(regr_avgx(l_extendedprice, l_quantity), 6) AS avg_qty,
+           round(regr_avgy(l_extendedprice, l_quantity), 4) AS avg_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def stats_regression_price_on_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return li.groupBy("l_returnflag").agg(
+        F.regr_count(y, x).alias("n"),
+        F.round(F.regr_slope(y, x), 6).alias("slope"),
+        F.round(F.regr_intercept(y, x), 4).alias("intercept"),
+        F.round(F.regr_r2(y, x), 6).alias("r2"),
+        F.round(F.regr_avgx(y, x), 6).alias("avg_qty"),
+        F.round(F.regr_avgy(y, x), 4).alias("avg_price"),
+    )
+
+
+# --- Zipf diagnostic: OLS slope of log10(freq) on log10(rank) over
+# the corpus term-frequency table — the sanity check that a synthetic
+# or filtered corpus still has a natural long-tail token distribution
+# (a slope far from ≈ −1 flags template/boilerplate corpora). One
+# explode-count (the text_corpus_top_terms shuffle) + a rank window
+# over the vocabulary-sized aggregate + one regr_slope fold.
+@register(
+    "text_zipf_slope",
+    oracle="""
+    WITH freq AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS f
+        FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+              FROM documents)
+        GROUP BY tok
+    ),
+    ranked AS (
+        SELECT f, row_number() OVER (ORDER BY f DESC, tok) AS r FROM freq
+    )
+    SELECT CAST(count(*) AS BIGINT) AS vocab_size,
+           round(regr_slope(log10(CAST(f AS DOUBLE)),
+                            log10(CAST(r AS DOUBLE))), 6) AS zipf_slope,
+           round(regr_r2(log10(CAST(f AS DOUBLE)),
+                         log10(CAST(r AS DOUBLE))), 6) AS fit_r2
+    FROM ranked
+    """,
+)
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(
+            F.expr(r"regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+        ).alias("tok")
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("f"))
+    w = Window.orderBy(F.col("f").desc(), F.col("tok"))
+    ranked = freq.select("f", F.row_number().over(w).alias("r"))
+    lf = F.log10(F.col("f").cast("double"))
+    lr = F.log10(F.col("r").cast("double"))
+    return ranked.agg(
+        F.count(F.lit(1)).alias("vocab_size"),
+        F.round(F.regr_slope(lf, lr), 6).alias("zipf_slope"),
+        F.round(F.regr_r2(lf, lr), 6).alias("fit_r2"),
+    )
+
+
 # --- Statistical aggregates: Pearson correlation, sample covariance,
 # and the component stddevs of (quantity, price) per return flag — the
 # co-movement profile a pricing/QC analysis starts from. All four are
