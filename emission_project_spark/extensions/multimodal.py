@@ -200,3 +200,143 @@ def sample_frames(
             yield pd.DataFrame(rows, columns=["doc_id", "n_frames", "frame_idx", "frame_md5"])
 
     return media.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash image near-dup: the multimodal counterpart of the
+# text dedup kit. aHash (average hash): downsample to an 8x8 grayscale
+# grid, threshold at the grid mean, pack 64 bits; visually-identical
+# images land within a few bits of each other, so near-dup = hamming
+# distance <= t. Candidate generation reuses the kit's banding
+# discipline: split the 64-bit hash into ``bands`` segments - a pair
+# within hamming t must agree EXACTLY on at least one band when
+# t < bands (pigeonhole), so candidates come from same-band-value
+# buckets (bucket-array pair-gen, no self-join) and the exact
+# bit_count(xor) filter runs JVM-side on the candidates only.
+
+
+def gray8x8_real(payload: bytes) -> "list[int]":
+    """PIL path: decode, convert to grayscale, resize to 8x8."""
+    try:
+        from PIL import Image  # noqa: PLC0415 - optional, probed per call
+    except ImportError as exc:
+        raise NotImplementedError(
+            "image decoding requires PIL; not in this container"
+        ) from exc
+    import io
+
+    with Image.open(io.BytesIO(payload)) as im:
+        px = list(im.convert("L").resize((8, 8)).getdata())
+    return px
+
+
+def gray8x8_fake(payload: bytes) -> "list[int]":
+    """Deterministic stand-in with the same contract: resample the
+    payload bytes to a 64-value grid (empty payload -> zeros)."""
+    if not payload:
+        return [0] * 64
+    n = len(payload)
+    return [payload[(i * n) // 64] for i in range(64)]
+
+
+def _ahash_bits(grid: "list[int]") -> int:
+    mean = sum(grid) / 64.0
+    h = 0
+    for i, v in enumerate(grid):
+        if v > mean:
+            h |= 1 << i
+    return h - (1 << 64) if h >= (1 << 63) else h  # signed-64 wrap
+
+
+def perceptual_hash(
+    media: DataFrame,
+    grid_fn: Callable[[bytes], "list[int]"] = gray8x8_real,
+) -> DataFrame:
+    """(doc_id, phash bigint) via one Arrow-batched pass."""
+    _pickle_by_value()
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "phash": [
+                        _ahash_bits(grid_fn(bytes(p))) for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(
+        gen, schema="doc_id bigint, phash bigint"
+    )
+
+
+def phash_neardup_pairs(
+    hashes: DataFrame,
+    bands: int = 4,
+    max_hamming: int = 3,
+    max_bucket: int = 256,
+) -> DataFrame:
+    """(doc_a, doc_b, hamming) for pairs within ``max_hamming`` bits.
+
+    Pigeonhole-complete when ``max_hamming < bands`` (a closer pair
+    must share one exact 16-bit band). Hot buckets beyond
+    ``max_bucket`` are dropped before any pair materializes (the
+    dedup-kit cap discipline; report separately if needed).
+    """
+    if max_hamming >= bands:
+        raise ValueError(
+            f"recall guarantee needs max_hamming < bands "
+            f"({max_hamming} >= {bands})"
+        )
+    width = 64 // bands
+    mask = (1 << width) - 1
+    banded = hashes.select(
+        "doc_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("phash", b * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("val"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bv"),
+    ).select("doc_id", "phash", "bv.band", "bv.val")
+    buckets = banded.groupBy("band", "val").agg(
+        F.sort_array(
+            F.collect_list(F.struct("doc_id", "phash"))
+        ).alias("members")
+    )
+    small = buckets.filter(F.size("members").between(2, max_bucket))
+    n = F.size("members")
+    pair_structs = F.flatten(
+        F.transform(
+            "members",
+            lambda x, i: F.transform(
+                F.slice(
+                    F.col("members"), i + 2, F.greatest(n - i - 1, F.lit(0))
+                ),
+                lambda y: F.struct(
+                    x["doc_id"].alias("doc_a"),
+                    y["doc_id"].alias("doc_b"),
+                    F.bit_count(
+                        x["phash"].bitwiseXOR(y["phash"])
+                    ).alias("hamming"),
+                ),
+            ),
+        )
+    )
+    return (
+        small.select(F.explode(pair_structs).alias("p"))
+        .select("p.doc_a", "p.doc_b", "p.hamming")
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

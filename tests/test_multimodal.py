@@ -85,3 +85,94 @@ def test_extract_features_quarantines_corrupt_payloads(spark, sf_dir):
     assert {r.ok for r in rows} == {True, False}
     assert all(r.width == 10 for r in rows if r.ok)
     assert all(r.width is None for r in rows if not r.ok)
+
+
+def test_perceptual_hash_deterministic_and_signed(spark):
+    from emission_project_spark.extensions.multimodal import (
+        attach_payload,
+        gray8x8_fake,
+        perceptual_hash,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    media = attach_payload(docs.limit(50))
+    h1 = {r["doc_id"]: r["phash"]
+          for r in perceptual_hash(media, gray8x8_fake).collect()}
+    h2 = {r["doc_id"]: r["phash"]
+          for r in perceptual_hash(media.repartition(5), gray8x8_fake).collect()}
+    assert h1 == h2 and len(h1) == 50
+    assert all(-(2**63) <= v < 2**63 for v in h1.values())
+
+
+def test_phash_neardup_finds_planted_pairs(spark):
+    """Exact copies pair at hamming 0; a lightly-perturbed copy pairs
+    within the threshold; unrelated payloads don't pair."""
+    from emission_project_spark.extensions.multimodal import (
+        gray8x8_fake,
+        perceptual_hash,
+        phash_neardup_pairs,
+    )
+
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    base = bytes(rng.integers(0, 256, 4096, dtype=np.uint8))
+    # perturb a single byte -> at most one grid cell flips
+    near = bytearray(base)
+    near[100] ^= 0xFF
+    rows = [
+        (1, bytearray(base)),
+        (2, bytearray(base)),              # exact copy of 1
+        (3, bytes(near)),                  # near copy of 1
+        (4, bytes(rng.integers(0, 256, 4096, dtype=np.uint8))),
+        (5, bytes(rng.integers(0, 256, 2048, dtype=np.uint8))),
+    ]
+    media = spark.createDataFrame(rows, "doc_id long, payload binary")
+    hashes = perceptual_hash(media, gray8x8_fake)
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in phash_neardup_pairs(hashes, bands=4, max_hamming=3).collect()
+    }
+    assert pairs.get((1, 2)) == 0
+    assert (1, 3) in pairs and pairs[(1, 3)] <= 3
+    assert (2, 3) in pairs
+    assert not any(4 in p or 5 in p for p in pairs)
+
+
+def test_phash_recall_guard_and_cap(spark):
+    from emission_project_spark.extensions.multimodal import (
+        gray8x8_fake,
+        perceptual_hash,
+        phash_neardup_pairs,
+    )
+
+    media = spark.createDataFrame(
+        [(i, bytes([i % 7] * 128)) for i in range(10)],
+        "doc_id long, payload binary",
+    )
+    hashes = perceptual_hash(media, gray8x8_fake)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        phash_neardup_pairs(hashes, bands=4, max_hamming=4)
+    # constant-grid payloads all hash to 0 -> one giant bucket; the cap
+    # drops it entirely
+    assert (
+        phash_neardup_pairs(hashes, bands=4, max_hamming=3, max_bucket=3)
+        .count() == 0
+    )
+
+
+def test_phash_real_decoder_raises_without_pil(spark):
+    from emission_project_spark.extensions.multimodal import gray8x8_real
+
+    import pytest as _pytest
+
+    try:
+        import PIL  # noqa: F401
+
+        _pytest.skip("PIL available in this environment")
+    except ImportError:
+        pass
+    with _pytest.raises(NotImplementedError):
+        gray8x8_real(b"not-an-image")
