@@ -340,3 +340,76 @@ def phash_neardup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio: frame-energy segmentation (the VAD/silence-trim primitive).
+# Same stub discipline as the image path: the PCM "decode" is a
+# deterministic byte->int8-sample stand-in here, and the Spark-side
+# shape - Arrow batches in, bounded per-row output (segments, not
+# samples) - is the real design. A 100 TB audio corpus never ships
+# samples through a shuffle: each payload collapses to its segment
+# list inside the scan task.
+
+
+def pcm_fake(payload: bytes) -> "list[int]":
+    """Deterministic stand-in decoder: payload bytes as int8 samples."""
+    return [b - 256 if b >= 128 else b for b in payload]
+
+
+def audio_energy_segments(
+    media: DataFrame,
+    decoder: Callable[[bytes], "list[int]"] = pcm_fake,
+    frame: int = 256,
+    threshold: float = 1000.0,
+) -> DataFrame:
+    """(doc_id, seg_start, seg_end, n_frames, mean_energy) per active
+    segment: frames of ``frame`` samples score mean-square energy;
+    consecutive frames above ``threshold`` merge into one segment.
+    Frame indices, not samples, leave the task."""
+    _pickle_by_value()
+
+    def segs(samples: "list[int]") -> "list[tuple[int, int, int, float]]":
+        out = []
+        cur = None  # [start, end, sum_energy]
+        nf = len(samples) // frame
+        for i in range(nf):
+            chunk = samples[i * frame : (i + 1) * frame]
+            e = sum(v * v for v in chunk) / frame
+            if e >= threshold:
+                if cur is None:
+                    cur = [i, i, e]
+                else:
+                    cur[1] = i
+                    cur[2] += e
+            elif cur is not None:
+                out.append((cur[0], cur[1], cur[1] - cur[0] + 1, cur[2]))
+                cur = None
+        if cur is not None:
+            out.append((cur[0], cur[1], cur[1] - cur[0] + 1, cur[2]))
+        return out
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                for s, e, n, tot in segs(decoder(bytes(payload))):
+                    rows.append(
+                        (int(doc_id), s, e, n, round(tot / n, 4))
+                    )
+            if rows:
+                yield pd.DataFrame(
+                    rows,
+                    columns=[
+                        "doc_id", "seg_start", "seg_end",
+                        "n_frames", "mean_energy",
+                    ],
+                )
+
+    return media.select("doc_id", "payload").mapInPandas(
+        gen,
+        schema=(
+            "doc_id bigint, seg_start int, seg_end int, "
+            "n_frames int, mean_energy double"
+        ),
+    )

@@ -176,3 +176,32 @@ def test_phash_real_decoder_raises_without_pil(spark):
         pass
     with _pytest.raises(NotImplementedError):
         gray8x8_real(b"not-an-image")
+
+
+def test_audio_energy_segments_planted(spark):
+    """Loud/silent alternation segments exactly; all-silence yields no
+    rows; segment energies match a hand computation."""
+    from emission_project_spark.extensions.multimodal import (
+        audio_energy_segments,
+    )
+
+    frame = 4
+    loud = bytes([100, 156, 100, 156])   # int8: 100,-100 -> energy 10000
+    quiet = bytes([1, 255, 1, 255])      # int8: 1,-1 -> energy 1
+    rows = [
+        (1, loud + quiet + loud + loud),  # segs: [0,0], [2,3]
+        (2, quiet * 4),                   # silence: no segments
+        (3, loud * 3),                    # one long segment [0,2]
+    ]
+    media = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = audio_energy_segments(media, frame=frame, threshold=100.0)
+    got = {
+        (r["doc_id"], r["seg_start"], r["seg_end"]): (
+            r["n_frames"], r["mean_energy"]
+        )
+        for r in out.collect()
+    }
+    assert set(got) == {(1, 0, 0), (1, 2, 3), (3, 0, 2)}
+    assert got[(1, 0, 0)] == (1, 10000.0)
+    assert got[(1, 2, 3)] == (2, 10000.0)
+    assert got[(3, 0, 2)] == (3, 10000.0)
