@@ -70,6 +70,9 @@ R5_EXTRA = [
     "embedding_quantize_error",
     "events_anomaly_mad",
     "profile_orders_columns",
+    "basket_part_pairs_lift",
+    "text_zipf_slope",
+    "similarity_knn_classify",
 ]
 
 # The heaviest operators, re-run at the 10x dataset for the scale
