@@ -141,6 +141,21 @@ def main() -> None:
             samples.append(time.perf_counter() - t0)
         return round(min(samples) if n_runs < 3 else statistics.median(samples), 3)
 
+    def cpu_calibration() -> float:
+        """Fixed CPU-bound microbenchmark (single-thread 512² matmul
+        loop): a machine-speed yardstick recorded alongside the query
+        times. This host is a shared VM with measured episodic 2×
+        noisy-neighbor slowdowns (idle load > 3 with zero local
+        processes); dividing query times by this number makes rounds
+        comparable when the absolute wall-times are not."""
+        import numpy as np
+
+        a = np.ones((512, 512))
+        t0 = time.perf_counter()
+        for _ in range(20):
+            a = a @ a % 7 + 1.0
+        return round(time.perf_counter() - t0, 4)
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         timings[name] = timed(name, sf_dir, runs)
@@ -152,6 +167,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "cpu_calibration_s": cpu_calibration(),
         "runs": runs,
     }
 
