@@ -109,6 +109,17 @@ _PRIORITY: list[str] = [
     # skew_key_profile_lineitem (locally oracle-swept + pytest-covered)
     # heads the round-6 window together with the displaced (c) block.
     "skew_key_profile_lineitem",
+    # tpch_patterns2: the eight deferred TPC-H shapes (Q2/Q4/Q8/Q10/
+    # Q11/Q12/Q15/Q20), built after the round-5 window filled — locally
+    # oracle-swept; they queue here for their first driver row in r6.
+    "join_q2_min_cost_supplier",
+    "join_q4_order_priority_check",
+    "join_q8_market_share",
+    "join_q10_returned_top_customers",
+    "join_q11_important_stock",
+    "join_q12_ship_class_priority",
+    "join_q15_top_supplier",
+    "join_q20_excess_share_suppliers",
     "embedding_dim_variance",
     "embedding_quantize_error",
     "events_anomaly_mad",
@@ -196,5 +207,6 @@ def load_all() -> None:
     from emission_project_spark.plans import relational  # noqa: F401
     from emission_project_spark.plans import extensions  # noqa: F401
     from emission_project_spark.plans import tpch_patterns  # noqa: F401
+    from emission_project_spark.plans import tpch_patterns2  # noqa: F401
 
     _reorder()

@@ -47,6 +47,8 @@ SCALAR_CROSS_OK = {
     "skew_key_profile_lineitem",        # 1-row avg-count scalar vs key counts
     "basket_part_pairs_lift",           # 1-row order-count normalizer
     "similarity_knn_classify",          # query set × corpus (brute-force source)
+    "join_q11_important_stock",         # 1-row global-total scalar
+    "join_q15_top_supplier",            # 1-row max-revenue scalar
 }
 
 
