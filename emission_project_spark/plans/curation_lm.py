@@ -1,0 +1,193 @@
+"""Language-model-based curation scoring: DSIR importance weights and
+an interpolated bigram perplexity filter.
+
+Two published data-selection methods a 100 TB pretraining pipeline runs
+over its raw corpus (both operate on the `documents` table and both are
+pure DataFrame plans — no Python in the data path):
+
+- DSIR (Xie et al. 2023, "Data Selection for Language Models via
+  Importance Resampling"): score every document by the log-likelihood
+  ratio of a target-domain n-gram LM over a raw-domain LM built from
+  hashed features; sample proportionally to exp(score). Here the
+  feature space is the unigram vocabulary (the paper's hashed n-grams
+  degenerate to this at small vocab), target = the English slice,
+  raw = the rest.
+- CCNet-style perplexity filtering (Wenzek et al. 2020): score each
+  document by its perplexity under a small LM trained on the corpus
+  (CCNet uses KenLM 5-grams; the engine-shaped equivalent is an
+  interpolated bigram model with unigram backoff, which keeps every
+  probability strictly positive without explicit smoothing).
+
+Exactness: all model counts are exact BIGINTs, every probability is
+the same IEEE division in both engines, and per-document sums of the
+resulting doubles carry ~1e-12 accumulated error against a 1e-4
+rounding grid — orders of magnitude under the tie threshold.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from emission_project_spark.catalog.tables import load_table
+from emission_project_spark.plans.registry import register
+
+_TOKS_SQL = "regexp_extract_all(lower(text), '\\w+')"
+
+
+# --- DSIR importance weights. One exploded token pass builds the
+# vocab table with BOTH domain counts as conditional sums (no second
+# scan, no join of two vocab tables); the 1-row totals and the
+# vocab-sized feature table broadcast back onto the token stream
+# (vocab is sublinear in corpus size — Heaps' law — so the broadcast
+# holds at 100 TB while the per-doc regroup shuffles on doc_id).
+# add-1 smoothing keeps both LMs defined on the joint vocabulary.
+# Positive score = looks more like the target domain than the raw
+# corpus; the downstream sampler keeps documents w.p. ∝ exp(score/T).
+@register(
+    "curation_dsir_weights",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, lang, unnest({_TOKS_SQL}) AS term FROM documents
+    ),
+    v AS (
+        SELECT term,
+               CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS ct,
+               CAST(sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS cr
+        FROM t GROUP BY term
+    ),
+    tot AS (
+        SELECT CAST(sum(ct) AS BIGINT) AS tt,
+               CAST(sum(cr) AS BIGINT) AS tr,
+               CAST(count(*) AS BIGINT) AS nv
+        FROM v
+    )
+    SELECT t.doc_id,
+           any_value(t.lang) AS lang,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           round(sum(ln((v.ct + 1.0) / (tot.tt + tot.nv))
+                     - ln((v.cr + 1.0) / (tot.tr + tot.nv))), 4) AS dsir_score
+    FROM t JOIN v USING (term), tot
+    GROUP BY t.doc_id
+    """,
+)
+def curation_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emission_project_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", "lang", F.explode(tokens(F.lower(F.col("text")))).alias("term")
+    )
+    is_t = F.col("lang") == "en"
+    v = t.groupBy("term").agg(
+        F.sum(F.when(is_t, 1).otherwise(0)).alias("ct"),
+        F.sum(F.when(is_t, 0).otherwise(1)).alias("cr"),
+    )
+    tot = v.agg(
+        F.sum("ct").cast("bigint").alias("tt"),
+        F.sum("cr").cast("bigint").alias("tr"),
+        F.count(F.lit(1)).alias("nv"),
+    )
+    lam = F.log((F.col("ct") + 1.0) / (F.col("tt") + F.col("nv"))) - F.log(
+        (F.col("cr") + 1.0) / (F.col("tr") + F.col("nv"))
+    )
+    return (
+        t.join(F.broadcast(v), "term")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.any_value("lang").alias("lang"),
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.sum(lam), 4).alias("dsir_score"),
+        )
+    )
+
+
+# --- Interpolated bigram perplexity. p(w2|w1) = 0.7·c(w1w2)/c(w1)
+# + 0.3·c(w2)/T — the unigram backoff term is never zero (every token
+# in a document is by construction in the corpus), so no smoothing
+# constants enter the bigram term and c(w1w2) ≤ c(w1) keeps the MLE
+# term ≤ 1. Plan shape: the bigram stream joins its OWN count table on
+# the bigram key — that relation is corpus-sized, so it shuffle-joins
+# (broadcast would not survive 100 TB; AQE still broadcasts it at
+# small sf where it fits) — while the unigram table and the 1-row
+# total broadcast. Documents shorter than two tokens have no bigrams
+# and drop out, matching the oracle's len(toks) >= 2 guard.
+@register(
+    "text_bigram_perplexity",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    t AS (SELECT doc_id, unnest(toks) AS term FROM d),
+    u AS (SELECT term, CAST(count(*) AS BIGINT) AS cu FROM t GROUP BY term),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM t),
+    bg AS (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(toks) - 1),
+                                     i -> toks[i])) AS w1,
+               unnest(list_transform(generate_series(1, len(toks) - 1),
+                                     i -> toks[i + 1])) AS w2
+        FROM d WHERE len(toks) >= 2
+    ),
+    bc AS (
+        SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+        FROM bg GROUP BY 1, 2
+    )
+    SELECT bg.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(-log2(0.7 * (bc.c12 * 1.0 / u1.cu)
+                           + 0.3 * (u2.cu * 1.0 / tot.n))), 4)
+               AS avg_neg_log2p
+    FROM bg
+    JOIN bc USING (w1, w2)
+    JOIN u u1 ON u1.term = bg.w1
+    JOIN u u2 ON u2.term = bg.w2, tot
+    GROUP BY bg.doc_id
+    """,
+)
+def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emission_project_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", tokens(F.lower(F.col("text"))).alias("toks"))
+    t = d.select("doc_id", F.explode("toks").alias("term"))
+    u = t.groupBy("term").agg(F.count(F.lit(1)).alias("cu"))
+    tot = t.agg(F.count(F.lit(1)).alias("n"))
+    bg = (
+        d.filter(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - 1),
+                    lambda i: F.struct(
+                        F.element_at(F.col("toks"), i).alias("w1"),
+                        F.element_at(F.col("toks"), i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("_bg"),
+        )
+        .select("doc_id", F.col("_bg.w1").alias("w1"), F.col("_bg.w2").alias("w2"))
+    )
+    bc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    p = 0.7 * (F.col("c12") * 1.0 / F.col("cu_ctx")) + 0.3 * (
+        F.col("cu_tok") * 1.0 / F.col("n")
+    )
+    return (
+        bg.join(bc, ["w1", "w2"])  # corpus-sized: shuffle join, not broadcast
+        .join(
+            F.broadcast(u.select(F.col("term").alias("w1"), F.col("cu").alias("cu_ctx"))),
+            "w1",
+        )
+        .join(
+            F.broadcast(u.select(F.col("term").alias("w2"), F.col("cu").alias("cu_tok"))),
+            "w2",
+        )
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(-F.log2(p)), 4).alias("avg_neg_log2p"),
+        )
+    )

@@ -120,6 +120,10 @@ _PRIORITY: list[str] = [
     "join_q12_ship_class_priority",
     "join_q15_top_supplier",
     "join_q20_excess_share_suppliers",
+    # curation_lm: DSIR importance weights + bigram perplexity filter —
+    # also post-window round-5 builds queued for their first r6 row.
+    "curation_dsir_weights",
+    "text_bigram_perplexity",
     "embedding_dim_variance",
     "embedding_quantize_error",
     "events_anomaly_mad",
@@ -208,5 +212,6 @@ def load_all() -> None:
     from emission_project_spark.plans import extensions  # noqa: F401
     from emission_project_spark.plans import tpch_patterns  # noqa: F401
     from emission_project_spark.plans import tpch_patterns2  # noqa: F401
+    from emission_project_spark.plans import curation_lm  # noqa: F401
 
     _reorder()

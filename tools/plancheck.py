@@ -49,6 +49,8 @@ SCALAR_CROSS_OK = {
     "similarity_knn_classify",          # query set × corpus (brute-force source)
     "join_q11_important_stock",         # 1-row global-total scalar
     "join_q15_top_supplier",            # 1-row max-revenue scalar
+    "curation_dsir_weights",            # 1-row LM-totals scalar
+    "text_bigram_perplexity",           # 1-row corpus token total
 }
 
 
