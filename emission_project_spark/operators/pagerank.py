@@ -1,0 +1,83 @@
+"""PageRank over an edge DataFrame — the link-analysis quality signal.
+
+Web-corpus curation pipelines rank crawl hosts by (Harmonic/Page)Rank
+before sampling (the Common Crawl ranking the CCNet/RefinedWeb lineage
+filters against); the same iterative shape ranks any co-occurrence
+graph this engine builds (part co-purchase, doc-link, user-interaction).
+
+Execution model: a FIXED number of synchronous iterations, each one a
+join of the current rank vector with the degree-annotated edge list
+and a re-aggregation on the destination key. Scale notes, audited via
+.explain:
+
+- the edge list is built once, degree-annotated once, and persisted —
+  per-iteration work touches only (edges ⋈ ranks) on the src key and
+  a dst-key hash aggregate (both edge-sized shuffles, the PR minimum);
+- each iteration's rank vector is ``localCheckpoint(eager=False)`` so
+  the lineage (and the replayed shuffle DAG) doesn't grow with the
+  iteration count — the connected-components discipline
+  (operators/components.py);
+- no driver-side data movement: the loop is driver-side only in its
+  CONTROL FLOW (a fixed iteration count needs no convergence collect).
+
+Contract: every node must have at least one OUT-edge (true of any
+symmetrized co-occurrence graph; for a directed web graph, handle
+dangling pages upstream — e.g. add self-loops or redistribute — as
+classic PR formulations do). Nodes with out-edges but no in-edges stay
+in the vector at the teleport floor (1-d) each round rather than
+dropping out. Isolated vertices (no edges at all) are out of scope;
+callers union them back at rank 1-d if needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 5,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Rank nodes of a directed edge list; returns (node, degree, rank).
+
+    Uses the uniform-start formulation r0 = 1, r_{k+1}(v) = (1-d) +
+    d·Σ_{(u,v)} r_k(u)/out_deg(u), whose fixed point sums to N (the
+    per-node expected-visits form, as in the original paper).
+    """
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("_deg"))
+    e = (
+        edges.join(deg, src)
+        .select(F.col(src).alias("_src"), F.col(dst).alias("_dst"), "_deg")
+        .localCheckpoint(eager=False)
+    )
+    nodes = deg.select(F.col(src).alias("node")).localCheckpoint(eager=False)
+    ranks = nodes.select("node", F.lit(1.0).alias("rank"))
+    for _ in range(iterations):
+        agg = (
+            e.join(ranks, e["_src"] == ranks["node"])
+            .select("_dst", (F.col("rank") / F.col("_deg")).alias("_contrib"))
+            .groupBy(F.col("_dst").alias("node"))
+            .agg(
+                (F.lit(1.0 - damping) + F.lit(damping) * F.sum("_contrib")).alias(
+                    "_r"
+                )
+            )
+        )
+        # left join keeps no-in-edge nodes at the teleport floor instead
+        # of silently dropping their out-contributions next round
+        ranks = (
+            nodes.join(agg, "node", "left")
+            .select(
+                "node",
+                F.coalesce(F.col("_r"), F.lit(1.0 - damping)).alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    node_deg = deg.select(F.col(src).alias("node"), F.col("_deg").alias("degree"))
+    return ranks.join(node_deg, "node")

@@ -191,3 +191,56 @@ def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(-F.log2(p)), 4).alias("avg_neg_log2p"),
         )
     )
+
+
+# --- Token entropy / lexical diversity. Shannon entropy of each
+# document's own token distribution plus the type-token ratio — the
+# standard degenerate-text detectors (a looping sampler or boilerplate
+# page has low entropy at high length; a language-soup page has
+# anomalously high TTR). Two grouped passes on the doc_id key: term
+# counts, then a doc-window total feeding the plug-in entropy sum —
+# the window and the final aggregate share one doc_id exchange.
+@register(
+    "text_token_entropy",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents
+    ),
+    c AS (
+        SELECT doc_id, term, CAST(count(*) AS BIGINT) AS cnt
+        FROM t GROUP BY 1, 2
+    ),
+    cw AS (
+        SELECT doc_id, cnt,
+               sum(cnt) OVER (PARTITION BY doc_id) AS n
+        FROM c
+    )
+    SELECT doc_id,
+           CAST(any_value(n) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_types,
+           round(count(*) * 1.0 / any_value(n), 4) AS ttr,
+           round(-sum((cnt * 1.0 / n) * log2(cnt * 1.0 / n)), 4)
+               AS entropy_bits
+    FROM cw
+    GROUP BY doc_id
+    """,
+)
+def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from emission_project_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("term")
+    )
+    c = t.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("doc_id")
+    cw = c.withColumn("n", F.sum("cnt").over(w))
+    p = F.col("cnt") * 1.0 / F.col("n")
+    return cw.groupBy("doc_id").agg(
+        F.any_value("n").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.round(F.count(F.lit(1)) * 1.0 / F.any_value("n"), 4).alias("ttr"),
+        F.round(-F.sum(p * F.log2(p)), 4).alias("entropy_bits"),
+    )

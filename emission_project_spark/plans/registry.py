@@ -124,6 +124,8 @@ _PRIORITY: list[str] = [
     # also post-window round-5 builds queued for their first r6 row.
     "curation_dsir_weights",
     "text_bigram_perplexity",
+    "text_token_entropy",
+    "graph_pagerank_parts",
     "embedding_dim_variance",
     "embedding_quantize_error",
     "events_anomaly_mad",
@@ -213,5 +215,6 @@ def load_all() -> None:
     from emission_project_spark.plans import tpch_patterns  # noqa: F401
     from emission_project_spark.plans import tpch_patterns2  # noqa: F401
     from emission_project_spark.plans import curation_lm  # noqa: F401
+    from emission_project_spark.plans import graph_rank  # noqa: F401
 
     _reorder()
