@@ -73,6 +73,13 @@ R5_EXTRA = [
     "basket_part_pairs_lift",
     "text_zipf_slope",
     "similarity_knn_classify",
+    # session-4 additions: graph iteration, the bigram LM (the only
+    # op whose join key cardinality is corpus-sized²), DSIR, and the
+    # widest-join TPC-H shape of the new batch
+    "graph_pagerank_parts",
+    "text_bigram_perplexity",
+    "curation_dsir_weights",
+    "join_q8_market_share",
 ]
 
 # The heaviest operators, re-run at the 10x dataset for the scale

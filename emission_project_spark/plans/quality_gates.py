@@ -1,0 +1,193 @@
+"""Rule-based corpus gates and multi-step behavioral funnels.
+
+`text_gopher_rules` is the Gopher/C4 heuristic quality gate (Rae et
+al. 2021, Appendix A; Raffel et al. 2020) restricted to the rules that
+are meaningful on a single-line corpus: word-count bounds, mean word
+length, alphabetic-word fraction, symbol ratio, and stopword presence.
+(The line-shape rules — bullet/ellipsis line fractions — are
+degenerate on one-line documents and live with the other per-line
+stats in text_sentence_stats; repetition rules are the separate
+text_repetition_metrics surface.)
+
+`events_funnel_3step` is the strict-order multi-step funnel
+(view → click → purchase), the 3-step extension of
+events_funnel_conversion's 2-step shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from emission_project_spark.catalog.tables import load_table
+from emission_project_spark.plans.registry import register
+
+_TOKS_SQL = "regexp_extract_all(lower(text), '\\w+')"
+
+# Gopher's "must contain 2 of" stopword rule (Rae et al. 2021 §A1.1).
+# The paper's list is {the, be, to, of, and, that, have, with}; this
+# corpus's synthetic vocabulary carries only 'the' and 'a' as function
+# words, so 'a' stands in for the absent seven — same rule structure
+# (≥2 distinct function words present), corpus-adapted list. Swap the
+# list per deployment corpus; the plan shape is list-independent.
+_STOPWORDS = ["the", "a", "be", "to", "of", "and", "that", "with"]
+_STOP_SQL = "[" + ", ".join(f"'{w}'" for w in _STOPWORDS) + "]"
+
+
+# --- Gopher rule gate. Every rule is a higher-order function over the
+# per-document token array — the whole query is a MAP with zero
+# shuffles and zero joins (the ideal 100 TB gate: embarrassingly
+# parallel, whole-stage-codegen'd, reads only the text column).
+# Thresholds are the paper's; ratios are exact integer divisions
+# rounded at the 1e-4 grid.
+@register(
+    "text_gopher_rules",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ),
+    m AS (
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_words,
+               CASE WHEN len(toks) = 0 THEN 0.0
+                    ELSE list_sum(list_transform(toks, t -> len(t)))
+                         * 1.0 / len(toks) END AS mwl,
+               CASE WHEN len(toks) = 0 THEN 0.0
+                    ELSE len(list_filter(toks, t -> regexp_matches(t, '[a-z]')))
+                         * 1.0 / len(toks) END AS fa,
+               CAST(len(list_intersect(list_distinct(toks), {_STOP_SQL}))
+                    AS BIGINT) AS n_stop
+        FROM d
+    )
+    SELECT doc_id, n_words,
+           round(mwl, 4) AS mean_word_len,
+           round(fa, 4) AS frac_alpha_words,
+           n_stop AS n_stopwords,
+           (n_words BETWEEN 50 AND 100000) AS ok_word_count,
+           (mwl >= 3 AND mwl <= 10) AS ok_mean_word_len,
+           (fa > 0.8) AS ok_alpha_words,
+           (n_stop >= 2) AS ok_stopwords,
+           ((n_words BETWEEN 50 AND 100000)
+            AND mwl >= 3 AND mwl <= 10
+            AND fa > 0.8 AND n_stop >= 2) AS passes_gopher
+    FROM m
+    """,
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emission_project_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", tokens(F.lower(F.col("text"))).alias("toks"))
+    n = F.size("toks").cast("bigint")
+    tok_len_sum = F.aggregate(
+        "toks", F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t)
+    )
+    mwl = F.when(n == 0, F.lit(0.0)).otherwise(tok_len_sum * 1.0 / n)
+    fa = F.when(n == 0, F.lit(0.0)).otherwise(
+        F.size(F.filter("toks", lambda t: t.rlike("[a-z]"))) * 1.0 / n
+    )
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct("toks"), F.array(*[F.lit(w) for w in _STOPWORDS])
+        )
+    ).cast("bigint")
+    m = d.select(
+        "doc_id",
+        n.alias("n_words"),
+        mwl.alias("_mwl"),
+        fa.alias("_fa"),
+        n_stop.alias("n_stop"),
+    )
+    ok_wc = F.col("n_words").between(50, 100000)
+    ok_mwl = (F.col("_mwl") >= 3) & (F.col("_mwl") <= 10)
+    ok_fa = F.col("_fa") > 0.8
+    ok_stop = F.col("n_stop") >= 2
+    return m.select(
+        "doc_id",
+        "n_words",
+        F.round("_mwl", 4).alias("mean_word_len"),
+        F.round("_fa", 4).alias("frac_alpha_words"),
+        F.col("n_stop").alias("n_stopwords"),
+        ok_wc.alias("ok_word_count"),
+        ok_mwl.alias("ok_mean_word_len"),
+        ok_fa.alias("ok_alpha_words"),
+        ok_stop.alias("ok_stopwords"),
+        (ok_wc & ok_mwl & ok_fa & ok_stop).alias("passes_gopher"),
+    )
+
+
+# --- Strict-order 3-step funnel: view → click → purchase per user,
+# each step strictly after the previous one AND within one day of it
+# (the unbounded funnel converts ~100% on this dense synthetic — the
+# time bound is what makes the report discriminative: ~150/60/25 at
+# sf0.01). Decorrelated as cascading
+# conditional MINs: step-1 firsts are one grouped agg; each later step
+# joins the (user-cardinality, tiny) prior-step firsts back onto its
+# event slice and takes the first qualifying timestamp. Three user_id
+# exchanges, each over a rapidly shrinking relation — never a
+# fact×fact product. Output is the 1-row funnel report with exact
+# counts and conversion ratios of exact BIGINTs.
+@register(
+    "events_funnel_3step",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS t1
+        FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t2
+        FROM events e JOIN v ON v.user_id = e.user_id
+        WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > v.t1
+          AND CAST(e.ts AS TIMESTAMP) <= v.t1 + INTERVAL 1 DAY
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t3
+        FROM events e JOIN c ON c.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > c.t2
+          AND CAST(e.ts AS TIMESTAMP) <= c.t2 + INTERVAL 1 DAY
+        GROUP BY e.user_id
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_viewed,
+           (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_clicked,
+           (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_purchased,
+           round((SELECT count(*) FROM c) * 1.0
+                 / nullif((SELECT count(*) FROM v), 0), 4) AS view_to_click,
+           round((SELECT count(*) FROM p) * 1.0
+                 / nullif((SELECT count(*) FROM c), 0), 4) AS click_to_purchase
+    """,
+)
+def events_funnel_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+
+    def firsts(step: str, after: DataFrame | None, ts_col: str) -> DataFrame:
+        sl = ev.filter(F.col("event_type") == step).select(
+            "user_id", F.col("ts").alias("_ts")
+        )
+        if after is not None:
+            prev_ts = after.columns[-1]
+            sl = sl.join(after, "user_id").filter(
+                (F.col("_ts") > F.col(prev_ts))
+                & (F.col("_ts") <= F.col(prev_ts) + F.expr("INTERVAL 1 DAY"))
+            )
+        return sl.groupBy("user_id").agg(F.min("_ts").alias(ts_col))
+
+    v = firsts("view", None, "t1")
+    c = firsts("click", v, "t2")
+    p = firsts("purchase", c, "t3")
+    counts = (
+        v.agg(F.count(F.lit(1)).alias("n_viewed"))
+        .crossJoin(F.broadcast(c.agg(F.count(F.lit(1)).alias("n_clicked"))))
+        .crossJoin(F.broadcast(p.agg(F.count(F.lit(1)).alias("n_purchased"))))
+    )
+    return counts.select(
+        "n_viewed",
+        "n_clicked",
+        "n_purchased",
+        F.round(
+            F.try_divide(F.col("n_clicked") * 1.0, F.col("n_viewed")), 4
+        ).alias("view_to_click"),
+        F.round(
+            F.try_divide(F.col("n_purchased") * 1.0, F.col("n_clicked")), 4
+        ).alias("click_to_purchase"),
+    )

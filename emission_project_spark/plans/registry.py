@@ -126,6 +126,8 @@ _PRIORITY: list[str] = [
     "text_bigram_perplexity",
     "text_token_entropy",
     "graph_pagerank_parts",
+    "text_gopher_rules",
+    "events_funnel_3step",
     "embedding_dim_variance",
     "embedding_quantize_error",
     "events_anomaly_mad",
@@ -216,5 +218,6 @@ def load_all() -> None:
     from emission_project_spark.plans import tpch_patterns2  # noqa: F401
     from emission_project_spark.plans import curation_lm  # noqa: F401
     from emission_project_spark.plans import graph_rank  # noqa: F401
+    from emission_project_spark.plans import quality_gates  # noqa: F401
 
     _reorder()

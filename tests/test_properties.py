@@ -319,8 +319,10 @@ chunk_tokens_lists = st.lists(
 def test_chunk_tokens_reconstruction_and_bounds(spark, toks, window, stride):
     """Chunking invariants for any (window, stride): every chunk is
     non-empty (for non-empty input) and at most `window` tokens; chunk
-    starts advance by exactly `stride`; and when stride >= window
-    (no overlap) the chunks partition the input exactly."""
+    starts advance by exactly `stride`; and when stride >= window (no
+    overlap) the chunks reproduce the reference slicing — which equals
+    the input exactly at stride == window, and deliberately SKIPS the
+    gap tokens at stride > window (sampling mode)."""
     from emission_project_spark.extensions.curation import chunk_tokens
 
     df = spark.createDataFrame([(1, toks)], "doc_id bigint, toks array<string>")
@@ -335,7 +337,14 @@ def test_chunk_tokens_reconstruction_and_bounds(spark, toks, window, stride):
             assert r.n_tokens > 0 or r.chunk_start == 0
     if toks and stride >= window:
         rebuilt = [t for r in out for t in (r.chunk_text.split(" ") if r.chunk_text else [])]
-        assert rebuilt == toks
+        expected = [
+            t
+            for s in range(0, len(toks), stride)
+            for t in toks[s : s + window]
+        ]
+        assert rebuilt == expected
+        if stride == window:
+            assert rebuilt == toks
 
 
 merge_rows = st.lists(

@@ -51,6 +51,7 @@ SCALAR_CROSS_OK = {
     "join_q15_top_supplier",            # 1-row max-revenue scalar
     "curation_dsir_weights",            # 1-row LM-totals scalar
     "text_bigram_perplexity",           # 1-row corpus token total
+    "events_funnel_3step",              # 1-row × 1-row funnel report
 }
 
 
