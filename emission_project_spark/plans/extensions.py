@@ -2906,3 +2906,57 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
         .limit(10)
     )
+
+
+# --- Matryoshka truncation-energy profile (MRL, Kusupati et al. 2022):
+# for adaptive-retrieval deployments that search on a prefix of each
+# embedding, the decision input is how much of the vector's energy the
+# prefix carries. Per label: the mean fraction of squared L2 norm in
+# the first 32 and first 16 of the 64 dims. Pure higher-order
+# functions over the array column — a zero-join, one-aggregate pass;
+# the per-vector fold is sequential in both engines, so the doubles
+# match bit-for-bit before the final (rounded) label average.
+# Zero-norm vectors yield NULL fractions (try_divide/nullif) and drop
+# out of the averages identically on both sides.
+@register(
+    "embedding_matryoshka_energy",
+    oracle="""
+    WITH e AS (
+        SELECT label,
+               list_sum(list_transform(embedding::DOUBLE[], x -> x * x)) AS full_e,
+               list_sum(list_transform(embedding[1:32]::DOUBLE[], x -> x * x))
+                   AS half_e,
+               list_sum(list_transform(embedding[1:16]::DOUBLE[], x -> x * x))
+                   AS quarter_e
+        FROM embeddings
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           round(avg(half_e / nullif(full_e, 0)), 6) AS energy_at_32,
+           round(avg(quarter_e / nullif(full_e, 0)), 6) AS energy_at_16
+    FROM e
+    GROUP BY label
+    """,
+)
+def embedding_matryoshka_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+
+    def sq_sum(arr):
+        return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x * x)
+
+    e = emb.select(
+        "label",
+        sq_sum(v).alias("_full"),
+        sq_sum(F.slice(v, 1, 32)).alias("_half"),
+        sq_sum(F.slice(v, 1, 16)).alias("_quarter"),
+    )
+    return e.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.round(F.avg(F.try_divide(F.col("_half"), F.col("_full"))), 6).alias(
+            "energy_at_32"
+        ),
+        F.round(F.avg(F.try_divide(F.col("_quarter"), F.col("_full"))), 6).alias(
+            "energy_at_16"
+        ),
+    )

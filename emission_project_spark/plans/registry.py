@@ -120,6 +120,7 @@ _PRIORITY: list[str] = [
     "join_q12_ship_class_priority",
     "join_q15_top_supplier",
     "join_q20_excess_share_suppliers",
+    "join_q6_forecast_revenue",
     # curation_lm: DSIR importance weights + bigram perplexity filter —
     # also post-window round-5 builds queued for their first r6 row.
     "curation_dsir_weights",
@@ -128,6 +129,7 @@ _PRIORITY: list[str] = [
     "graph_pagerank_parts",
     "text_gopher_rules",
     "events_funnel_3step",
+    "embedding_matryoshka_energy",
     "embedding_dim_variance",
     "embedding_quantize_error",
     "events_anomaly_mad",

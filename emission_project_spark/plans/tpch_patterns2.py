@@ -501,3 +501,49 @@ def join_q20_excess_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFra
     return excess.join(supp, excess["l_suppkey"] == supp["s_suppkey"]).select(
         "s_name", "nation", "n_excess_parts"
     )
+
+
+# --- Q6 shape: the forecast-revenue-change scalar — pure filter +
+# ungrouped aggregate, the canonical predicate-pushdown probe. All
+# three predicates (shipdate year, discount band, quantity cap) reach
+# the parquet scan as PushedFilters; the aggregate is a map-side
+# partial + 1-row final on the exact e4 grid. The discount-band
+# comparison is safe cross-engine because the stored values and the
+# literals are the same nearest-doubles to k/100.
+@register(
+    "join_q6_forecast_revenue",
+    oracle="""
+    SELECT round(sum(CAST(round(l_extendedprice * l_discount * 10000)
+                           AS BIGINT)) / 10000.0, 4) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+      AND CAST(l_shipdate AS DATE) <  DATE '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def join_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    sd = F.to_date("l_shipdate")
+    return (
+        li.filter(
+            (sd >= F.lit("1997-01-01"))
+            & (sd < F.lit("1998-01-01"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    F.round(
+                        F.col("l_extendedprice") * F.col("l_discount") * 10000, 0
+                    ).cast("bigint")
+                )
+                / 10000.0,
+                4,
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
