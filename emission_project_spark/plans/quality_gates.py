@@ -191,3 +191,68 @@ def events_funnel_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.try_divide(F.col("n_purchased") * 1.0, F.col("n_clicked")), 4
         ).alias("click_to_purchase"),
     )
+
+
+# --- Welch's two-sample t: the A/B experiment readout. Cohorts are a
+# deterministic hash split (user_id parity — the assignment any
+# experimentation system reproduces); per event type the report gives
+# both cohort means and Welch's t with its Satterthwaite df. One
+# grouped pass computes BOTH cohorts' moments as conditional aggregates
+# (no self-join, no second scan); sample variances come from the
+# mergeable (n, Σx, Σx²) partials, so the plan is partial-agg →
+# one exchange on the tiny event_type domain. |t| > 1.96 flags the
+# nominal-5% significant rows.
+@register(
+    "stats_welch_ab_events",
+    oracle="""
+    WITH m AS (
+        SELECT event_type,
+               CAST(count(*) FILTER (WHERE user_id % 2 = 0) AS BIGINT) AS n_a,
+               CAST(count(*) FILTER (WHERE user_id % 2 = 1) AS BIGINT) AS n_b,
+               avg(value) FILTER (WHERE user_id % 2 = 0) AS mean_a,
+               avg(value) FILTER (WHERE user_id % 2 = 1) AS mean_b,
+               var_samp(value) FILTER (WHERE user_id % 2 = 0) AS var_a,
+               var_samp(value) FILTER (WHERE user_id % 2 = 1) AS var_b
+        FROM events
+        GROUP BY event_type
+    )
+    SELECT event_type, n_a, n_b,
+           round(mean_a, 4) AS mean_a,
+           round(mean_b, 4) AS mean_b,
+           round((mean_a - mean_b)
+                 / sqrt(var_a / n_a + var_b / n_b), 4) AS t_stat,
+           round(pow(var_a / n_a + var_b / n_b, 2)
+                 / (pow(var_a / n_a, 2) / (n_a - 1)
+                    + pow(var_b / n_b, 2) / (n_b - 1)), 2) AS welch_df,
+           (abs((mean_a - mean_b) / sqrt(var_a / n_a + var_b / n_b))
+            > 1.96) AS significant_5pct
+    FROM m
+    """,
+)
+def stats_welch_ab_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    in_a = F.col("user_id") % 2 == 0
+    m = ev.groupBy("event_type").agg(
+        F.count(F.when(in_a, 1)).alias("n_a"),
+        F.count(F.when(~in_a, 1)).alias("n_b"),
+        F.avg(F.when(in_a, F.col("value"))).alias("_mean_a"),
+        F.avg(F.when(~in_a, F.col("value"))).alias("_mean_b"),
+        F.var_samp(F.when(in_a, F.col("value"))).alias("_var_a"),
+        F.var_samp(F.when(~in_a, F.col("value"))).alias("_var_b"),
+    )
+    se2 = F.col("_var_a") / F.col("n_a") + F.col("_var_b") / F.col("n_b")
+    t = (F.col("_mean_a") - F.col("_mean_b")) / F.sqrt(se2)
+    df = F.pow(se2, 2) / (
+        F.pow(F.col("_var_a") / F.col("n_a"), 2) / (F.col("n_a") - 1)
+        + F.pow(F.col("_var_b") / F.col("n_b"), 2) / (F.col("n_b") - 1)
+    )
+    return m.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        F.round("_mean_a", 4).alias("mean_a"),
+        F.round("_mean_b", 4).alias("mean_b"),
+        F.round(t, 4).alias("t_stat"),
+        F.round(df, 2).alias("welch_df"),
+        (F.abs(t) > 1.96).alias("significant_5pct"),
+    )

@@ -130,6 +130,7 @@ _PRIORITY: list[str] = [
     "text_gopher_rules",
     "events_funnel_3step",
     "embedding_matryoshka_energy",
+    "stats_welch_ab_events",
     "embedding_dim_variance",
     "embedding_quantize_error",
     "events_anomaly_mad",
