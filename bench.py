@@ -104,6 +104,12 @@ SF1_HEAVY = [
     # is the max_block cap + the multi-pass affix blocking, exercised
     # by its own tests.
     "text_unigram_logprob",
+    # session-4 heavies: the iterative graph op (5 synchronous rounds
+    # — per-round cost must stay edge-linear) and the bigram LM (its
+    # join key cardinality grows with the corpus, the newest candidate
+    # for super-linear drift).
+    "graph_pagerank_parts",
+    "text_bigram_perplexity",
 ]
 
 # Second decade (100x rows), opt-in via BENCH_SF10=1: the steepest

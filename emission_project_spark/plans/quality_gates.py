@@ -256,3 +256,47 @@ def stats_welch_ab_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(df, 2).alias("welch_df"),
         (F.abs(t) > 1.96).alias("significant_5pct"),
     )
+
+
+# --- Cumulative distinct users by hour — the "running COUNT(DISTINCT)"
+# that naive engines compute as a quadratic re-scan per bucket. The
+# decorrelation: distinct-count a user ONCE at their first-seen hour
+# (one user_id aggregate), roll those up per hour, then a running sum
+# over the hour ordering — a bucket-cardinality window, trivially
+# small. Exact integers end to end. (Hour grain: this synthetic's
+# users all debut within ~2 days, so the daily curve is degenerate.)
+@register(
+    "events_cumulative_users",
+    oracle="""
+    WITH fs AS (
+        SELECT user_id, min(date_trunc('hour', CAST(ts AS TIMESTAMP)))
+                   AS first_hour
+        FROM events GROUP BY user_id
+    ),
+    hourly AS (
+        SELECT first_hour AS hour, CAST(count(*) AS BIGINT) AS new_users
+        FROM fs GROUP BY first_hour
+    )
+    SELECT hour, new_users,
+           CAST(sum(new_users) OVER (ORDER BY hour
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_users
+    FROM hourly
+    """,
+)
+def events_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    fs = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("hour", F.col("ts"))).alias("first_hour")
+    )
+    hourly = fs.groupBy(F.col("first_hour").alias("hour")).agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = Window.orderBy("hour").rowsBetween(Window.unboundedPreceding, 0)
+    return hourly.select(
+        "hour",
+        "new_users",
+        F.sum("new_users").over(w).cast("bigint").alias("cum_users"),
+    )

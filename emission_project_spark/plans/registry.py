@@ -131,6 +131,7 @@ _PRIORITY: list[str] = [
     "events_funnel_3step",
     "embedding_matryoshka_energy",
     "stats_welch_ab_events",
+    "events_cumulative_users",
     "embedding_dim_variance",
     "embedding_quantize_error",
     "events_anomaly_mad",
