@@ -92,7 +92,9 @@ def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.select(F.col("pa").alias("src"), F.col("pb").alias("dst")).unionAll(
         pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
     )
-    ranked = pagerank(edges, iterations=5, damping=0.85)
+    ranked = pagerank(
+        edges, iterations=5, damping=0.85, assume_full_in_edges=True
+    )
     return ranked.select(
         F.col("node").alias("p_partkey"),
         "degree",
