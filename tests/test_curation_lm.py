@@ -52,3 +52,13 @@ def test_bigram_perplexity_bounded_and_finite(spark, sf_dir):
     # sane LM range: strictly above 0 bits and below log2(corpus size)
     stats = ppl.agg(F.avg("avg_neg_log2p").alias("m")).first()
     assert 0.0 < stats["m"] < 64.0
+
+
+def test_matryoshka_energy_monotone(spark, sf_dir):
+    # energy is cumulative in the prefix: 0 <= E@16 <= E@32 <= 1
+    from emission_project_spark.plans.extensions import embedding_matryoshka_energy
+
+    rows = embedding_matryoshka_energy(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["energy_at_16"] <= r["energy_at_32"] <= 1.0
