@@ -120,13 +120,13 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 # each step strictly after the previous one AND within one day of it
 # (the unbounded funnel converts ~100% on this dense synthetic — the
 # time bound is what makes the report discriminative: ~150/60/25 at
-# sf0.01). Decorrelated as cascading
-# conditional MINs: step-1 firsts are one grouped agg; each later step
-# joins the (user-cardinality, tiny) prior-step firsts back onto its
-# event slice and takes the first qualifying timestamp. Three user_id
-# exchanges, each over a rapidly shrinking relation — never a
-# fact×fact product. Output is the 1-row funnel report with exact
-# counts and conversion ratios of exact BIGINTs.
+# sf0.01). The oracle states the cascade as three dependent grouped
+# CTEs; the Spark plan collapses it to ONE user_id exchange carrying
+# THREE stacked window passes (t2's conditional MIN reads the t1
+# column, t3's reads t2 — same partitioning, so Catalyst reuses the
+# sort instead of re-shuffling; the join-cascade form costs 6
+# exchanges for the same answer). The final 1-row report aggregates
+# exact BIGINT counts.
 @register(
     "events_funnel_3step",
     oracle="""
@@ -158,27 +158,46 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def events_funnel_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     ev = load_table(spark, sf_dir, "events")
-
-    def firsts(step: str, after: DataFrame | None, ts_col: str) -> DataFrame:
-        sl = ev.filter(F.col("event_type") == step).select(
-            "user_id", F.col("ts").alias("_ts")
-        )
-        if after is not None:
-            prev_ts = after.columns[-1]
-            sl = sl.join(after, "user_id").filter(
-                (F.col("_ts") > F.col(prev_ts))
-                & (F.col("_ts") <= F.col(prev_ts) + F.expr("INTERVAL 1 DAY"))
+    w = Window.partitionBy("user_id")
+    day = F.expr("INTERVAL 1 DAY")
+    relevant = ev.filter(
+        F.col("event_type").isin("view", "click", "purchase")
+    ).select("user_id", "event_type", "ts")
+    step1 = relevant.withColumn(
+        "t1", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    )
+    step2 = step1.withColumn(
+        "t2",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click")
+                & (F.col("ts") > F.col("t1"))
+                & (F.col("ts") <= F.col("t1") + day),
+                F.col("ts"),
             )
-        return sl.groupBy("user_id").agg(F.min("_ts").alias(ts_col))
-
-    v = firsts("view", None, "t1")
-    c = firsts("click", v, "t2")
-    p = firsts("purchase", c, "t3")
-    counts = (
-        v.agg(F.count(F.lit(1)).alias("n_viewed"))
-        .crossJoin(F.broadcast(c.agg(F.count(F.lit(1)).alias("n_clicked"))))
-        .crossJoin(F.broadcast(p.agg(F.count(F.lit(1)).alias("n_purchased"))))
+        ).over(w),
+    )
+    step3 = step2.withColumn(
+        "t3",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") > F.col("t2"))
+                & (F.col("ts") <= F.col("t2") + day),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    per_user = step3.groupBy("user_id").agg(
+        F.first("t1").alias("t1"), F.first("t2").alias("t2"), F.first("t3").alias("t3")
+    )
+    counts = per_user.agg(
+        F.count("t1").alias("n_viewed"),
+        F.count("t2").alias("n_clicked"),
+        F.count("t3").alias("n_purchased"),
     )
     return counts.select(
         "n_viewed",
