@@ -244,3 +244,74 @@ def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.count(F.lit(1)) * 1.0 / F.any_value("n"), 4).alias("ttr"),
         F.round(-F.sum(p * F.log2(p)), 4).alias("entropy_bits"),
     )
+
+
+# --- N-gram novelty: how much genuinely NEW content each document
+# adds, scanning the corpus in doc_id order — the saturation
+# diagnostic behind "more data" decisions (a flattening novelty curve
+# means additional documents mostly repeat the corpus). A document's
+# novelty is the fraction of its distinct 3-grams whose FIRST corpus
+# occurrence is this document. Decorrelation: one grouped MIN gives
+# every 3-gram its first-owner doc; joining that back on the gram key
+# (corpus-sized → shuffle join, not broadcast) and comparing owner to
+# holder needs no per-document rescans of history.
+@register(
+    "text_ngram_novelty",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    g AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(generate_series(1, len(toks) - 2),
+                      i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))
+                   AS gram
+        FROM d WHERE len(toks) >= 3
+    ),
+    first_owner AS (
+        SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY gram
+    )
+    SELECT g.doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           round(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+                 * 1.0 / count(*), 4) AS novelty
+    FROM g JOIN first_owner f USING (gram)
+    GROUP BY g.doc_id
+    """,
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emission_project_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", tokens(F.lower(F.col("text"))).alias("toks"))
+    g = (
+        d.filter(F.size("toks") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - 2),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at(F.col("toks"), i),
+                        F.element_at(F.col("toks"), i + 1),
+                        F.element_at(F.col("toks"), i + 2),
+                    ),
+                )
+            ).alias("gram"),
+        )
+        .distinct()
+    )
+    first_owner = g.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.sum(
+        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    )
+    return (
+        g.join(first_owner, "gram")  # corpus-sized gram key: shuffle join
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            novel.cast("bigint").alias("n_novel"),
+            F.round(novel * 1.0 / F.count(F.lit(1)), 4).alias("novelty"),
+        )
+    )

@@ -132,6 +132,7 @@ _PRIORITY: list[str] = [
     "embedding_matryoshka_energy",
     "stats_welch_ab_events",
     "events_cumulative_users",
+    "text_ngram_novelty",
     "embedding_dim_variance",
     "embedding_quantize_error",
     "events_anomaly_mad",
