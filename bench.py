@@ -80,6 +80,7 @@ R5_EXTRA = [
     "text_bigram_perplexity",
     "curation_dsir_weights",
     "join_q8_market_share",
+    "text_ngram_novelty",
 ]
 
 # The heaviest operators, re-run at the 10x dataset for the scale
