@@ -100,3 +100,90 @@ def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "degree",
         F.round("rank", 6).alias("rank"),
     )
+
+
+def _hits_iter_sql(k: int) -> str:
+    """One HITS iteration as CTEs: authority from hubs, hub from
+    authorities, each max-normalized (the standard scaling that keeps
+    scores in (0,1] without the tiny-value rounding hazard of
+    sum-normalization)."""
+    return f"""
+    a{k}_raw AS (
+        SELECT e.part, sum(h{k - 1}.h) AS a
+        FROM edges e JOIN h{k - 1} ON h{k - 1}.cust = e.cust
+        GROUP BY e.part
+    ),
+    a{k} AS (
+        SELECT part, a / (SELECT max(a) FROM a{k}_raw) AS a FROM a{k}_raw
+    ),
+    h{k}_raw AS (
+        SELECT e.cust, sum(a{k}.a) AS h
+        FROM edges e JOIN a{k} ON a{k}.part = e.part
+        GROUP BY e.cust
+    ),
+    h{k} AS (
+        SELECT cust, h / (SELECT max(h) FROM h{k}_raw) AS h FROM h{k}_raw
+    )"""
+
+
+# --- Bipartite HITS (Kleinberg 1999) on the customer→part purchase
+# graph: parts accumulate AUTHORITY from the customers who buy them,
+# customers accumulate HUB weight from the parts they buy — mutually
+# recursive, 3 synchronous iterations, max-normalized each half-step.
+# Same engineering as PageRank: the distinct edge list is checkpointed
+# once; each half-step is one edge-sized join + aggregate; the 1-row
+# max normalizer broadcasts. The oracle replays the identical schedule
+# as chained CTEs (sum-order ulps only, rounded at 1e-6).
+@register(
+    "graph_hits_part_authority",
+    oracle=f"""
+    WITH edges AS (
+        SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    h0 AS (SELECT DISTINCT cust, 1.0 AS h FROM edges),
+    {",".join(_hits_iter_sql(k) for k in range(1, 4))}
+    SELECT a3.part AS p_partkey,
+           round(a3.a, 6) AS authority,
+           CAST(d.n_buyers AS BIGINT) AS n_buyers
+    FROM a3
+    JOIN (SELECT part, count(*) AS n_buyers FROM edges GROUP BY part) d
+      ON d.part = a3.part
+    """,
+)
+def graph_hits_part_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+
+    def half_step(scores: DataFrame, from_col: str, to_col: str, val: str) -> DataFrame:
+        raw = (
+            edges.join(scores, from_col)
+            .groupBy(to_col)
+            .agg(F.sum(val).alias("_raw"))
+        )
+        mx = raw.agg(F.max("_raw").alias("_mx"))
+        return (
+            raw.crossJoin(F.broadcast(mx))
+            .select(to_col, (F.col("_raw") / F.col("_mx")).alias(val))
+            .localCheckpoint(eager=False)
+        )
+
+    hubs = edges.select("cust").distinct().select("cust", F.lit(1.0).alias("h"))
+    for _ in range(3):
+        auths = half_step(hubs.withColumnRenamed("h", "a"), "cust", "part", "a")
+        hubs = half_step(auths.withColumnRenamed("a", "h"), "part", "cust", "h")
+    n_buyers = edges.groupBy("part").agg(F.count(F.lit(1)).alias("n_buyers"))
+    return (
+        auths.join(n_buyers, "part")
+        .select(
+            F.col("part").alias("p_partkey"),
+            F.round("a", 6).alias("authority"),
+            "n_buyers",
+        )
+    )

@@ -133,6 +133,7 @@ _PRIORITY: list[str] = [
     "stats_welch_ab_events",
     "events_cumulative_users",
     "text_ngram_novelty",
+    "graph_hits_part_authority",
     "embedding_dim_variance",
     "embedding_quantize_error",
     "events_anomaly_mad",

@@ -43,3 +43,20 @@ def test_iterations_validation(spark):
 
     with pytest.raises(ValueError):
         pagerank(_edges(spark, [(0, 1)]), iterations=0)
+
+
+def test_hits_authority_normalized_and_popularity_aligned(spark, sf_dir):
+    from emission_project_spark.plans.graph_rank import graph_hits_part_authority
+
+    df = graph_hits_part_authority(spark, sf_dir)
+    rows = df.collect()
+    vals = [r["authority"] for r in rows]
+    assert max(vals) == 1.0  # max-normalized each half-step
+    assert all(0.0 < v <= 1.0 for v in vals)
+    # authority tracks buyer popularity: top-decile-by-buyers parts
+    # average strictly higher authority than the bottom decile
+    ranked = sorted(rows, key=lambda r: r["n_buyers"])
+    k = max(1, len(ranked) // 10)
+    low = sum(r["authority"] for r in ranked[:k]) / k
+    high = sum(r["authority"] for r in ranked[-k:]) / k
+    assert high > low
