@@ -86,11 +86,12 @@ def register_temp_views(spark: SparkSession, sf_dir: str | None = None) -> None:
 
 def load_table_with_provenance(spark, sf_dir: str, name: str):
     """Table scan plus lineage columns from the parquet reader's
-    ``_metadata`` struct: source file path + row-group offsets let any
-    output row be traced back to its physical input — the audit
-    question ("which file produced this bad row?") answered without a
-    lineage service. Zero-cost: ``_metadata`` is populated by the scan
-    itself, no extra IO."""
+    ``_metadata`` struct: source file path, size, and the split's byte
+    range (block start/length — the file region whose row groups
+    produced the row) let any output row be traced back to its physical
+    input — the audit question ("which file produced this bad row?")
+    answered without a lineage service. Zero-cost: ``_metadata`` is
+    populated by the scan itself, no extra IO."""
     from pyspark.sql import functions as F
 
     df = load_table(spark, sf_dir, name)
@@ -98,4 +99,6 @@ def load_table_with_provenance(spark, sf_dir: str, name: str):
         "*",
         F.col("_metadata.file_path").alias("_src_file"),
         F.col("_metadata.file_size").alias("_src_file_size"),
+        F.col("_metadata.file_block_start").alias("_src_block_start"),
+        F.col("_metadata.file_block_length").alias("_src_block_length"),
     )

@@ -82,8 +82,19 @@ def fit_pq(
             raise ValueError(
                 f"subspace {sub}: Lloyd returned {len(cents)} < k={k} codewords"
             )
-        for r in cents:
-            books[sub, int(r["cid"])] = np.asarray(r["ce"])
+        # cids are the seed vec_ids (lloyd_centroids seeds from the k
+        # smallest ids) — only 0-based-contiguous corpora would allow
+        # indexing books by raw cid. Remap to dense 0..k-1 positions in
+        # sorted-cid order (code = rank of cid), and require exactly k
+        # distinct cids so a collapsed cluster can't leave a stale row.
+        by_cid = sorted((int(r["cid"]), r["ce"]) for r in cents)
+        if len({c for c, _ in by_cid}) != k:
+            raise ValueError(
+                f"subspace {sub}: expected {k} distinct codeword ids, "
+                f"got {len({c for c, _ in by_cid})}"
+            )
+        for code, (_, ce) in enumerate(by_cid):
+            books[sub, code] = np.asarray(ce)
     return PQModel(codebooks=books, dim=dim, m=m, k=k)
 
 
@@ -168,7 +179,15 @@ def pq_topk(
             for s in range(m):
                 ad2 += lut[:, s, codes[:, s]]
             top = min(k, ad2.shape[1])
-            idx = np.argpartition(ad2, top - 1, axis=1)[:, :top]
+            # Per-batch pre-filter must respect the final (ad2 asc,
+            # vec_id asc) tie-break: PQ makes exact ad2 ties routine
+            # (identical codes ⇒ identical ADC distance), and a bare
+            # argpartition could discard the smaller-id member of a tie
+            # at the rank-k boundary, making the global top-k depend on
+            # partitioning. lexsort keys are last-is-primary.
+            idx = np.stack(
+                [np.lexsort((vec_ids, ad2[qi]))[:top] for qi in range(len(qids))]
+            )
             rows = {
                 "query_id": np.repeat(qids, top),
                 "vec_id": vec_ids[idx].ravel(),
@@ -251,9 +270,25 @@ def fit_ivfpq(
         vecs, k=n_cells, iterations=iterations, train_frac=train_frac
     ).cache()
     rows = centroids.collect()
+    # Mirror fit_pq's under-fill guard: Lloyd can drop an empty cell
+    # during recompute, and an np.empty row silently poisons every
+    # downstream assignment. Remap raw cids (seed vec_ids) to dense
+    # 0..n_cells-1 rows in sorted-cid order; ivfpq_encode/_centroid_df
+    # re-derive cell ids from the same row order, so the mapping is
+    # consistent end-to-end.
+    if len(rows) < n_cells:
+        raise ValueError(
+            f"coarse quantizer: Lloyd returned {len(rows)} < n_cells={n_cells} cells"
+        )
+    by_cid = sorted((int(r["cid"]), r["ce"]) for r in rows)
+    if len({c for c, _ in by_cid}) != n_cells:
+        raise ValueError(
+            f"coarse quantizer: expected {n_cells} distinct cell ids, "
+            f"got {len({c for c, _ in by_cid})}"
+        )
     coarse = np.empty((n_cells, dim))
-    for r in rows:
-        coarse[int(r["cid"])] = np.asarray(r["ce"])
+    for cell, (_, ce) in enumerate(by_cid):
+        coarse[cell] = np.asarray(ce)
     res = _residuals(emb, centroids, id_col, vec_col)
     pq = fit_pq(
         res,
@@ -342,7 +377,9 @@ def ivfpq_topk(
                     for s in range(m):
                         ad2 += lut[s, codes[:, s]]
                     top = min(k, len(ad2))
-                    idx = np.argpartition(ad2, top - 1)[:top]
+                    # (ad2 asc, vec_id asc) within the batch — same
+                    # tie-discipline as pq_topk's pre-filter.
+                    idx = np.lexsort((vec_ids, ad2))[:top]
                     yield pd.DataFrame(
                         {
                             "query_id": np.full(top, qids[qi]),
@@ -364,4 +401,141 @@ def ivfpq_topk(
         candidates.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
         .drop("rk")
+    )
+
+
+def ivfpq_topk_expr(
+    vectors: DataFrame,
+    query: DataFrame,
+    dim: int = 64,
+    n_cells: int = 4,
+    m: int = 4,
+    k_codes: int = 8,
+    iterations: int = 2,
+    n_probe: int = 2,
+    k: int = 10,
+) -> DataFrame:
+    """Oracle-checkable expression twin of the IVF-PQ ADC search.
+
+    Computes the IDENTICAL quantity as ``fit_ivfpq`` → ``ivfpq_encode``
+    → ``ivfpq_topk`` (same coarse Lloyd quantizer, same residual
+    per-subspace Lloyd codebooks, same probe rule, and ADC(q, codes) =
+    ‖(q − c_cell) − decode(codes)‖² by the ADC identity test_pq.py
+    pins) — but entirely as lazy JVM expressions: Lloyd chains from
+    extensions/kmeans.py, codeword assignment as a ``min_by`` argmin
+    over the unioned per-subspace codebooks, reconstruction as a
+    position-sorted flatten, and the ADC distance as the left-to-right
+    ``_sq_dist`` fold the DuckDB oracle reproduces bitwise. No driver
+    collect, no numpy — plan construction is action-free, so the
+    registered ``similarity_ivfpq_topk`` query keeps tools/plancheck
+    compile-only while putting the PQ compression path on the driver's
+    oracle ledger; tests/test_pq.py bridges this twin to the numpy path
+    by equality on the same corpus.
+
+    Scale shape mirrors the numpy path: each Lloyd round broadcasts
+    k·dim doubles; codeword assignment broadcasts the m·k_codes·dsub
+    codebook union (KBs); the residual relation is checkpointed once
+    (it feeds m training chains + the assignment — the inverted-list
+    relation a deployment would persist anyway); the candidate scan is
+    restricted to each query's ``n_probe`` cells by the join key.
+    """
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    from emission_project_spark.extensions.kmeans import (
+        _sq_dist,
+        assign_clusters,
+        lloyd_centroids,
+    )
+
+    if dim % m:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
+    dsub = dim // m
+    vecs = vectors.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    coarse = lloyd_centroids(vecs, k=n_cells, iterations=iterations)
+    assigned = assign_clusters(vecs, coarse)
+    ce_map = coarse.select(
+        F.col("cid").alias("cluster_id"), F.col("ce").alias("_cell_ce")
+    )
+    res = (
+        assigned.join(F.broadcast(ce_map), "cluster_id")
+        .select(
+            "vec_id",
+            F.col("cluster_id").alias("cell"),
+            F.zip_with("e", "_cell_ce", lambda x, c: x - c).alias("r"),
+        )
+        .localCheckpoint(eager=False)
+    )
+
+    books = []
+    subs = []
+    for s in range(m):
+        sub_vec = res.select(
+            "vec_id", "cell", F.slice("r", s * dsub + 1, dsub).alias("e")
+        )
+        book = lloyd_centroids(
+            sub_vec.select("vec_id", "e"), k=k_codes, iterations=iterations
+        )
+        books.append(book.select(F.lit(s).alias("sub"), "cid", "ce"))
+        subs.append(sub_vec.select("vec_id", "cell", F.lit(s).alias("sub"), "e"))
+    all_books = reduce(DataFrame.unionByName, books)
+    all_subs = reduce(DataFrame.unionByName, subs)
+
+    scored = all_subs.join(F.broadcast(all_books), "sub").withColumn(
+        "d2", _sq_dist(F.col("e"), F.col("ce"))
+    )
+    best = scored.groupBy("vec_id", "sub").agg(
+        F.min_by(F.struct("cid", "ce"), F.struct("d2", "cid")).alias("_best"),
+        F.first("cell").alias("cell"),
+    )
+    recon = best.groupBy("vec_id").agg(
+        F.first("cell").alias("cell"),
+        F.flatten(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(F.col("sub"), F.col("_best.ce").alias("bce"))
+                    )
+                ),
+                lambda x: x["bce"],
+            )
+        ).alias("rr"),
+    )
+
+    q = query.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qe"),
+    )
+    qscored = q.crossJoin(F.broadcast(coarse)).select(
+        "query_id", "qe", "cid", "ce",
+        _sq_dist(F.col("qe"), F.col("ce")).alias("qd2"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("qd2").asc(), F.col("cid").asc()
+    )
+    qprobes = (
+        qscored.withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= n_probe)
+        .select(
+            "query_id",
+            F.col("cid").alias("qcell"),
+            F.zip_with("qe", "ce", lambda x, c: x - c).alias("qr"),
+        )
+    )
+    cand = recon.join(F.broadcast(qprobes), recon["cell"] == qprobes["qcell"])
+    out = cand.select(
+        "query_id",
+        "vec_id",
+        F.round(_sq_dist(F.col("qr"), F.col("rr")), 6).alias("ad2"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("ad2").asc(), F.col("vec_id").asc()
+    )
+    return (
+        out.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "ad2")
     )

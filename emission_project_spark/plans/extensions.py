@@ -542,6 +542,99 @@ def similarity_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- similarity: IVF-PQ ADC top-k (the 32×-compression scale path).
+# The oracle replays the full FAISS IndexIVFPQ composition in SQL —
+# coarse Lloyd (2 rounds), residuals, one Lloyd chain per subspace on
+# the residual slices, codeword assignment, reconstruction, 2-probe
+# cell pruning, and the ADC distance ‖(q − c_cell) − decode(codes)‖²
+# — generated per-subspace by the loop below (the same deterministic
+# CTE stack as similarity_ivf_kmeans_topk, four times over slices).
+# The Spark side is extensions/pq.ivfpq_topk_expr, the action-free
+# expression twin that tests/test_pq.py pins equal to the numpy
+# fit_ivfpq/ivfpq_encode/ivfpq_topk path on the same corpus.
+def _ivfpq_oracle() -> str:
+    dim, n_cells, m, k_codes, n_probe, topk = 64, 4, 4, 8, 2, 10
+    dsub = dim // m
+    d2 = (
+        "list_sum(list_transform(range(1, {n}), "
+        "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+    )
+    parts = [
+        "WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),",
+        f"c0 AS (SELECT vec_id AS cid, e AS ce FROM v ORDER BY vec_id LIMIT {n_cells}),",
+        "s1 AS (SELECT v.vec_id, v.e, c0.cid, "
+        + d2.format(n=dim + 1, a="v.e", b="c0.ce")
+        + " AS d2 FROM v CROSS JOIN c0),",
+        "a1 AS (SELECT vec_id, e, cid FROM (SELECT *, row_number() OVER "
+        "(PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM s1) WHERE rn = 1),",
+        "m1 AS (SELECT cid, pos, round(avg(val), 6) AS m FROM "
+        f"(SELECT cid, i AS pos, e[i] AS val FROM a1, (SELECT unnest(range(1, {dim + 1})) AS i)) "
+        "GROUP BY cid, pos),",
+        "c1 AS (SELECT cid, list(m ORDER BY pos) AS ce FROM m1 GROUP BY cid),",
+        "s2 AS (SELECT v.vec_id, v.e, c1.cid, c1.ce, "
+        + d2.format(n=dim + 1, a="v.e", b="c1.ce")
+        + " AS d2 FROM v CROSS JOIN c1),",
+        "res AS (SELECT vec_id, cid AS cell, "
+        f"list_transform(range(1, {dim + 1}), i -> e[i] - ce[i]) AS r "
+        "FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) "
+        "AS rn FROM s2) WHERE rn = 1),",
+    ]
+    for s in range(m):
+        a, b = s * dsub + 1, (s + 1) * dsub
+        parts += [
+            f"r{s} AS (SELECT vec_id, list_slice(r, {a}, {b}) AS e FROM res),",
+            f"b{s}0 AS (SELECT vec_id AS cid, e AS ce FROM r{s} ORDER BY vec_id LIMIT {k_codes}),",
+            f"t{s}1 AS (SELECT x.vec_id, x.e, b.cid, "
+            + d2.format(n=dsub + 1, a="x.e", b="b.ce")
+            + f" AS d2 FROM r{s} x CROSS JOIN b{s}0 b),",
+            f"u{s}1 AS (SELECT vec_id, e, cid FROM (SELECT *, row_number() OVER "
+            f"(PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM t{s}1) WHERE rn = 1),",
+            f"n{s}1 AS (SELECT cid, pos, round(avg(val), 6) AS m FROM "
+            f"(SELECT cid, i AS pos, e[i] AS val FROM u{s}1, "
+            f"(SELECT unnest(range(1, {dsub + 1})) AS i)) GROUP BY cid, pos),",
+            f"d{s}1 AS (SELECT cid, list(m ORDER BY pos) AS ce FROM n{s}1 GROUP BY cid),",
+            f"t{s}2 AS (SELECT x.vec_id, c.cid, c.ce, "
+            + d2.format(n=dsub + 1, a="x.e", b="c.ce")
+            + f" AS d2 FROM r{s} x CROSS JOIN d{s}1 c),",
+            f"w{s} AS (SELECT vec_id, ce FROM (SELECT *, row_number() OVER "
+            f"(PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM t{s}2) WHERE rn = 1),",
+        ]
+    rr = " || ".join(f"w{s}.ce" for s in range(m))
+    joins = " ".join(f"JOIN w{s} ON w{s}.vec_id = res.vec_id" for s in range(m))
+    parts += [
+        f"recon AS (SELECT res.vec_id, res.cell, {rr} AS rr FROM res {joins}),",
+        "qp AS (SELECT vec_id AS query_id, cid AS qcell, "
+        f"list_transform(range(1, {dim + 1}), i -> e[i] - ce[i]) AS qr "
+        "FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) "
+        f"AS rn FROM s2 WHERE vec_id < 3) WHERE rn <= {n_probe}),",
+        "scored AS (SELECT qp.query_id, recon.vec_id, round("
+        + d2.format(n=dim + 1, a="qp.qr", b="recon.rr")
+        + ", 6) AS ad2 FROM recon JOIN qp ON recon.cell = qp.qcell)",
+        "SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id "
+        "ORDER BY ad2, vec_id) AS BIGINT) AS rank, vec_id, ad2 "
+        f"FROM scored QUALIFY rank <= {topk}",
+    ]
+    return "\n".join(parts)
+
+
+@register("similarity_ivfpq_topk", oracle=_ivfpq_oracle())
+def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emission_project_spark.extensions.pq import ivfpq_topk_expr
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivfpq_topk_expr(
+        emb,
+        emb.filter(F.col("vec_id") < 3),
+        dim=64,
+        n_cells=4,
+        m=4,
+        k_codes=8,
+        iterations=2,
+        n_probe=2,
+        k=10,
+    )
+
+
 # --- embedding-cosine near-dup: exact all-pairs (blocked BLAS matmul).
 @register(
     "dedup_embedding_cosine",

@@ -295,7 +295,8 @@ def join_q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFra
 @register(
     "join_q21_lone_late_supplier",
     oracle="""
-    SELECT s.s_name, CAST(count(DISTINCT l1.l_orderkey) AS BIGINT) AS numwait
+    SELECT s.s_suppkey, s.s_name,
+           CAST(count(DISTINCT l1.l_orderkey) AS BIGINT) AS numwait
     FROM lineitem l1
     JOIN orders o   ON o.o_orderkey = l1.l_orderkey
     JOIN supplier s ON s.s_suppkey  = l1.l_suppkey
@@ -315,7 +316,7 @@ def join_q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFra
             AND CAST(l3.l_shipdate AS DATE)
                   > CAST(o3.o_orderdate AS DATE) + INTERVAL 1000 DAY
       )
-    GROUP BY s.s_name
+    GROUP BY s.s_suppkey, s.s_name
     """,
 )
 def join_q21_lone_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -348,8 +349,11 @@ def join_q21_lone_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_suppkey")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
+    # Output carries s_suppkey: the aggregation key IS the supplier key
+    # (the oracle groups by the same pair), so two suppliers sharing a
+    # name can never merge on one side and not the other.
     return lone_late.join(s, lone_late["l_suppkey"] == s["s_suppkey"]).select(
-        "s_name", "numwait"
+        "s_suppkey", "s_name", "numwait"
     )
 
 

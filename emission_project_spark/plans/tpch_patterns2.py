@@ -456,7 +456,7 @@ def join_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE p.p_type = 'PROMO'
         GROUP BY 1, 2
     )
-    SELECT s.s_name, n.n_name AS nation,
+    SELECT s.s_suppkey, s.s_name, n.n_name AS nation,
            CAST(count(*) AS BIGINT) AS n_excess_parts
     FROM promo pr
     JOIN supplier s ON s.s_suppkey = pr.l_suppkey
@@ -468,7 +468,7 @@ def join_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT sum(p2.qty_c) FROM promo p2
             WHERE p2.l_partkey = pr.l_partkey
           )
-    GROUP BY s.s_name, n.n_name
+    GROUP BY s.s_suppkey, s.s_name, n.n_name
     """,
 )
 def join_q20_excess_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -498,8 +498,11 @@ def join_q20_excess_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFra
     supp = s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"]).select(
         "s_suppkey", "s_name", F.col("n_name").alias("nation")
     )
+    # s_suppkey rides along: the aggregation key is the supplier key on
+    # both sides, so duplicate supplier names can never diverge the
+    # Spark plan from the oracle's grouping.
     return excess.join(supp, excess["l_suppkey"] == supp["s_suppkey"]).select(
-        "s_name", "nation", "n_excess_parts"
+        "s_suppkey", "s_name", "nation", "n_excess_parts"
     )
 
 

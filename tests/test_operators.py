@@ -514,6 +514,13 @@ def test_load_table_with_provenance(spark):
     assert len(rows) == 25
     assert all(r["_src_file"].endswith(".parquet") for r in rows)
     assert all(r["_src_file_size"] > 0 for r in rows)
+    # byte-range lineage: the split region is well-formed and inside the file
+    assert all(r["_src_block_start"] >= 0 for r in rows)
+    assert all(
+        0 < r["_src_block_length"]
+        and r["_src_block_start"] + r["_src_block_length"] <= r["_src_file_size"]
+        for r in rows
+    )
 
 
 def test_v2_parquet_aggregate_pushdown(spark):

@@ -223,3 +223,48 @@ def test_ivfpq_recall_floor(ivfpq_model, ivfpq_encoded, local):
         hits += len(exact & got[ids[qi]])
     recall = hits / (10 * nq)
     assert recall >= 0.3, f"ivfpq recall@10 = {recall}"
+
+
+def test_ivfpq_expr_twin_matches_numpy_path(spark, emb, local):
+    """The oracle-checked expression twin (ivfpq_topk_expr — the
+    registered similarity_ivfpq_topk plan) must return the same ranked
+    neighbors as the numpy fit_ivfpq → ivfpq_encode → ivfpq_topk path
+    at identical hyperparameters: same coarse quantizer, same residual
+    codebooks, and ADC identity ⇒ identical distances up to float
+    association. This bridge is what lets the driver's green oracle row
+    stand in for the 32×-compression numpy path."""
+    from emission_project_spark.extensions.pq import (
+        fit_ivfpq,
+        ivfpq_encode,
+        ivfpq_topk,
+        ivfpq_topk_expr,
+    )
+    from pyspark.sql import functions as F
+
+    ids, x = local
+    expr_out = ivfpq_topk_expr(
+        emb, emb.filter(F.col("vec_id") < 3),
+        dim=64, n_cells=4, m=4, k_codes=8, iterations=2, n_probe=2, k=10,
+    ).collect()
+
+    model = fit_ivfpq(emb, dim=64, n_cells=4, m=4, k=8, iterations=2)
+    encoded = ivfpq_encode(emb, model)
+    qsel = np.isin(ids, [0, 1, 2])
+    np_out = ivfpq_topk(
+        encoded, x[qsel], ids[qsel], model, n_probe=2, k=10
+    ).collect()
+
+    def keyed(rows):
+        out = {}
+        for r in rows:
+            out.setdefault(r["query_id"], []).append(
+                (r["vec_id"], float(r["ad2"]))
+            )
+        return {q: sorted(v, key=lambda t: (t[1], t[0])) for q, v in out.items()}
+
+    e, n = keyed(expr_out), keyed(np_out)
+    assert set(e) == set(n) == {0, 1, 2}
+    for q in e:
+        assert [v for v, _ in e[q]] == [v for v, _ in n[q]], f"query {q}"
+        for (_, d_expr), (_, d_np) in zip(e[q], n[q]):
+            assert d_expr == pytest.approx(d_np, rel=1e-6, abs=1e-6)

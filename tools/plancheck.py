@@ -35,6 +35,7 @@ SCALAR_CROSS_OK = {
     "dedup_embedding_cosine",      # all-pairs baseline (LSH variant is the scale path)
     "dedup_embedding_cosine_lsh",
     "similarity_ivf_kmeans_topk",  # Lloyd rounds: k-centroid broadcast per assignment
+    "similarity_ivfpq_topk",       # coarse + per-subspace Lloyd: k-centroid broadcasts
     "dedup_semantic_pairs",        # same Lloyd quantizer feeds the cluster key
     "embedding_cluster_quality",   # Lloyd rounds again (k-centroid broadcast)
     "curation_mixture_report",     # 1-row corpus token total
