@@ -134,7 +134,13 @@ def main() -> None:
     from emission_project_spark.session import get_spark
     import __spark_entry__ as entrymod
 
-    spark = get_spark("bench")
+    # No stage-progress spew: the round driver keeps only the stdout
+    # tail, and round 5's progress lines pushed the headline JSON out
+    # of the captured window (BENCH_r05.json is truncated for exactly
+    # this reason). Must be set before SparkContext creation.
+    spark = get_spark(
+        "bench", extra_conf={"spark.ui.showConsoleProgress": "false"}
+    )
     spark.sparkContext.setLogLevel("ERROR")
     qs = entrymod.queries()
 
@@ -229,6 +235,10 @@ def main() -> None:
             "rows_vs_sf0.1": 10,
             "runs": sf1_runs,
             "stat": "min" if sf1_runs < 3 else "median",
+            # per-block yardstick: cross-round normalization needs the
+            # machine-speed number at BOTH ends of a scaling ratio, not
+            # just at headline time (noise is episodic on this host)
+            "cpu_calibration_s": cpu_calibration(),
             "scaling_vs_sf0.1": {
                 name: round(sf1_timings[name] / base[name], 2)
                 for name in SF1_HEAVY
@@ -263,6 +273,7 @@ def main() -> None:
             "rows_vs_sf0.1": 100,
             "runs": 1,
             "stat": "single-run (±15% wobble)",
+            "cpu_calibration_s": cpu_calibration(),
             "scaling_vs_sf0.1": {
                 name: round(sf10_timings[name] / base[name], 2)
                 for name in SF10_HEAVY
@@ -270,7 +281,20 @@ def main() -> None:
             },
         }
 
-    print(json.dumps(out))
+    blob = json.dumps(out)
+    print(blob)
+    # Self-contained record: the driver artifact stores only a stdout
+    # tail, so also write the full JSON to a file in the repo (the
+    # round close-out commits it as BENCH_LOCAL_r{N}.json).
+    out_path = os.environ.get(
+        "BENCH_OUT",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"),
+    )
+    try:
+        with open(out_path, "w") as fh:
+            fh.write(blob + "\n")
+    except OSError:
+        pass  # stdout JSON remains the artifact of record
     spark.stop()
 
 

@@ -109,12 +109,22 @@ def curation_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 # + 0.3·c(w2)/T — the unigram backoff term is never zero (every token
 # in a document is by construction in the corpus), so no smoothing
 # constants enter the bigram term and c(w1w2) ≤ c(w1) keeps the MLE
-# term ≤ 1. Plan shape: the bigram stream joins its OWN count table on
-# the bigram key — that relation is corpus-sized, so it shuffle-joins
-# (broadcast would not survive 100 TB; AQE still broadcasts it at
-# small sf where it fits) — while the unigram table and the 1-row
-# total broadcast. Documents shorter than two tokens have no bigrams
-# and drop out, matching the oracle's len(toks) >= 2 guard.
+# term ≤ 1. Bigram types below MIN_BIGRAM_COUNT are pruned from the
+# count table and their instances score on the backoff term alone —
+# the standard count-cutoff LMs apply to bound model size, and the
+# bound that keeps this plan's ONE corpus-sized join in check: the
+# build side shrinks from every-distinct-bigram (Zipf: mostly hapax
+# types, growing near-linearly with the corpus — the 7.7×-at-10×
+# scaling round 5 measured) to repeated types only, while the pruned
+# tail stays OBSERVABLE as the per-document n_backoff column. Plan
+# shape: the bigram stream left-joins its own pruned count table on
+# the bigram key (corpus-sized → shuffle join; broadcast would not
+# survive 100 TB, though AQE still broadcasts it at small sf where it
+# fits) — while the unigram table and the 1-row total broadcast.
+# Documents shorter than two tokens have no bigrams and drop out,
+# matching the oracle's len(toks) >= 2 guard.
+MIN_BIGRAM_COUNT = 2
+
 @register(
     "text_bigram_perplexity",
     oracle=f"""
@@ -133,18 +143,21 @@ def curation_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     bc AS (
         SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
         FROM bg GROUP BY 1, 2
+        HAVING count(*) >= {{min_count}}
     )
     SELECT bg.doc_id,
            CAST(count(*) AS BIGINT) AS n_bigrams,
-           round(avg(-log2(0.7 * (bc.c12 * 1.0 / u1.cu)
+           CAST(sum(CASE WHEN bc.c12 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_backoff,
+           round(avg(-log2(0.7 * (coalesce(bc.c12, 0) * 1.0 / u1.cu)
                            + 0.3 * (u2.cu * 1.0 / tot.n))), 4)
                AS avg_neg_log2p
     FROM bg
-    JOIN bc USING (w1, w2)
+    LEFT JOIN bc USING (w1, w2)
     JOIN u u1 ON u1.term = bg.w1
     JOIN u u2 ON u2.term = bg.w2, tot
     GROUP BY bg.doc_id
-    """,
+    """.replace("{min_count}", str(MIN_BIGRAM_COUNT)),
 )
 def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from emission_project_spark.functions.text import tokens
@@ -170,12 +183,18 @@ def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", F.col("_bg.w1").alias("w1"), F.col("_bg.w2").alias("w2"))
     )
-    bc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
-    p = 0.7 * (F.col("c12") * 1.0 / F.col("cu_ctx")) + 0.3 * (
+    # count-cutoff: the join build side keeps repeated bigram types
+    # only; pruned (hapax-tail) instances take the backoff term alone
+    bc = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .filter(F.col("c12") >= MIN_BIGRAM_COUNT)
+    )
+    p = 0.7 * (F.coalesce(F.col("c12"), F.lit(0)) * 1.0 / F.col("cu_ctx")) + 0.3 * (
         F.col("cu_tok") * 1.0 / F.col("n")
     )
     return (
-        bg.join(bc, ["w1", "w2"])  # corpus-sized: shuffle join, not broadcast
+        bg.join(bc, ["w1", "w2"], "left")  # corpus-sized: shuffle join, not broadcast
         .join(
             F.broadcast(u.select(F.col("term").alias("w1"), F.col("cu").alias("cu_ctx"))),
             "w1",
@@ -188,6 +207,9 @@ def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(F.when(F.col("c12").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_backoff"),
             F.round(F.avg(-F.log2(p)), 4).alias("avg_neg_log2p"),
         )
     )

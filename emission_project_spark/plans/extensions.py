@@ -809,6 +809,79 @@ def embedding_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Cross-moment (covariance) block of the leading 8 dimensions:
+# the SQL-expressible heart of distributed PCA's stage 1 — per-pair
+# E[x_i·x_j] − E[x_i]·E[x_j] — oracle-checked where the full d×d BLAS
+# moment pass (extensions/pca.py, map-side dgemm → one 4,161-group JVM
+# aggregate) has no SQL form and is pytest-pinned against numpy. The
+# block is FIXED at 8×8 (upper triangle, 36 cells): the d²-per-row
+# explode this plan uses is the verification form, bounded at 36 cells
+# per vector regardless of corpus size, and the map-side partial
+# aggregate collapses it to 36 groups before the exchange — the BLAS
+# path remains the production form for full-width d. test_pca.py
+# bridges the two: fit_pca's covariance sub-block equals these rows.
+@register(
+    "embedding_covariance_block",
+    oracle="""
+    WITH v AS (SELECT embedding::DOUBLE[] AS e FROM embeddings),
+    cells AS (
+        SELECT a.i AS i, b.j AS j, v.e[a.i] * v.e[b.j] AS p
+        FROM v,
+             (SELECT unnest(range(1, 9)) AS i) a,
+             (SELECT unnest(range(1, 9)) AS j) b
+        WHERE a.i <= b.j
+    ),
+    agg AS (
+        SELECT i, j, sum(p) AS sp, count(*) AS n FROM cells GROUP BY i, j
+    ),
+    m AS (
+        SELECT d.i AS d, avg(v.e[d.i]) AS mu
+        FROM v, (SELECT unnest(range(1, 9)) AS i) d
+        GROUP BY d.i
+    )
+    SELECT CAST(a.i AS BIGINT) AS dim_i,
+           CAST(a.j AS BIGINT) AS dim_j,
+           round(a.sp / a.n - mi.mu * mj.mu, 6) AS cov
+    FROM agg a
+    JOIN m mi ON mi.d = a.i
+    JOIN m mj ON mj.d = a.j
+    """,
+)
+def embedding_covariance_block(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    e8 = F.slice(F.col("embedding").cast("array<double>"), 1, 8)
+    a = emb.select(e8.alias("e8")).select(
+        F.posexplode("e8").alias("i0", "vi"), "e8"
+    )
+    cells = (
+        a.select("i0", "vi", F.posexplode("e8").alias("j0", "vj"))
+        .filter(F.col("i0") <= F.col("j0"))
+        .groupBy("i0", "j0")
+        .agg(
+            F.sum(F.col("vi") * F.col("vj")).alias("sp"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    means = (
+        emb.select(F.posexplode(e8).alias("d0", "v"))
+        .groupBy("d0")
+        .agg(F.avg("v").alias("mu"))
+    )
+    mi = F.broadcast(means.select(F.col("d0").alias("i0"), F.col("mu").alias("mu_i")))
+    mj = F.broadcast(means.select(F.col("d0").alias("j0"), F.col("mu").alias("mu_j")))
+    return (
+        cells.join(mi, "i0")
+        .join(mj, "j0")
+        .select(
+            (F.col("i0") + 1).cast("bigint").alias("dim_i"),
+            (F.col("j0") + 1).cast("bigint").alias("dim_j"),
+            F.round(
+                F.col("sp") / F.col("n") - F.col("mu_i") * F.col("mu_j"), 6
+            ).alias("cov"),
+        )
+    )
+
+
 # --- Symmetric int8 quantization quality report: the 4× memory cut
 # that keeps a 100 TB float32 ANN corpus in executor memory, with the
 # reconstruction loss *measured* per label (MAE, worst element error,
