@@ -83,6 +83,13 @@ R5_EXTRA = [
     "text_ngram_novelty",
 ]
 
+# Round-6 additions, timed into their own "r6_extras" block.
+R6_EXTRA = [
+    "similarity_ivfpq_topk",
+    "embedding_covariance_block",
+    "dedup_substring_spans",
+]
+
 # The heaviest operators, re-run at the 10x dataset for the scale
 # proof (near-linear = caps/blocking hold an order of magnitude up).
 SF1_HEAVY = [
@@ -121,6 +128,11 @@ SF10_HEAVY = [
     "dedup_semantic_pairs",
     "dedup_cluster_components",
     "similarity_ivf_kmeans_topk",
+    # round-6 additions: the two steepest sf1 scalers — the iterative
+    # graph rank and the bigram LM whose count-cutoff (r6) is supposed
+    # to keep its corpus-sized join flat; a second decade proves it.
+    "graph_pagerank_parts",
+    "text_bigram_perplexity",
 ]
 
 
@@ -196,6 +208,12 @@ def main() -> None:
         out["r5_extras"] = {
             "queries": extras,
             "value": round(sum(extras.values()), 3),
+        }
+    extras6 = {name: timed(name, sf_dir, runs) for name in R6_EXTRA if name in qs}
+    if extras6:
+        out["r6_extras"] = {
+            "queries": extras6,
+            "value": round(sum(extras6.values()), 3),
         }
 
     # Scale proof: if the deterministic 10x dataset exists (generated by

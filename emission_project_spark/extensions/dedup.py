@@ -696,3 +696,123 @@ def levenshtein_block_pairs(
         .unionByName(pass_result("_suf"))
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact substring-span dedup (Lee et al. 2022, "Deduplicating Training
+# Data Makes Language Models Better"): find MAXIMAL shared token spans
+# of length >= min_span between document pairs — the signal behind
+# substring-level dedup (memorized boilerplate, quoted passages,
+# licence blocks) that whole-doc fingerprints and winnowed sketches
+# both miss. The reference paper builds a suffix array; the
+# distributed re-expression is k-gram anchoring + diagonal run
+# consolidation, exact for every span >= k:
+#
+#   1. every token position contributes its k-gram (a string key —
+#      JVM transform/slice/concat, no Python);
+#   2. positions sharing a k-gram across two docs are candidate span
+#      cells; a shared span of length L appears as L − k + 1
+#      CONSECUTIVE cells on one diagonal (pos_a − pos_b constant);
+#   3. consecutive-run islands per (pair, diagonal) — the classic
+#      pos − row_number() grouping — reconstruct each maximal span
+#      exactly: span_tokens = run_length + k − 1.
+#
+# Scale shape: the k-gram relation is token-stream-sized (the same
+# cardinality every unigram pass already handles); the only fanout is
+# the per-gram self-join, bounded by ``max_gram_freq`` (grams above
+# the cap — stopword runs, template fragments — are dropped BEFORE
+# the join, the winnowing inverted-index discipline; the cap is
+# observable via substring_cap_report). Runs/spans aggregate on the
+# (pair, diagonal) key — output-sized, never corpus-quadratic.
+
+
+def _positioned_kgrams(
+    docs: DataFrame, text_col: str, id_col: str, k: int
+) -> DataFrame:
+    """(doc_id, pos, gram): the k-token window starting at each 1-based
+    position. Docs shorter than k tokens contribute nothing (guarded —
+    Spark sequence() counts DOWN when start > stop)."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        tokens(F.lower(F.col(text_col))).alias("toks"),
+    ).filter(F.size("toks") >= k)
+    cells = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - k + 1),
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.concat_ws(" ", F.slice("toks", i, k)).alias("gram"),
+        ),
+    )
+    return toks.select("doc_id", F.explode(cells).alias("c")).select(
+        "doc_id", F.col("c.pos").alias("pos"), F.col("c.gram").alias("gram")
+    )
+
+
+def substring_span_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 6,
+    min_span: int = 10,
+    max_gram_freq: int = 50,
+) -> DataFrame:
+    """Per document pair: the maximal exact shared token spans.
+
+    Returns (doc_a, doc_b, n_spans, longest_span, span_tokens) for
+    every pair sharing at least one maximal span of >= ``min_span``
+    tokens; doc_a < doc_b. Exact for all spans >= k whose anchor grams
+    survive the ``max_gram_freq`` occurrence cap.
+    """
+    g = _positioned_kgrams(docs, text_col, id_col, k)
+    kept = g.groupBy("gram").agg(F.count(F.lit(1)).alias("_n")).filter(
+        F.col("_n") <= max_gram_freq
+    )
+    gk = g.join(kept.select("gram"), "gram")
+    a = gk.select(
+        F.col("doc_id").alias("doc_a"), F.col("pos").alias("pa"), "gram"
+    )
+    b = gk.select(
+        F.col("doc_id").alias("doc_b"), F.col("pos").alias("pb"), "gram"
+    )
+    cells = a.join(b, "gram").filter(F.col("doc_a") < F.col("doc_b"))
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    runs = (
+        cells.select(
+            "doc_a", "doc_b", "pa", (F.col("pa") - F.col("pb")).alias("diag")
+        )
+        .withColumn("island", F.col("pa") - F.row_number().over(w))
+        .groupBy("doc_a", "doc_b", "diag", "island")
+        .agg((F.count(F.lit(1)) + F.lit(k - 1)).alias("span"))
+        .filter(F.col("span") >= min_span)
+    )
+    return runs.groupBy("doc_a", "doc_b").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.max("span").cast("bigint").alias("longest_span"),
+        F.sum("span").cast("bigint").alias("span_tokens"),
+    )
+
+
+def substring_cap_report(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 6,
+    max_gram_freq: int = 50,
+) -> DataFrame:
+    """1-row observability twin: how much the occurrence cap dropped.
+
+    (n_grams, n_dropped_gram_types, n_dropped_occurrences) — nonzero
+    drops mean template/stopword runs were excluded from span
+    anchoring; raise ``max_gram_freq`` to trade fanout for recall."""
+    g = _positioned_kgrams(docs, text_col, id_col, k)
+    per = g.groupBy("gram").agg(F.count(F.lit(1)).alias("_n"))
+    over = F.col("_n") > max_gram_freq
+    return per.agg(
+        F.sum("_n").cast("bigint").alias("n_grams"),
+        F.sum(F.when(over, 1).otherwise(0)).cast("bigint").alias(
+            "n_dropped_gram_types"
+        ),
+        F.sum(F.when(over, F.col("_n")).otherwise(0)).cast("bigint").alias(
+            "n_dropped_occurrences"
+        ),
+    )

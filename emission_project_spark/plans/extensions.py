@@ -2963,6 +2963,83 @@ def dedup_chunk_level_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- dedup: exact substring spans (Lee et al. 2022 semantics) — the
+# maximal shared token spans >= min_span per document pair, via
+# k-gram anchoring + diagonal run-island consolidation
+# (extensions/dedup.py::substring_span_pairs; the distributed
+# re-expression of the paper's suffix-array pass, exact for spans
+# whose anchors survive the occurrence cap). Companion 1-row
+# dedup_substring_cap_report makes the cap's effect observable.
+@register(
+    "dedup_substring_spans",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    g AS (
+        SELECT doc_id, i.i AS pos,
+               array_to_string(list_slice(toks, i.i, i.i + 5), ' ') AS gram
+        FROM d, LATERAL (SELECT unnest(range(1, len(toks) - 4)) AS i) i
+        WHERE len(toks) >= 6
+    ),
+    kept AS (SELECT gram FROM g GROUP BY gram HAVING count(*) <= 50),
+    gk AS (SELECT g.* FROM g JOIN kept USING (gram)),
+    cells AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa,
+               a.pos - b.pos AS diag
+        FROM gk a JOIN gk b ON a.gram = b.gram AND a.doc_id < b.doc_id
+    ),
+    isl AS (
+        SELECT doc_a, doc_b, diag, pa,
+               pa - row_number() OVER (
+                   PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS island
+        FROM cells
+    ),
+    spans AS (
+        SELECT doc_a, doc_b, count(*) + 5 AS span
+        FROM isl GROUP BY doc_a, doc_b, diag, island
+        HAVING count(*) + 5 >= 10
+    )
+    SELECT doc_a, doc_b,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(max(span) AS BIGINT) AS longest_span,
+           CAST(sum(span) AS BIGINT) AS span_tokens
+    FROM spans GROUP BY doc_a, doc_b
+    """,
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emission_project_spark.extensions.dedup import substring_span_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return substring_span_pairs(
+        docs, k=6, min_span=10, max_gram_freq=50
+    )
+
+
+@register(
+    "dedup_substring_cap_report",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    g AS (
+        SELECT doc_id, i.i AS pos,
+               array_to_string(list_slice(toks, i.i, i.i + 5), ' ') AS gram
+        FROM d, LATERAL (SELECT unnest(range(1, len(toks) - 4)) AS i) i
+        WHERE len(toks) >= 6
+    ),
+    per AS (SELECT gram, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY gram)
+    SELECT CAST(sum(n) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN n > 50 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dropped_gram_types,
+           CAST(sum(CASE WHEN n > 50 THEN n ELSE 0 END) AS BIGINT)
+               AS n_dropped_occurrences
+    FROM per
+    """,
+)
+def dedup_substring_cap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emission_project_spark.extensions.dedup import substring_cap_report
+
+    docs = load_table(spark, sf_dir, "documents")
+    return substring_cap_report(docs, k=6, max_gram_freq=50)
+
+
 # --- similarity: contrastive hard-negative mining — per query, the 8
 # most-similar corpus vectors with a DIFFERENT label (the near-miss
 # negatives that carry the gradient in retrieval/embedding training;

@@ -516,3 +516,50 @@ def test_winnow_oversized_report_counts_guarded_docs(spark):
     fingerprinted = {r.doc_id for r in winnow_fingerprints(docs).collect()}
     assert 3 not in fingerprinted          # guard excluded the giant
     assert {1, 2} <= fingerprinted         # normal + short docs kept
+
+
+def test_substring_spans_planted(spark):
+    """Planted maximal-span geometry: span lengths must be EXACT (the
+    Lee-et-al semantics the k-gram diagonal-run consolidation claims),
+    pairs without a >= min_span overlap must be absent, and a span
+    below the k-gram anchor length must not surface."""
+    from emission_project_spark.extensions.dedup import (
+        substring_cap_report,
+        substring_span_pairs,
+    )
+
+    w = [f"w{i}" for i in range(60)]            # unique filler vocabulary
+    shared15 = " ".join(f"s{i}" for i in range(15))
+    runa = " ".join(f"a{i}" for i in range(12))
+    runb = " ".join(f"b{i}" for i in range(11))
+    docs = spark.createDataFrame(
+        [
+            # 1 & 2 share exactly one 15-token span (distinct padding)
+            (1, " ".join(w[0:10]) + " " + shared15 + " " + " ".join(w[10:20])),
+            (2, " ".join(w[20:30]) + " " + shared15 + " " + " ".join(w[30:40])),
+            # 3 shares two disjoint runs (12 and 11 tokens) with 4
+            (3, runa + " " + " ".join(w[40:50]) + " " + runb),
+            (4, runb + " " + " ".join(w[50:60]) + " " + runa),
+            # 5 overlaps 1 by only 8 tokens < min_span=10 → filtered
+            (5, " ".join(f"s{i}" for i in range(8))),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {
+        (r["doc_a"], r["doc_b"]): r
+        for r in substring_span_pairs(
+            docs, k=6, min_span=10, max_gram_freq=50
+        ).collect()
+    }
+    assert set(out) == {(1, 2), (3, 4)}
+    assert out[(1, 2)]["n_spans"] == 1
+    assert out[(1, 2)]["longest_span"] == 15
+    assert out[(1, 2)]["span_tokens"] == 15
+    assert out[(3, 4)]["n_spans"] == 2
+    assert out[(3, 4)]["longest_span"] == 12
+    assert out[(3, 4)]["span_tokens"] == 23
+    rep = substring_cap_report(docs, k=6, max_gram_freq=50).collect()[0]
+    assert rep["n_dropped_gram_types"] == 0
+    # a tight cap drops the shared anchors and the report says how much
+    rep2 = substring_cap_report(docs, k=6, max_gram_freq=1).collect()[0]
+    assert rep2["n_dropped_occurrences"] > 0
