@@ -40,14 +40,14 @@ def register(name: str, oracle: str | None = None):
 # that have never had a driver row (TPC-H Q2/Q4/Q6/Q8/Q10/Q11/Q12/
 # Q15/Q16/Q20 grid, corpus-LM block, both graph ranks, events/stats
 # tail) occupy slots 1-33 — this is the rotation round 5 promised but
-# did not apply; (b) the four round-6 builds in slots 34-37 so the
+# did not apply; (b) the five round-6 builds in slots 34-38 so the
 # PQ compression path and the PCA stage-1 cross-moment probe get
-# first driver rows (plus the substring-span pair and its cap
-# report); (c) the 13 heaviest / most drift-sensitive queries whose
-# latest driver row is round 3 (extensions first, then the winnow
-# block) fill slots 38-50. The remaining 35 r3-verified queries
-# (listed after the boundary, refresh order preserved) rotate in
-# round 7.
+# first driver rows (plus the substring-span pair, its cap report,
+# and the grid-completing TPC-H Q3 shape); (c) the 12 heaviest / most
+# drift-sensitive queries whose latest driver row is round 3
+# (extensions first, then the winnow block) fill slots 39-50. The
+# remaining 36 r3-verified queries (listed after the boundary,
+# refresh order preserved) rotate in round 7.
 _PRIORITY: list[str] = [
     # -- (a) round-5 builds: first driver row ------------------------------
     "skew_key_profile_lineitem",
@@ -89,6 +89,7 @@ _PRIORITY: list[str] = [
     "embedding_covariance_block",
     "dedup_substring_spans",
     "dedup_substring_cap_report",
+    "join_q3_shipping_priority",
     # -- (c) refresh: latest driver row is round 3; extensions first -------
     "curation_cluster_quality_join",
     "approx_aggregates_events",
@@ -102,10 +103,10 @@ _PRIORITY: list[str] = [
     "dedup_winnow_pairs",
     "stream_dedup_watermark_batch",
     "winnow_oversized_report",
-    "dedup_bucket_cap_report",
-    # ---- window boundary (slot 50 = dedup_bucket_cap_report) -------------
+    # ---- window boundary (slot 50 = winnow_oversized_report) -------------
     # Everything below is r3-verified and rotates in round 7, in this
     # refresh order. (tests/test_queries_smoke.py pins name resolution.)
+    "dedup_bucket_cap_report",
     "dedup_minhash_lsh",
     "dedup_minhash_signatures",
     "dedup_ngram_jaccard",

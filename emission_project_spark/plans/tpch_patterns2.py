@@ -1,5 +1,6 @@
 """TPC-H patterns, part 2: the shapes part 1 deferred (Q2, Q4, Q8,
-Q10, Q11, Q12-analog, Q15, Q20).
+Q10, Q11, Q12-analog, Q15, Q20), plus the round-6 Q3 that completes
+the 22-shape grid.
 
 Like tpch_patterns.py these are the standard analytic shapes a user of
 the reference warehouse (emission-dag.py's roll-up surface) writes next;
@@ -548,5 +549,66 @@ def join_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                 4,
             ).alias("revenue"),
             F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+# --- Q3 shape: shipping-priority — revenue of still-unshipped orders
+# for one market segment, top-10 by revenue. The last missing member
+# of the 22-shape TPC-H grid (the schema has no o_shippriority, so
+# o_orderpriority plays its role). Plan: segment filter reaches the
+# customer scan, the date split (ordered before, shipped after the
+# cutoff) reaches both fact scans as PushedFilters, revenue is the
+# exact e4-grid BIGINT sum, and the top-10 compiles to
+# TakeOrderedAndProject on (revenue DESC, o_orderdate, l_orderkey) —
+# per-partition heaps, no global sort, deterministic through ties on
+# the exact grid.
+@register(
+    "join_q3_shipping_priority",
+    oracle=f"""
+    SELECT l.l_orderkey,
+           round(sum({_REV_E4_SQL}) / 10000.0, 4) AS revenue,
+           CAST(o.o_orderdate AS DATE) AS orderdate,
+           o.o_orderpriority AS priority
+    FROM customer c
+    JOIN orders o   ON o.o_custkey  = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND CAST(o.o_orderdate AS DATE) <  DATE '1996-07-01'
+      AND CAST(l.l_shipdate  AS DATE) >  DATE '1996-07-01'
+    GROUP BY l.l_orderkey, CAST(o.o_orderdate AS DATE), o.o_orderpriority
+    ORDER BY sum({_REV_E4_SQL}) DESC, orderdate, l.l_orderkey
+    LIMIT 10
+    """,
+)
+def join_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    c_f = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    o_f = o.filter(F.to_date("o_orderdate") < F.lit("1996-07-01")).select(
+        "o_orderkey", "o_custkey",
+        F.to_date("o_orderdate").alias("orderdate"),
+        F.col("o_orderpriority").alias("priority"),
+    )
+    li_f = li.filter(F.to_date("l_shipdate") > F.lit("1996-07-01")).select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    per_order = (
+        li_f.join(o_f, li_f["l_orderkey"] == o_f["o_orderkey"])
+        .join(c_f, o_f["o_custkey"] == c_f["c_custkey"])
+        .groupBy("l_orderkey", "orderdate", "priority")
+        .agg(F.sum(_rev_e4()).alias("_rev_e4"))
+    )
+    return (
+        per_order.orderBy(
+            F.col("_rev_e4").desc(), F.col("orderdate"), F.col("l_orderkey")
+        )
+        .limit(10)
+        .select(
+            "l_orderkey",
+            F.round(F.col("_rev_e4") / 10000.0, 4).alias("revenue"),
+            "orderdate",
+            "priority",
         )
     )
