@@ -435,12 +435,15 @@ def ivfpq_topk_expr(
     Scale shape mirrors the numpy path: each Lloyd round broadcasts
     k·dim doubles; codeword assignment broadcasts the m·k_codes·dsub
     codebook union (KBs); the residual relation is checkpointed once
-    (it feeds m training chains + the assignment — the inverted-list
-    relation a deployment would persist anyway); the candidate scan is
-    restricted to each query's ``n_probe`` cells by the join key.
+    (the inverted-list relation a deployment would persist anyway) and
+    the m subspace quantizers train in ONE combined chain over the
+    exploded (vec_id, sub, e) relation — one scan and one
+    (vec_id, sub)-keyed exchange per Lloyd round for ALL subspaces,
+    not m separate passes (the per-subspace math is independent, so
+    the combined chain computes exactly what m chains would); the
+    candidate scan is restricted to each query's ``n_probe`` cells by
+    the join key.
     """
-    from functools import reduce
-
     from pyspark.sql import Window
 
     from emission_project_spark.extensions.kmeans import (
@@ -470,21 +473,53 @@ def ivfpq_topk_expr(
         .localCheckpoint(eager=False)
     )
 
-    books = []
-    subs = []
-    for s in range(m):
-        sub_vec = res.select(
-            "vec_id", "cell", F.slice("r", s * dsub + 1, dsub).alias("e")
-        )
-        book = lloyd_centroids(
-            sub_vec.select("vec_id", "e"), k=k_codes, iterations=iterations
-        )
-        books.append(book.select(F.lit(s).alias("sub"), "cid", "ce"))
-        subs.append(sub_vec.select("vec_id", "cell", F.lit(s).alias("sub"), "e"))
-    all_books = reduce(DataFrame.unionByName, books)
-    all_subs = reduce(DataFrame.unionByName, subs)
+    # (vec_id, cell, sub, e): every subspace slice in one explode pass
+    sub_structs = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("sub"),
+                F.slice("r", s * dsub + 1, dsub).alias("e"),
+            )
+            for s in range(m)
+        ]
+    )
+    subs = (
+        res.select("vec_id", "cell", F.explode(sub_structs).alias("c"))
+        .select("vec_id", "cell", F.col("c.sub").alias("sub"), F.col("c.e").alias("e"))
+        .localCheckpoint(eager=False)
+    )
 
-    scored = all_subs.join(F.broadcast(all_books), "sub").withColumn(
+    # Combined per-subspace Lloyd: seeds are the k_codes smallest
+    # vec_ids (identical per subspace — every vector carries all m
+    # slices, so this equals lloyd_centroids' per-sub orderBy/limit
+    # seeding); each round is one broadcast join + min_by argmin on
+    # (vec_id, sub) + one grid-rounded mean rebuild on (sub, cid).
+    seed_ids = vecs.orderBy("vec_id").limit(k_codes).select("vec_id")
+    books = subs.join(F.broadcast(seed_ids), "vec_id").select(
+        "sub", F.col("vec_id").alias("cid"), F.col("e").alias("ce")
+    )
+    for _ in range(iterations - 1):
+        scored_t = subs.join(F.broadcast(books), "sub").withColumn(
+            "d2", _sq_dist(F.col("e"), F.col("ce"))
+        )
+        best_t = scored_t.groupBy("vec_id", "sub").agg(
+            F.min_by(F.struct("cid"), F.struct("d2", "cid")).alias("_b"),
+            F.first("e").alias("e"),
+        )
+        by_pos = best_t.select(
+            "sub", F.col("_b.cid").alias("cid"), F.posexplode("e").alias("pos", "val")
+        )
+        means = by_pos.groupBy("sub", "cid", "pos").agg(
+            F.round(F.avg("val"), 6).alias("mv")
+        )
+        books = means.groupBy("sub", "cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "mv"))),
+                lambda st: st["mv"],
+            ).alias("ce")
+        ).localCheckpoint(eager=False)
+
+    scored = subs.join(F.broadcast(books), "sub").withColumn(
         "d2", _sq_dist(F.col("e"), F.col("ce"))
     )
     best = scored.groupBy("vec_id", "sub").agg(
