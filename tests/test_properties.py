@@ -439,3 +439,57 @@ def test_scd2_invariants_under_random_batches(spark, upd1, upd2):
     )
     again = scd2_apply(dim, batch2, "k", ["seg"], "2024-09-01")
     assert again.count() == len(rows)
+
+
+# --- substring-span exactness: random degenerate corpora (3-symbol
+# vocabulary → dense shared runs, periodic repeats → multi-diagonal
+# islands) vs a brute-force maximal-equal-run reference. Exact for
+# every span >= k when the gram cap is not binding (set high here).
+_doc_toks = st.lists(st.sampled_from(["aa", "bb", "cc"]), min_size=0, max_size=24)
+_corpus = st.lists(_doc_toks, min_size=2, max_size=4)
+
+
+def _brute_spans(corpus, k, min_span):
+    out = {}
+    for ai in range(len(corpus)):
+        for bi in range(ai + 1, len(corpus)):
+            a, b = corpus[ai], corpus[bi]
+            spans = []
+            # maximal equal runs via the classic DP over one pair
+            L = [[0] * (len(b) + 1) for _ in range(len(a) + 1)]
+            for i in range(1, len(a) + 1):
+                for j in range(1, len(b) + 1):
+                    if a[i - 1] == b[j - 1]:
+                        L[i][j] = L[i - 1][j - 1] + 1
+            for i in range(1, len(a) + 1):
+                for j in range(1, len(b) + 1):
+                    run = L[i][j]
+                    if run and (i == len(a) or j == len(b) or a[i] != b[j]):
+                        if run >= min_span:
+                            spans.append(run)
+            if spans:
+                out[(ai + 1, bi + 1)] = (
+                    len(spans), max(spans), sum(spans)
+                )
+    return out
+
+
+@settings(**SETTINGS)
+@given(corpus=_corpus)
+def test_substring_spans_match_bruteforce(spark, corpus):
+    from emission_project_spark.extensions.dedup import substring_span_pairs
+
+    k, min_span = 3, 4
+    docs = spark.createDataFrame(
+        [(i + 1, " ".join(toks)) for i, toks in enumerate(corpus)],
+        "doc_id bigint, text string",
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): (
+            r["n_spans"], r["longest_span"], r["span_tokens"]
+        )
+        for r in substring_span_pairs(
+            docs, k=k, min_span=min_span, max_gram_freq=10_000
+        ).collect()
+    }
+    assert got == _brute_spans(corpus, k, min_span)
