@@ -89,7 +89,15 @@ def main():
     import __spark_entry__ as entrymod
     from emission_project_spark.session import get_spark
 
-    spark = get_spark("compare", master="local[8]", shuffle_partitions=8)
+    # progress bars off: the per-round sweep is committed as a text
+    # artifact (COMPARE_r{N}.txt) and \r progress fragments glue
+    # themselves onto result lines, corrupting the record
+    spark = get_spark(
+        "compare",
+        master="local[8]",
+        shuffle_partitions=8,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     con = duckdb.connect()
