@@ -86,8 +86,11 @@ R5_EXTRA = [
 # Round-6 additions, timed into their own "r6_extras" block.
 R6_EXTRA = [
     "similarity_ivfpq_topk",
+    "similarity_ivfpq_rerank_topk",
     "embedding_covariance_block",
     "dedup_substring_spans",
+    "text_quality_linear_classifier",
+    "stats_winsorized_doc_lengths",
 ]
 
 # The heaviest operators, re-run at the 10x dataset for the scale

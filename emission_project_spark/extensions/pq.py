@@ -574,3 +574,73 @@ def ivfpq_topk_expr(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "vec_id", "ad2")
     )
+
+
+def ivfpq_rerank_topk_expr(
+    vectors: DataFrame,
+    query: DataFrame,
+    dim: int = 64,
+    n_cells: int = 4,
+    m: int = 4,
+    k_codes: int = 8,
+    iterations: int = 2,
+    n_probe: int = 2,
+    shortlist: int = 20,
+    k: int = 10,
+) -> DataFrame:
+    """ADC shortlist → exact re-rank (the FAISS ``IndexRefineFlat`` step).
+
+    Stage 1 is the full IVF-PQ ADC search (``ivfpq_topk_expr``) widened
+    to ``shortlist`` candidates per query; stage 2 joins the shortlist
+    back to the ORIGINAL float vectors and re-orders by exact squared
+    L2 with the same (distance, vec_id) deterministic tie-break. This
+    is the standard two-tier ANN deployment: compressed-domain recall,
+    exact-domain precision — quantization error decides which ~2k
+    candidates surface, never their final order.
+
+    Scale shape: the corpus is touched only through the 32×-compressed
+    codes (stage 1); the exact pass reads q×shortlist full vectors —
+    a broadcast-sized relation by construction — so refining adds one
+    broadcast hash join against the vector table and a window over
+    ≤shortlist rows per query, never a second full-precision corpus
+    scan.
+    """
+    from pyspark.sql import Window
+
+    from emission_project_spark.extensions.kmeans import _sq_dist
+
+    short = ivfpq_topk_expr(
+        vectors,
+        query,
+        dim=dim,
+        n_cells=n_cells,
+        m=m,
+        k_codes=k_codes,
+        iterations=iterations,
+        n_probe=n_probe,
+        k=shortlist,
+    ).select("query_id", "vec_id")
+    vecs = vectors.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    q = query.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qe"),
+    )
+    exact = (
+        vecs.join(F.broadcast(short), "vec_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(_sq_dist(F.col("qe"), F.col("e")), 6).alias("ed2"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("ed2").asc(), F.col("vec_id").asc()
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "ed2")
+    )

@@ -552,8 +552,11 @@ def similarity_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The Spark side is extensions/pq.ivfpq_topk_expr, the action-free
 # expression twin that tests/test_pq.py pins equal to the numpy
 # fit_ivfpq/ivfpq_encode/ivfpq_topk path on the same corpus.
-def _ivfpq_oracle() -> str:
-    dim, n_cells, m, k_codes, n_probe, topk = 64, 4, 4, 8, 2, 10
+def _ivfpq_oracle(topk: int = 10, rerank_k: int | None = None) -> str:
+    """When ``rerank_k`` is set, ``topk`` becomes the ADC shortlist
+    width and a final exact-L2 re-rank CTE (FAISS IndexRefineFlat) is
+    appended — the oracle twin of pq.ivfpq_rerank_topk_expr."""
+    dim, n_cells, m, k_codes, n_probe = 64, 4, 4, 8, 2
     dsub = dim // m
     d2 = (
         "list_sum(list_transform(range(1, {n}), "
@@ -610,10 +613,27 @@ def _ivfpq_oracle() -> str:
         "scored AS (SELECT qp.query_id, recon.vec_id, round("
         + d2.format(n=dim + 1, a="qp.qr", b="recon.rr")
         + ", 6) AS ad2 FROM recon JOIN qp ON recon.cell = qp.qcell)",
-        "SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id "
-        "ORDER BY ad2, vec_id) AS BIGINT) AS rank, vec_id, ad2 "
-        f"FROM scored QUALIFY rank <= {topk}",
     ]
+    if rerank_k is None:
+        parts += [
+            "SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id "
+            "ORDER BY ad2, vec_id) AS BIGINT) AS rank, vec_id, ad2 "
+            f"FROM scored QUALIFY rank <= {topk}",
+        ]
+    else:
+        parts += [
+            ", short AS (SELECT query_id, vec_id FROM (SELECT query_id, "
+            "vec_id, row_number() OVER (PARTITION BY query_id "
+            f"ORDER BY ad2, vec_id) AS rn FROM scored) WHERE rn <= {topk}),",
+            "ex AS (SELECT s.query_id, s.vec_id, round("
+            + d2.format(n=dim + 1, a="qv.e", b="xv.e")
+            + ", 6) AS ed2 FROM short s "
+            "JOIN v xv ON xv.vec_id = s.vec_id "
+            "JOIN v qv ON qv.vec_id = s.query_id)",
+            "SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id "
+            "ORDER BY ed2, vec_id) AS BIGINT) AS rank, vec_id, ed2 "
+            f"FROM ex QUALIFY rank <= {rerank_k}",
+        ]
     return "\n".join(parts)
 
 
@@ -631,6 +651,37 @@ def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         k_codes=8,
         iterations=2,
         n_probe=2,
+        k=10,
+    )
+
+
+# --- similarity: IVF-PQ shortlist → exact re-rank (FAISS
+# IndexRefineFlat). The compressed-domain ADC search above decides
+# WHICH `shortlist` candidates surface; exact squared-L2 over the
+# original float vectors decides their ORDER. The oracle appends the
+# refine CTE to the full IVF-PQ replay, so the driver checks the
+# two-tier composition end-to-end — including the cases where the
+# re-rank genuinely permutes ADC order (quantization error inverting
+# near-ties) — tests/test_pq.py asserts such permutations occur on
+# the sf0.001 corpus, so the refine stage is provably load-bearing.
+@register(
+    "similarity_ivfpq_rerank_topk",
+    oracle=_ivfpq_oracle(topk=20, rerank_k=10),
+)
+def similarity_ivfpq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emission_project_spark.extensions.pq import ivfpq_rerank_topk_expr
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivfpq_rerank_topk_expr(
+        emb,
+        emb.filter(F.col("vec_id") < 3),
+        dim=64,
+        n_cells=4,
+        m=4,
+        k_codes=8,
+        iterations=2,
+        n_probe=2,
+        shortlist=20,
         k=10,
     )
 

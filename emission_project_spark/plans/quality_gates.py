@@ -319,3 +319,181 @@ def events_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_users",
         F.sum("new_users").over(w).cast("bigint").alias("cum_users"),
     )
+
+
+# --- fastText-style linear quality classifier (Joulin et al. 2016;
+# the CCNet/GPT-3 quality-filter deployment shape): hashed
+# bag-of-words features → broadcast weight vector → mean activation →
+# sigmoid. The weight table stands where a TRAINED model's weights
+# arrive in production (a ~D-row side file), so the plan keeps the
+# honest deployment shape: one broadcast hash join of the token
+# stream against the D-row model, one doc_id-keyed partial-agg
+# exchange, and a left join back so zero-token documents score the
+# 0.5 prior instead of vanishing. Weights here are md5-derived on the
+# repo's cross-engine integer grid — per-doc weight SUMS are exact
+# BIGINTs, so summation order can't flip the rounded logit, and the
+# keep flag compares INTEGERS (sum ≥ 0 ⟺ p ≥ 0.5), never floats.
+_CLF_D = 512       # hashed feature buckets (model rows)
+_CLF_SCALE = 1000  # integer weight grid: wi ∈ [-1000, 1000]
+
+
+@register(
+    "text_quality_linear_classifier",
+    oracle=f"""
+    WITH w AS (
+        SELECT bucket,
+               ('0x' || substring(md5(CAST(bucket AS VARCHAR)), 1, 7))::BIGINT
+                   % 2001 - 1000 AS wi
+        FROM (SELECT unnest(range({_CLF_D})) AS bucket)
+    ),
+    t AS (SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents),
+    tb AS (
+        SELECT doc_id,
+               ('0x' || substring(md5(tok), 1, 7))::BIGINT % {_CLF_D} AS bucket
+        FROM t
+    ),
+    s AS (
+        SELECT tb.doc_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(w.wi) AS BIGINT) AS swi
+        FROM tb JOIN w USING (bucket) GROUP BY tb.doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(s.n_tokens, 0) AS n_tokens,
+           floor(CASE WHEN s.doc_id IS NULL THEN 0.0
+                      ELSE s.swi / ({_CLF_SCALE}.0 * s.n_tokens) END
+                 * 1000000 + 0.5) / 1000000 AS logit,
+           round(CASE WHEN s.doc_id IS NULL THEN 0.5
+                      ELSE 1.0 / (1.0 + exp(-(s.swi / ({_CLF_SCALE}.0 * s.n_tokens))))
+                 END, 6) AS p_keep,
+           coalesce(s.swi, 0) >= 0 AS keep
+    FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id
+    """,
+)
+def text_quality_linear_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emission_project_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = spark.range(_CLF_D).select(
+        F.col("id").alias("bucket"),
+        (
+            F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 7), 16, 10)
+            .cast("bigint")
+            % 2001
+            - 1000
+        ).alias("wi"),
+    )
+    toks = docs.select("doc_id", F.explode(tokens(F.lower("text"))).alias("tok"))
+    tb = toks.select(
+        "doc_id",
+        (
+            F.conv(F.substring(F.md5("tok"), 1, 7), 16, 10).cast("bigint") % _CLF_D
+        ).alias("bucket"),
+    )
+    s = (
+        tb.join(F.broadcast(w), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("wi").alias("swi"),
+        )
+    )
+    logit_raw = F.col("swi") / (F.lit(float(_CLF_SCALE)) * F.col("n_tokens"))
+    return (
+        docs.select("doc_id")
+        .join(s, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            # floor(x·1e6+0.5)/1e6, not round(x,6): swi/(1000·n) lands
+            # EXACTLY on the 6-decimal grid whenever 1000n | 10^7·swi
+            # (e.g. n=64), and at those .5 ties Spark's BigDecimal
+            # HALF_UP and DuckDB's float-mediated round disagree; the
+            # floor form is the same double→double map in both engines
+            # (the int8-quantizer grid discipline, functions/vectors).
+            (
+                F.floor(
+                    F.when(F.col("swi").isNull(), F.lit(0.0)).otherwise(logit_raw)
+                    * 1e6
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("logit"),
+            F.round(
+                F.when(F.col("swi").isNull(), F.lit(0.5)).otherwise(
+                    F.lit(1.0) / (F.lit(1.0) + F.exp(-logit_raw))
+                ),
+                6,
+            ).alias("p_keep"),
+            (F.coalesce("swi", F.lit(0)) >= 0).alias("keep"),
+        )
+    )
+
+
+# --- robust per-language length profile: exact p05/p95 percentiles
+# (linear interpolation — Spark `percentile` ≡ DuckDB quantile_cont),
+# winsorized mean (outliers clamped to the fences) and trimmed mean
+# (outliers dropped). The robust-statistics QC readout a corpus
+# curator compares against the plain mean to see how much length
+# outliers distort each language slice. Two lang-keyed exchanges:
+# the percentile agg (k rows) broadcasts back onto the doc stream,
+# and the final rollup reuses the same key. At 100 TB swap
+# `percentile` for `percentile_approx` per the profile_orders_columns
+# `exact=False` convention; the fences move within sketch error, the
+# plan is unchanged.
+@register(
+    "stats_winsorized_doc_lengths",
+    oracle=f"""
+    WITH n AS (
+        SELECT doc_id, lang, CAST(len({_TOKS_SQL}) AS BIGINT) AS n_toks
+        FROM documents
+    ),
+    q AS (
+        SELECT lang,
+               quantile_cont(n_toks, 0.05) AS p05,
+               quantile_cont(n_toks, 0.95) AS p95
+        FROM n GROUP BY lang
+    )
+    SELECT n.lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(n.n_toks), 6) AS mean_len,
+           round(any_value(q.p05), 6) AS p05,
+           round(any_value(q.p95), 6) AS p95,
+           round(avg(CASE WHEN n.n_toks < q.p05 THEN q.p05
+                          WHEN n.n_toks > q.p95 THEN q.p95
+                          ELSE CAST(n.n_toks AS DOUBLE) END), 6)
+               AS winsorized_mean,
+           round(avg(CASE WHEN CAST(n.n_toks AS DOUBLE) BETWEEN q.p05 AND q.p95
+                          THEN CAST(n.n_toks AS DOUBLE) END), 6)
+               AS trimmed_mean
+    FROM n JOIN q USING (lang)
+    GROUP BY n.lang
+    """,
+)
+def stats_winsorized_doc_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emission_project_spark.functions.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.select("doc_id", "lang", token_count("text").alias("n_toks"))
+    q = n.groupBy("lang").agg(
+        F.percentile("n_toks", F.lit(0.05)).alias("p05"),
+        F.percentile("n_toks", F.lit(0.95)).alias("p95"),
+    )
+    j = n.join(F.broadcast(q), "lang")
+    wins = (
+        F.when(F.col("n_toks") < F.col("p05"), F.col("p05"))
+        .when(F.col("n_toks") > F.col("p95"), F.col("p95"))
+        .otherwise(F.col("n_toks").cast("double"))
+    )
+    trim = F.when(
+        F.col("n_toks").cast("double").between(F.col("p05"), F.col("p95")),
+        F.col("n_toks").cast("double"),
+    )
+    return j.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_toks"), 6).alias("mean_len"),
+        F.round(F.first("p05"), 6).alias("p05"),
+        F.round(F.first("p95"), 6).alias("p95"),
+        F.round(F.avg(wins), 6).alias("winsorized_mean"),
+        F.round(F.avg(trim), 6).alias("trimmed_mean"),
+    )

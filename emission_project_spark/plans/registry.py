@@ -104,8 +104,13 @@ _PRIORITY: list[str] = [
     "stream_dedup_watermark_batch",
     "winnow_oversized_report",
     # ---- window boundary (slot 50 = winnow_oversized_report) -------------
-    # Everything below is r3-verified and rotates in round 7, in this
-    # refresh order. (tests/test_queries_smoke.py pins name resolution.)
+    # Everything below rotates in round 7, in this order: first the
+    # three late-round-6 builds that have never had a driver row, then
+    # the r3-verified refresh tail. (tests/test_queries_smoke.py pins
+    # name resolution.)
+    "similarity_ivfpq_rerank_topk",
+    "text_quality_linear_classifier",
+    "stats_winsorized_doc_lengths",
     "dedup_bucket_cap_report",
     "dedup_minhash_lsh",
     "dedup_minhash_signatures",

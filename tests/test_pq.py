@@ -268,3 +268,60 @@ def test_ivfpq_expr_twin_matches_numpy_path(spark, emb, local):
         assert [v for v, _ in e[q]] == [v for v, _ in n[q]], f"query {q}"
         for (_, d_expr), (_, d_np) in zip(e[q], n[q]):
             assert d_expr == pytest.approx(d_np, rel=1e-6, abs=1e-6)
+
+
+class TestRerank:
+    """ivfpq_rerank_topk_expr: the FAISS IndexRefineFlat composition."""
+
+    KW = dict(dim=64, n_cells=4, m=4, k_codes=8, iterations=2, n_probe=2)
+
+    @pytest.fixture(scope="class")
+    def results(self, spark, emb):
+        from pyspark.sql import functions as F
+
+        from emission_project_spark.extensions.pq import (
+            ivfpq_rerank_topk_expr,
+            ivfpq_topk_expr,
+        )
+
+        q = emb.filter(F.col("vec_id") < 3)
+        adc = ivfpq_topk_expr(emb, q, k=20, **self.KW).collect()
+        rr = ivfpq_rerank_topk_expr(emb, q, shortlist=20, k=10, **self.KW).collect()
+        return adc, rr
+
+    def test_rerank_subset_of_shortlist(self, results):
+        adc, rr = results
+        short = {}
+        for r in adc:
+            short.setdefault(r["query_id"], set()).add(r["vec_id"])
+        assert all(r["vec_id"] in short[r["query_id"]] for r in rr)
+
+    def test_rank1_is_self_at_zero(self, results):
+        _, rr = results
+        for r in rr:
+            if r["rank"] == 1:
+                assert r["vec_id"] == r["query_id"]
+                assert r["ed2"] == 0.0
+
+    def test_exact_order_monotone(self, results):
+        _, rr = results
+        by_q = {}
+        for r in rr:
+            by_q.setdefault(r["query_id"], []).append((r["rank"], r["ed2"], r["vec_id"]))
+        for rows in by_q.values():
+            rows.sort()
+            ranks = [r[0] for r in rows]
+            assert ranks == list(range(1, len(rows) + 1))
+            # ed2 non-decreasing; ties broken by ascending vec_id
+            for (_, d1, v1), (_, d2, v2) in zip(rows, rows[1:]):
+                assert d1 < d2 or (d1 == d2 and v1 < v2)
+
+    def test_refine_is_load_bearing(self, results):
+        """Quantization error inverts near-ties: exact re-ranking must
+        actually permute the ADC order somewhere, else the second tier
+        is dead code on this corpus."""
+        adc, rr = results
+        adc_at = {(r["query_id"], r["rank"]): r["vec_id"] for r in adc}
+        assert any(
+            adc_at.get((r["query_id"], r["rank"])) != r["vec_id"] for r in rr
+        )

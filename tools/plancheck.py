@@ -36,6 +36,7 @@ SCALAR_CROSS_OK = {
     "dedup_embedding_cosine_lsh",
     "similarity_ivf_kmeans_topk",  # Lloyd rounds: k-centroid broadcast per assignment
     "similarity_ivfpq_topk",       # coarse + per-subspace Lloyd: k-centroid broadcasts
+    "similarity_ivfpq_rerank_topk",  # same IVF-PQ stage-1; refine adds broadcasts only
     "dedup_semantic_pairs",        # same Lloyd quantizer feeds the cluster key
     "embedding_cluster_quality",   # Lloyd rounds again (k-centroid broadcast)
     "curation_mixture_report",     # 1-row corpus token total
