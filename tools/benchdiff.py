@@ -1,0 +1,97 @@
+"""Compare two bench JSON records with calibration normalization.
+
+This host shows episodic ~2x noisy-neighbor slowdowns (documented in
+bench.py); raw cross-round query-time diffs are therefore routinely
+dominated by machine state, not code. Every bench record carries
+`cpu_calibration_s` — the single-threaded probe bench.py times at
+startup (~0.16-0.18 s quiet) — precisely so comparisons can divide it
+out. This tool does that arithmetic once, consistently:
+
+    python tools/benchdiff.py BENCH_LOCAL_r05.json BENCH_LOCAL_r06.json
+
+For each query present in both records it prints raw and
+calibration-normalized ratios, flags only normalized regressions
+beyond the documented +-15% local-JVM wobble band, and exits 1 if any
+query regresses >30% normalized (a real-regression screen usable in a
+round close-out checklist). Records without a calibration field (the
+r4/r5 driver tails) fall back to raw ratios, clearly marked.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+WOBBLE = 0.15   # documented local-JVM noise band
+HARD = 0.30     # normalized regression that fails the exit code
+
+
+def _load(path: str) -> dict:
+    with open(path) as f:
+        text = f.read()
+    try:
+        return json.loads(text)
+    except json.JSONDecodeError:
+        # driver artifacts wrap the JSON line in a stdout tail
+        for line in text.splitlines():
+            line = line.strip()
+            if line.startswith('{"metric"'):
+                return json.loads(line)
+        raise
+
+
+def main() -> int:
+    if len(sys.argv) != 3:
+        print(__doc__)
+        return 2
+    a, b = _load(sys.argv[1]), _load(sys.argv[2])
+
+    def all_queries(rec: dict) -> dict[str, float]:
+        out = dict(rec.get("queries", {}))
+        for block in ("r5_extras", "r6_extras"):
+            out.update(rec.get(block, {}).get("queries", {}))
+        return out
+
+    qa, qb = all_queries(a), all_queries(b)
+    ca, cb = a.get("cpu_calibration_s"), b.get("cpu_calibration_s")
+    scale = (ca and cb) and (cb / ca) or None
+    if scale:
+        print(
+            f"calibration: {ca:.4f} -> {cb:.4f} s  "
+            f"(machine-speed ratio {scale:.3f}; normalized = raw / {scale:.3f})"
+        )
+    else:
+        print("calibration missing in at least one record — RAW ratios only")
+
+    common = sorted(set(qa) & set(qb))
+    regressions = []
+    for name in common:
+        raw = qb[name] / qa[name]
+        norm = raw / scale if scale else raw
+        flag = ""
+        if norm > 1 + WOBBLE:
+            flag = " REGRESSED" + (" (hard)" if norm > 1 + HARD else "")
+            regressions.append((name, norm))
+        elif norm < 1 - WOBBLE:
+            flag = " improved"
+        print(
+            f"{name:40s} {qa[name]:8.3f} -> {qb[name]:8.3f}"
+            f"  raw x{raw:.2f}"
+            + (f"  norm x{norm:.2f}" if scale else "")
+            + flag
+        )
+    only_a, only_b = sorted(set(qa) - set(qb)), sorted(set(qb) - set(qa))
+    if only_a:
+        print(f"only in {sys.argv[1]}: {', '.join(only_a)}")
+    if only_b:
+        print(f"only in {sys.argv[2]}: {', '.join(only_b)}")
+    hard = [n for n, r in regressions if r > 1 + HARD]
+    print(
+        f"\n{len(common)} compared; {len(regressions)} beyond wobble; "
+        f"{len(hard)} hard (> {int(HARD * 100)}% normalized)"
+    )
+    return 1 if hard else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
