@@ -91,6 +91,8 @@ R6_EXTRA = [
     "dedup_substring_spans",
     "text_quality_linear_classifier",
     "stats_winsorized_doc_lengths",
+    "embedding_norm_outliers",
+    "dedup_canonical_survivors",
 ]
 
 # The heaviest operators, re-run at the 10x dataset for the scale

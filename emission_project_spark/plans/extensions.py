@@ -933,6 +933,82 @@ def embedding_covariance_block(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Embedding QC: L2-norm distribution with robust (median/MAD)
+# outlier flags — the admission check an ANN corpus runs before
+# indexing (zero-norm or exploded-norm vectors poison cosine math and
+# usually indicate an upstream encoder fault). The per-row norm is a
+# zero-shuffle HOF fold; median and MAD are two k=1 aggregates whose
+# 1-row results broadcast back (the scalar-crossJoin pattern,
+# allowlisted in plancheck). The flag comparison runs on unrounded
+# doubles that are bit-identical across engines (fold + IEEE sqrt),
+# with the MAD=0 degenerate corpus (over half the vectors sharing one
+# norm — the adversarial boundary fixture does this) explicitly
+# defined as "no outliers" instead of a division by zero.
+@register(
+    "embedding_norm_outliers",
+    oracle="""
+    WITH v AS (
+        SELECT vec_id,
+               sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)))
+                   AS nrm
+        FROM embeddings
+    ),
+    med AS (SELECT quantile_cont(nrm, 0.5) AS m FROM v),
+    dev AS (
+        SELECT quantile_cont(abs(v.nrm - med.m), 0.5) AS mad
+        FROM v, med
+    )
+    SELECT v.vec_id,
+           round(v.nrm, 6) AS l2_norm,
+           round(CASE WHEN dev.mad = 0 THEN 0.0
+                      ELSE (v.nrm - med.m) / (1.4826 * dev.mad) END, 4) + 0.0
+               AS robust_z,
+           CASE WHEN dev.mad = 0 THEN FALSE
+                ELSE abs(v.nrm - med.m) > 3 * 1.4826 * dev.mad END
+               AS is_outlier
+    FROM v, med, dev
+    """,
+)
+def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id",
+        F.sqrt(
+            F.aggregate(
+                F.col("embedding").cast("array<double>"),
+                F.lit(0.0),
+                lambda acc, x: acc + x * x,
+            )
+        ).alias("nrm"),
+    )
+    med = v.agg(F.percentile("nrm", F.lit(0.5)).alias("m"))
+    dev = (
+        v.crossJoin(F.broadcast(med))
+        .agg(
+            F.percentile(F.abs(F.col("nrm") - F.col("m")), F.lit(0.5)).alias("mad"),
+            F.first("m").alias("m"),
+        )
+    )
+    z_raw = (F.col("nrm") - F.col("m")) / (F.lit(1.4826) * F.col("mad"))
+    return v.crossJoin(F.broadcast(dev)).select(
+        "vec_id",
+        F.round("nrm", 6).alias("l2_norm"),
+        # + 0.0 canonicalizes IEEE negative zero: DuckDB's round keeps
+        # the sign of a tiny negative (−1e-16 → −0.0) while Spark's
+        # BigDecimal HALF_UP has no −0, and the value hash tells the
+        # two zeros apart
+        (
+            F.round(F.when(F.col("mad") == 0, F.lit(0.0)).otherwise(z_raw), 4)
+            + F.lit(0.0)
+        ).alias("robust_z"),
+        F.when(F.col("mad") == 0, F.lit(False))
+        .otherwise(
+            F.abs(F.col("nrm") - F.col("m")) > F.lit(3 * 1.4826) * F.col("mad")
+        )
+        .alias("is_outlier"),
+    )
+
+
 # --- Symmetric int8 quantization quality report: the 4× memory cut
 # that keeps a 100 TB float32 ANN corpus in executor memory, with the
 # reconstruction loss *measured* per label (MAE, worst element error,
@@ -1165,6 +1241,72 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").alias("doc_id"),
         "component_id",
         F.count(F.lit(1)).over(Window.partitionBy("component_id")).alias("cluster_size"),
+    )
+
+
+# --- Canonical-survivor selection: the step that turns a duplicate
+# CLUSTERING into a dedup DECISION. Per connected component the
+# smallest doc_id survives (the deterministic-survivor rule
+# dedup_subset_deterministic established) and the readout quantifies
+# the payoff — members dropped and bytes reclaimed — which is the
+# number a 100 TB curation run actually reports. One groupBy on the
+# component key after a doc_id broadcast-join for sizes; the oracle
+# replays the same LSH → recursive-reachability pipeline as
+# dedup_cluster_components and folds the survivor arithmetic on top.
+@register(
+    "dedup_canonical_survivors",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLE_SQL},
+    {_MINHASH_SIG_SQL},
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sig a
+        JOIN sig b ON a.band = b.band AND a.signature = b.signature
+                  AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+        HAVING count(*) >= 4
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(node, comp) AS (
+        SELECT DISTINCT src, src FROM edges
+        UNION
+        SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    labeled AS (
+        SELECT node AS doc_id, min(comp) AS component_id
+        FROM reach GROUP BY node
+    ),
+    sized AS (
+        SELECT l.doc_id, l.component_id, d.n_chars
+        FROM labeled l JOIN documents d ON d.doc_id = l.doc_id
+    )
+    SELECT CAST(component_id AS BIGINT) AS component_id,
+           CAST(min(doc_id) AS BIGINT) AS survivor_doc_id,
+           CAST(count(*) AS BIGINT) AS cluster_size,
+           CAST(count(*) - 1 AS BIGINT) AS docs_dropped,
+           CAST(sum(n_chars) - arg_min(n_chars, doc_id) AS BIGINT)
+               AS chars_reclaimed
+    FROM sized GROUP BY component_id
+    """,
+)
+def dedup_canonical_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emission_project_spark.operators.components import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_candidates(docs).filter(F.col("bands_agree") >= 4)
+    comp = connected_components(pairs, src="doc_a", dst="doc_b")
+    sized = comp.select(F.col("id").alias("doc_id"), "component_id").join(
+        docs.select("doc_id", "n_chars"), "doc_id"
+    )
+    return sized.groupBy("component_id").agg(
+        F.min("doc_id").alias("survivor_doc_id"),
+        F.count(F.lit(1)).alias("cluster_size"),
+        (F.count(F.lit(1)) - 1).alias("docs_dropped"),
+        (F.sum("n_chars") - F.min_by("n_chars", "doc_id")).alias("chars_reclaimed"),
     )
 
 

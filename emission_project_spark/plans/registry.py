@@ -111,6 +111,8 @@ _PRIORITY: list[str] = [
     "similarity_ivfpq_rerank_topk",
     "text_quality_linear_classifier",
     "stats_winsorized_doc_lengths",
+    "embedding_norm_outliers",
+    "dedup_canonical_survivors",
     "dedup_bucket_cap_report",
     "dedup_minhash_lsh",
     "dedup_minhash_signatures",
