@@ -34,6 +34,7 @@ from dataclasses import dataclass
 
 import numpy as np
 import pandas as pd
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -470,7 +471,9 @@ def ivfpq_topk_expr(
             F.col("cluster_id").alias("cell"),
             F.zip_with("e", "_cell_ce", lambda x, c: x - c).alias("r"),
         )
-        .localCheckpoint(eager=False)
+        # corpus-scale (dim doubles per row): serialized + spillable,
+        # the operators/pagerank.py edge-checkpoint discipline
+        .localCheckpoint(eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK)
     )
 
     # (vec_id, cell, sub, e): every subspace slice in one explode pass
@@ -486,7 +489,7 @@ def ivfpq_topk_expr(
     subs = (
         res.select("vec_id", "cell", F.explode(sub_structs).alias("c"))
         .select("vec_id", "cell", F.col("c.sub").alias("sub"), F.col("c.e").alias("e"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK)
     )
 
     # Combined per-subspace Lloyd: seeds are the k_codes smallest

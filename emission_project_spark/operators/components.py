@@ -27,6 +27,7 @@ oracle-checkable against a recursive-CTE transitive closure.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -56,7 +57,11 @@ def connected_components(
     sym = edges.select(F.col(src).alias("id"), F.col(dst).alias("nbr")).unionByName(
         edges.select(F.col(dst).alias("id"), F.col(src).alias("nbr"))
     )
-    sym = sym.localCheckpoint()
+    # serialized + spillable: the edge list is the one relation here
+    # that scales with the corpus, and the deserialized default's
+    # unroll copies OOM before spilling on 10^8-edge graphs (see
+    # operators/pagerank.py, same discipline)
+    sym = sym.localCheckpoint(storageLevel=StorageLevel.MEMORY_AND_DISK)
 
     probe = F.sum(F.col("comp").cast("decimal(38,0)"))
     # init fused with round 1: the distinct-ids pass IS a shuffle on id,

@@ -31,8 +31,19 @@ callers union them back at rank 1-d if needed.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# Edge-scale checkpoints store SERIALIZED with disk spill: the default
+# deserialized MEMORY_AND_DISK level unrolls row COPIES (UnsafeRow per
+# edge, ~5x the serialized footprint), and on a 100x graph the unroll
+# allocation itself OOMs the executor before the store can spill —
+# measured on the sf10 co-purchase graph (~10^8 directed edges).
+# Node-scale vectors (ranks, degrees) keep the default level.
+# (pyspark's StorageLevel.MEMORY_AND_DISK is deserialized=False — the
+# serialized level; the JVM-default deserialized one is *_DESER.)
+_EDGE_LEVEL = StorageLevel.MEMORY_AND_DISK
 
 
 def pagerank(
@@ -63,11 +74,11 @@ def pagerank(
     # construction — measured 3x the build cost on the co-purchase graph
     e0 = edges.select(
         F.col(src).alias("_src"), F.col(dst).alias("_dst")
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=False, storageLevel=_EDGE_LEVEL)
     deg = e0.groupBy("_src").agg(F.count(F.lit(1)).alias("_deg")).localCheckpoint(
         eager=False
     )
-    e = e0.join(deg, "_src").localCheckpoint(eager=False)
+    e = e0.join(deg, "_src").localCheckpoint(eager=False, storageLevel=_EDGE_LEVEL)
     nodes = deg.select(F.col("_src").alias("node"))
     ranks = nodes.select("node", F.lit(1.0).alias("rank"))
     for _ in range(iterations):

@@ -8,6 +8,7 @@ is this schema's data-sized stand-in for a link graph.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -158,7 +159,8 @@ def graph_hits_part_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.join(li, o["o_orderkey"] == li["l_orderkey"])
         .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
         .distinct()
-        .localCheckpoint(eager=False)
+        # serialized + spillable: edge-scale (operators/pagerank.py)
+        .localCheckpoint(eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK)
     )
 
     def half_step(scores: DataFrame, from_col: str, to_col: str, val: str) -> DataFrame:
