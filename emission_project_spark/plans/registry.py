@@ -36,18 +36,19 @@ def register(name: str, oracle: str | None = None):
 
 
 # The driver's correctness artifact covers the first 50 registered
-# queries. Window policy (round 6): (a) the 33 round-5-built queries
-# that have never had a driver row (TPC-H Q2/Q4/Q6/Q8/Q10/Q11/Q12/
-# Q15/Q16/Q20 grid, corpus-LM block, both graph ranks, events/stats
-# tail) occupy slots 1-33 — this is the rotation round 5 promised but
-# did not apply; (b) the five round-6 builds in slots 34-38 so the
-# PQ compression path and the PCA stage-1 cross-moment probe get
-# first driver rows (plus the substring-span pair, its cap report,
-# and the grid-completing TPC-H Q3 shape); (c) the 12 heaviest / most
-# drift-sensitive queries whose latest driver row is round 3
-# (extensions first, then the winnow block) fill slots 39-50. The
-# remaining 36 r3-verified queries (listed after the boundary,
-# refresh order preserved) rotate in round 7.
+# queries. Window policy (round 6): EVERY query that has never had a
+# driver row is in-window — (a) the 33 round-5 builds (TPC-H Q2/Q4/
+# Q6/Q8/Q10/Q11/Q12/Q15/Q16/Q20 grid, corpus-LM block, both graph
+# ranks, events/stats tail) in slots 1-33 — the rotation round 5
+# promised but did not apply; (b) ALL round-6 builds in slots 34-43:
+# the PQ/IVF-PQ ADC pair (plain + exact re-rank), the PCA stage-1
+# cross-moment probe, the substring-span pair + cap report, the
+# grid-completing TPC-H Q3, the linear quality classifier, the
+# winsorized length stats, the embedding-norm QC gate, and the
+# canonical-survivor join; (c) the most drift-sensitive r3-verified
+# queries (winnow block + semantic dedup) fill the remaining slots
+# to 50. The displaced r3 refresh tail (kmeans-cluster family first)
+# rotates in round 7 — listed after the boundary in refresh order.
 _PRIORITY: list[str] = [
     # -- (a) round-5 builds: first driver row ------------------------------
     "skew_key_profile_lineitem",
@@ -83,36 +84,36 @@ _PRIORITY: list[str] = [
     "join_q16_supplier_diversity",
     "stats_regression_price_on_qty",
     "text_zipf_slope",
-    # -- (b) built round 6: PQ/IVF-PQ ADC top-k, the PCA stage-1
-    # cross-moment probe, and exact substring-span dedup ----------------
+    # -- (b) built round 6: first driver rows ------------------------------
     "similarity_ivfpq_topk",
+    "similarity_ivfpq_rerank_topk",
     "embedding_covariance_block",
     "dedup_substring_spans",
     "dedup_substring_cap_report",
     "join_q3_shipping_priority",
-    # -- (c) refresh: latest driver row is round 3; extensions first -------
-    "curation_cluster_quality_join",
+    "text_quality_linear_classifier",
+    "stats_winsorized_doc_lengths",
+    "embedding_norm_outliers",
+    "dedup_canonical_survivors",
+    # -- (c) refresh: latest driver row is round 3; the drift-sensitive
+    # winnow/semantic block first ------------------------------------------
     "approx_aggregates_events",
     "dedup_semantic_pairs",
-    "similarity_ivf_kmeans_topk",
-    "embedding_cluster_quality",
-    "embedding_kmeans_lloyd",
-    "dedup_embedding_cosine_lsh",
     "fk_orphan_check",
     "text_winnow_fingerprints",
     "dedup_winnow_pairs",
     "stream_dedup_watermark_batch",
     "winnow_oversized_report",
     # ---- window boundary (slot 50 = winnow_oversized_report) -------------
-    # Everything below rotates in round 7, in this order: first the
-    # three late-round-6 builds that have never had a driver row, then
-    # the r3-verified refresh tail. (tests/test_queries_smoke.py pins
+    # Everything below rotates in round 7, in this order: the displaced
+    # kmeans-cluster family first (r3 rows), then the rest of the
+    # r3-verified refresh tail. (tests/test_queries_smoke.py pins
     # name resolution.)
-    "similarity_ivfpq_rerank_topk",
-    "text_quality_linear_classifier",
-    "stats_winsorized_doc_lengths",
-    "embedding_norm_outliers",
-    "dedup_canonical_survivors",
+    "curation_cluster_quality_join",
+    "similarity_ivf_kmeans_topk",
+    "embedding_cluster_quality",
+    "embedding_kmeans_lloyd",
+    "dedup_embedding_cosine_lsh",
     "dedup_bucket_cap_report",
     "dedup_minhash_lsh",
     "dedup_minhash_signatures",
