@@ -93,6 +93,12 @@ R6_EXTRA = [
     "stats_winsorized_doc_lengths",
     "embedding_norm_outliers",
     "dedup_canonical_survivors",
+    # corpus-governance additions (late round 6):
+    "dedup_shingle_containment",
+    "privacy_k_anonymity_customers",
+    "stats_chi2_segment_priority",
+    "curation_epoch_schedule",
+    "layout_zorder_skipping",
 ]
 
 # The heaviest operators, re-run at the 10x dataset for the scale

@@ -221,6 +221,63 @@ def shingle_cap_report(
     )
 
 
+def containment_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = DEFAULT_SHINGLE,
+    threshold: float = 0.8,
+    max_doc_freq: int | None = 64,
+) -> DataFrame:
+    """Asymmetric shingle-set CONTAINMENT near-dup pairs: the smaller
+    shingle set's coverage by the larger, C = |A∩B| / min(|A|,|B|).
+
+    This is the sub-document-copy detector Jaccard structurally
+    misses: a 50-shingle quote fully embedded in a 5,000-shingle page
+    has J ≈ 0.01 but C = 1.0 (Broder '97 distinguishes *resemblance*
+    from *containment* for exactly this case). Training-corpus use:
+    boilerplate/quotation mining and "doc A is a truncation of doc B"
+    chains, both invisible to the symmetric detectors.
+
+    Plan shape is identical to :func:`ngram_jaccard_pairs` (one
+    inverted index, in-bucket pair generation, one intersection
+    aggregate — the quadratic mass bounded by ``max_doc_freq`` with
+    the same lower-bound RETURN CONTRACT, measurable via
+    :func:`shingle_cap_report`). Output orients each pair: ``src_doc``
+    is the contained (smaller-set) side, ties broken by smaller id, so
+    the row reads "src is contained in dst to degree ``containment``".
+    """
+    sh = shingles(docs, text_col, id_col, k).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    buckets = sh.groupBy("shingle").agg(F.collect_list("doc_id").alias("ids"))
+    if max_doc_freq:
+        buckets = buckets.filter(F.size("ids") <= max_doc_freq)
+    inter = (
+        buckets.select(F.explode(_pairs_from_bucket(F.col("ids"))).alias("p"))
+        .groupBy(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("size_b"))
+    small_is_a = (F.col("size_a") < F.col("size_b")) | (
+        (F.col("size_a") == F.col("size_b")) & (F.col("doc_a") < F.col("doc_b"))
+    )
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .withColumn(
+            "containment",
+            F.round(F.col("n_common") / F.least("size_a", "size_b"), 6),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select(
+            F.when(small_is_a, F.col("doc_a")).otherwise(F.col("doc_b")).alias("src_doc"),
+            F.when(small_is_a, F.col("doc_b")).otherwise(F.col("doc_a")).alias("dst_doc"),
+            "containment",
+        )
+    )
+
+
 def contamination_overlap(
     docs: DataFrame,
     benchmark: DataFrame,

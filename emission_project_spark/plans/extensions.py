@@ -18,6 +18,7 @@ from emission_project_spark.extensions.dedup import (
     MINHASH_MOD,
     exact_duplicates,
     minhash_band_signatures,
+    containment_pairs,
     minhash_lsh_candidates,
     ngram_jaccard_pairs,
     simhash64,
@@ -207,6 +208,47 @@ _SHINGLE_SQL = """
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(docs, threshold=0.2)
+
+
+# --- asymmetric shingle CONTAINMENT (Broder '97's second measure):
+# |A∩B| / min(|A|,|B|) — the sub-document-copy detector. A short doc
+# fully quoted inside a long one scores C=1.0 while Jaccard ~0, so
+# this surface catches truncation/quotation chains the symmetric
+# detectors miss. Same inverted-index plan (and the same max_doc_freq
+# recall cap + lower-bound contract) as dedup_ngram_jaccard; output
+# oriented src=contained side, ties to the smaller id.
+@register(
+    "dedup_shingle_containment",
+    oracle=f"""
+    WITH {_SHINGLE_SQL},
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    kept AS (
+        SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 64
+    ),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        WHERE a.shingle IN (SELECT shingle FROM kept)
+        GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT i.doc_a, i.doc_b, sa.n AS size_a, sb.n AS size_b,
+               round(CAST(i.n_common AS DOUBLE) / least(sa.n, sb.n), 6) AS c
+        FROM inter i
+        JOIN sizes sa ON i.doc_a = sa.doc_id
+        JOIN sizes sb ON i.doc_b = sb.doc_id
+    )
+    SELECT CASE WHEN size_a < size_b OR (size_a = size_b AND doc_a < doc_b)
+                THEN doc_a ELSE doc_b END AS src_doc,
+           CASE WHEN size_a < size_b OR (size_a = size_b AND doc_a < doc_b)
+                THEN doc_b ELSE doc_a END AS dst_doc,
+           c AS containment
+    FROM scored WHERE c >= 0.8
+    """,
+)
+def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return containment_pairs(docs, threshold=0.8)
 
 
 # affine band family restated in SQL (same constants as dedup.BAND_A/B)

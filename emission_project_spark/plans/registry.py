@@ -40,15 +40,16 @@ def register(name: str, oracle: str | None = None):
 # driver row is in-window — (a) the 33 round-5 builds (TPC-H Q2/Q4/
 # Q6/Q8/Q10/Q11/Q12/Q15/Q16/Q20 grid, corpus-LM block, both graph
 # ranks, events/stats tail) in slots 1-33 — the rotation round 5
-# promised but did not apply; (b) ALL round-6 builds in slots 34-43:
+# promised but did not apply; (b) ALL round-6 builds in slots 34-48:
 # the PQ/IVF-PQ ADC pair (plain + exact re-rank), the PCA stage-1
 # cross-moment probe, the substring-span pair + cap report, the
 # grid-completing TPC-H Q3, the linear quality classifier, the
-# winsorized length stats, the embedding-norm QC gate, and the
-# canonical-survivor join; (c) the most drift-sensitive r3-verified
-# queries (winnow block + semantic dedup) fill the remaining slots
-# to 50. The displaced r3 refresh tail (kmeans-cluster family first)
-# rotates in round 7 — listed after the boundary in refresh order.
+# winsorized length stats, the embedding-norm QC gate, the
+# canonical-survivor join, and the five corpus-governance additions
+# (shingle containment, k-anonymity, chi-squared, epoch schedule,
+# z-order layout); (c) the drift-profiled winnow pair (r3 rows) fills
+# slots 49-50. The displaced r3 refresh tail rotates in round 7 —
+# listed after the boundary in refresh order.
 _PRIORITY: list[str] = [
     # -- (a) round-5 builds: first driver row ------------------------------
     "skew_key_profile_lineitem",
@@ -95,20 +96,25 @@ _PRIORITY: list[str] = [
     "stats_winsorized_doc_lengths",
     "embedding_norm_outliers",
     "dedup_canonical_survivors",
-    # -- (c) refresh: latest driver row is round 3; the drift-sensitive
-    # winnow/semantic block first ------------------------------------------
+    "dedup_shingle_containment",
+    "privacy_k_anonymity_customers",
+    "stats_chi2_segment_priority",
+    "curation_epoch_schedule",
+    "layout_zorder_skipping",
+    # -- (c) refresh: latest driver row is round 3; the drift-profiled
+    # winnow pair first ----------------------------------------------------
+    "text_winnow_fingerprints",
+    "dedup_winnow_pairs",
+    # ---- window boundary (slot 50 = dedup_winnow_pairs) ------------------
+    # Everything below rotates in round 7, in this order: the displaced
+    # r3-verified refreshes first, then the kmeans-cluster family and
+    # the rest of the r3 tail. (tests/test_queries_smoke.py pins
+    # name resolution.)
     "approx_aggregates_events",
     "dedup_semantic_pairs",
     "fk_orphan_check",
-    "text_winnow_fingerprints",
-    "dedup_winnow_pairs",
     "stream_dedup_watermark_batch",
     "winnow_oversized_report",
-    # ---- window boundary (slot 50 = winnow_oversized_report) -------------
-    # Everything below rotates in round 7, in this order: the displaced
-    # kmeans-cluster family first (r3 rows), then the rest of the
-    # r3-verified refresh tail. (tests/test_queries_smoke.py pins
-    # name resolution.)
     "curation_cluster_quality_join",
     "similarity_ivf_kmeans_topk",
     "embedding_cluster_quality",
@@ -176,5 +182,6 @@ def load_all() -> None:
     from emission_project_spark.plans import curation_lm  # noqa: F401
     from emission_project_spark.plans import graph_rank  # noqa: F401
     from emission_project_spark.plans import quality_gates  # noqa: F401
+    from emission_project_spark.plans import corpus_ops  # noqa: F401
 
     _reorder()

@@ -10,7 +10,13 @@ import __spark_entry__ as entrymod
 
 def test_bench_lists_resolve():
     registered = set(entrymod.queries())
-    for lst in (bench.HEADLINE, bench.R5_EXTRA, bench.SF1_HEAVY, bench.SF10_HEAVY):
+    for lst in (
+        bench.HEADLINE,
+        bench.R5_EXTRA,
+        bench.R6_EXTRA,
+        bench.SF1_HEAVY,
+        bench.SF10_HEAVY,
+    ):
         unknown = [n for n in lst if n not in registered]
         assert unknown == [], unknown
 
@@ -19,3 +25,5 @@ def test_bench_lists_disjoint_headline_extra():
     # HEADLINE is the round-over-round comparable — extras must not
     # double-time its members under a different block
     assert not set(bench.HEADLINE) & set(bench.R5_EXTRA)
+    assert not set(bench.HEADLINE) & set(bench.R6_EXTRA)
+    assert not set(bench.R5_EXTRA) & set(bench.R6_EXTRA)
