@@ -99,6 +99,10 @@ R6_EXTRA = [
     "stats_chi2_segment_priority",
     "curation_epoch_schedule",
     "layout_zorder_skipping",
+    "privacy_l_diversity_customers",
+    "stats_ks_two_sample",
+    "stats_mannwhitney_u",
+    "stats_psi_value_drift",
 ]
 
 # The heaviest operators, re-run at the 10x dataset for the scale

@@ -7,6 +7,9 @@ the core dedup/curation engine:
 - ``privacy_k_anonymity_customers`` — the k-anonymity release gate
   (Sweeney 2002): how many quasi-identifier groups are small enough to
   re-identify, per segment, before customer-derived features may ship.
+- ``privacy_l_diversity_customers`` — its companion gate
+  (Machanavajjhala 2007): group size is not enough; each QI group must
+  also carry >= l distinct sensitive values or it leaks by uniformity.
 - ``stats_chi2_segment_priority`` — Pearson chi-squared independence
   test between two categoricals (the missing member of the stats
   family next to Welch's t and OLS): is order priority independent of
@@ -81,6 +84,56 @@ def privacy_k_anonymity_customers(spark: SparkSession, sf_dir: str) -> DataFrame
         F.sum(F.when(risky, 1).otherwise(0)).cast("bigint").alias("n_risky_groups"),
         F.sum(F.when(risky, F.col("n")).otherwise(0)).cast("bigint").alias("n_risky_rows"),
         F.min("n").alias("min_group_size"),
+    )
+
+
+# --- l-diversity: the k-anonymity companion (Machanavajjhala 2007).
+# k-anonymity bounds group SIZE but a uniform group still leaks its
+# sensitive attribute; l-diversity requires each quasi-identifier
+# group to carry >= l distinct sensitive values. QI here is (nation,
+# $1000 balance bucket), sensitive = market segment; the gate reports
+# per nation how many QI groups fall below l=3 and how many rows those
+# groups expose. Same two-hash-aggregate shape as the k-anonymity
+# gate — the distinct-count happens in the first aggregate where the
+# group is co-located, never as a global distinct.
+@register(
+    "privacy_l_diversity_customers",
+    oracle="""
+    WITH g AS (
+        SELECT c_nationkey,
+               CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_bucket,
+               count(*) AS n,
+               count(DISTINCT c_mktsegment) AS l
+        FROM customer GROUP BY 1, 2
+    )
+    SELECT c_nationkey,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(CASE WHEN l < 3 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_low_diversity,
+           CAST(sum(CASE WHEN l < 3 THEN n ELSE 0 END) AS BIGINT)
+               AS n_exposed_rows,
+           CAST(min(l) AS BIGINT) AS min_l
+    FROM g GROUP BY c_nationkey
+    """,
+)
+def privacy_l_diversity_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    g = (
+        c.groupBy(
+            "c_nationkey",
+            F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("bal_bucket"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("c_mktsegment").alias("l"),
+        )
+    )
+    low = F.col("l") < 3
+    return g.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum(F.when(low, 1).otherwise(0)).cast("bigint").alias("n_low_diversity"),
+        F.sum(F.when(low, F.col("n")).otherwise(0)).cast("bigint").alias("n_exposed_rows"),
+        F.min("l").cast("bigint").alias("min_l"),
     )
 
 

@@ -40,16 +40,18 @@ def register(name: str, oracle: str | None = None):
 # driver row is in-window — (a) the 33 round-5 builds (TPC-H Q2/Q4/
 # Q6/Q8/Q10/Q11/Q12/Q15/Q16/Q20 grid, corpus-LM block, both graph
 # ranks, events/stats tail) in slots 1-33 — the rotation round 5
-# promised but did not apply; (b) ALL round-6 builds in slots 34-48:
+# promised but did not apply; (b) 17 round-6 builds in slots 34-50:
 # the PQ/IVF-PQ ADC pair (plain + exact re-rank), the PCA stage-1
 # cross-moment probe, the substring-span pair + cap report, the
 # grid-completing TPC-H Q3, the linear quality classifier, the
 # winsorized length stats, the embedding-norm QC gate, the
-# canonical-survivor join, and the five corpus-governance additions
-# (shingle containment, k-anonymity, chi-squared, epoch schedule,
-# z-order layout); (c) the drift-profiled winnow pair (r3 rows) fills
-# slots 49-50. The displaced r3 refresh tail rotates in round 7 —
-# listed after the boundary in refresh order.
+# canonical-survivor join, the five corpus-governance additions
+# (shingle containment minus the two privacy gates, chi-squared,
+# epoch schedule, z-order layout), and the drift trio (KS,
+# Mann-Whitney, PSI — the richest new cross-engine numerics). The
+# privacy gates, the winnow refresh pair, and the rest of the r3
+# tail rotate in round 7 — listed after the boundary in refresh
+# order.
 _PRIORITY: list[str] = [
     # -- (a) round-5 builds: first driver row ------------------------------
     "skew_key_profile_lineitem",
@@ -97,19 +99,26 @@ _PRIORITY: list[str] = [
     "embedding_norm_outliers",
     "dedup_canonical_survivors",
     "dedup_shingle_containment",
-    "privacy_k_anonymity_customers",
     "stats_chi2_segment_priority",
     "curation_epoch_schedule",
     "layout_zorder_skipping",
-    # -- (c) refresh: latest driver row is round 3; the drift-profiled
-    # winnow pair first ----------------------------------------------------
+    "stats_ks_two_sample",
+    "stats_mannwhitney_u",
+    "stats_psi_value_drift",
+    # ---- window boundary (slot 50 = stats_psi_value_drift) ---------------
+    # 33 round-5 builds + 17 round-6 builds fill the window exactly.
+    # 19 round-6 builds exist, so two wait for round 7: the privacy
+    # gates go below the boundary (pure integer counting with pandas
+    # recomputation pytests — the least incremental value from a
+    # driver row) and head the round-7 rotation, followed by the
+    # winnow refresh pair (r3 rows, re-profiled clean this round —
+    # SCALING.md "winnow drift was noise") and the rest of the r3
+    # tail, in this order. (tests/test_queries_smoke.py pins name
+    # resolution.)
+    "privacy_k_anonymity_customers",
+    "privacy_l_diversity_customers",
     "text_winnow_fingerprints",
     "dedup_winnow_pairs",
-    # ---- window boundary (slot 50 = dedup_winnow_pairs) ------------------
-    # Everything below rotates in round 7, in this order: the displaced
-    # r3-verified refreshes first, then the kmeans-cluster family and
-    # the rest of the r3 tail. (tests/test_queries_smoke.py pins
-    # name resolution.)
     "approx_aggregates_events",
     "dedup_semantic_pairs",
     "fk_orphan_check",
@@ -183,5 +192,6 @@ def load_all() -> None:
     from emission_project_spark.plans import graph_rank  # noqa: F401
     from emission_project_spark.plans import quality_gates  # noqa: F401
     from emission_project_spark.plans import corpus_ops  # noqa: F401
+    from emission_project_spark.plans import drift_stats  # noqa: F401
 
     _reorder()
