@@ -103,6 +103,7 @@ R6_EXTRA = [
     "stats_ks_two_sample",
     "stats_mannwhitney_u",
     "stats_psi_value_drift",
+    "similarity_centroid_confusion",
 ]
 
 # The heaviest operators, re-run at the 10x dataset for the scale

@@ -489,3 +489,55 @@ def _md5_hex(s: str) -> str:
     import hashlib
 
     return hashlib.md5(s.encode()).hexdigest()
+
+
+def centroid_classify(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Nearest-centroid (Rocchio) classification of the whole corpus:
+    per-label mean vector, then every vector assigned to its nearest
+    centroid by squared L2 (tie -> smaller label).
+
+    The label-quality audit for an annotated corpus: where kNN
+    (:func:`brute_force_topk` + vote) evaluates a handful of query
+    rows against all neighbors, this scores EVERY row in one pass —
+    labels whose members sit closer to another label's centroid are
+    mislabeled or non-separable, and the confusion matrix localizes
+    which pairs bleed.
+
+    100 TB shape: centroids are |labels| x dim doubles (reuses the
+    k-means grid-rounded elementwise-mean pass, one posexplode hash
+    aggregate), broadcast into the same min_by argmin as
+    :func:`~emission_project_spark.extensions.kmeans.assign_clusters`
+    — the shuffle carries O(n) best-so-far rows, never O(n*labels) —
+    with the true label carried through the aggregate so no
+    corpus-sized re-attach join is needed.
+    """
+    from emission_project_spark.extensions.kmeans import (
+        _sq_dist,
+        recompute_centroids,
+    )
+
+    vecs = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(label_col).cast("bigint").alias("true_label"),
+        F.col(vec_col).cast("array<double>").alias("e"),
+    )
+    cents = recompute_centroids(
+        vecs.select(F.col("true_label").alias("cluster_id"), "e")
+    )
+    scored = vecs.crossJoin(F.broadcast(cents)).withColumn(
+        "d2", _sq_dist(F.col("e"), F.col("ce"))
+    )
+    best = scored.groupBy("vec_id").agg(
+        F.min_by(F.struct("cid", "d2"), F.struct("d2", "cid")).alias("_best"),
+        F.first("true_label").alias("true_label"),
+    )
+    return best.select(
+        "vec_id",
+        "true_label",
+        F.col("_best.cid").cast("bigint").alias("predicted_label"),
+    )

@@ -473,6 +473,77 @@ def similarity_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- nearest-centroid (Rocchio) confusion matrix over the WHOLE
+# corpus: per-label grid-rounded mean vectors (the k-means centroid
+# pass reused with labels as the clusters), every vector assigned to
+# its nearest centroid by squared L2, confusion cells + within-label
+# share. The label-quality audit kNN can't give at scale: kNN scores
+# 20 probes; this scores every row in one broadcast pass. The oracle
+# replays the identical grid-rounded means and (d2, cid) argmin.
+@register(
+    "similarity_centroid_confusion",
+    oracle="""
+    WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+    m AS (
+        SELECT cid, pos, round(avg(val), 6) AS mu
+        FROM (
+            SELECT label AS cid,
+                   CAST(generate_subscripts(embedding, 1) AS INT) AS pos,
+                   CAST(unnest(embedding) AS DOUBLE) AS val
+            FROM embeddings
+        )
+        GROUP BY 1, 2
+    ),
+    c AS (SELECT cid, list(mu ORDER BY pos) AS ce FROM m GROUP BY cid),
+    scored AS (
+        SELECT v.vec_id, v.label, c.cid,
+               list_sum(list_transform(range(1, 65),
+                        i -> (v.e[i] - c.ce[i]) * (v.e[i] - c.ce[i]))) AS d2
+        FROM v CROSS JOIN c
+    ),
+    best AS (
+        SELECT vec_id, label, cid
+        FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                         ORDER BY d2, cid) AS rn FROM scored)
+        WHERE rn = 1
+    ),
+    conf AS (
+        SELECT CAST(label AS BIGINT) AS true_label,
+               CAST(cid AS BIGINT) AS predicted_label,
+               CAST(count(*) AS BIGINT) AS n_vectors
+        FROM best GROUP BY 1, 2
+    )
+    SELECT true_label, predicted_label, n_vectors,
+           round(CAST(n_vectors AS DOUBLE)
+                 / sum(n_vectors) OVER (PARTITION BY true_label), 6)
+               AS share_of_true,
+           (true_label = predicted_label) AS is_correct
+    FROM conf
+    """,
+)
+def similarity_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from emission_project_spark.extensions.similarity import centroid_classify
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    conf = (
+        centroid_classify(emb)
+        .groupBy("true_label", "predicted_label")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+    )
+    per_true = Window.partitionBy("true_label")
+    return conf.select(
+        "true_label",
+        "predicted_label",
+        "n_vectors",
+        F.round(
+            F.col("n_vectors").cast("double") / F.sum("n_vectors").over(per_true), 6
+        ).alias("share_of_true"),
+        (F.col("true_label") == F.col("predicted_label")).alias("is_correct"),
+    )
+
+
 # --- similarity: IVF approximate top-k (the scale path).
 @register(
     "similarity_ivf_topk",

@@ -106,15 +106,16 @@ _PRIORITY: list[str] = [
     "stats_mannwhitney_u",
     "stats_psi_value_drift",
     # ---- window boundary (slot 50 = stats_psi_value_drift) ---------------
-    # 33 round-5 builds + 17 round-6 builds fill the window exactly.
-    # 19 round-6 builds exist, so two wait for round 7: the privacy
-    # gates go below the boundary (pure integer counting with pandas
-    # recomputation pytests — the least incremental value from a
-    # driver row) and head the round-7 rotation, followed by the
-    # winnow refresh pair (r3 rows, re-profiled clean this round —
-    # SCALING.md "winnow drift was noise") and the rest of the r3
-    # tail, in this order. (tests/test_queries_smoke.py pins name
-    # resolution.)
+    # 33 round-5 builds + 17 round-6 builds fill the window exactly;
+    # more round-6 builds exist than slots, so the overflow heads the
+    # round-7 rotation: first the later round-6 builds (centroid
+    # confusion), then the privacy gates (pure integer counting with
+    # pandas recomputation pytests — the least incremental value from
+    # a driver row), then the winnow refresh pair (r3 rows,
+    # re-profiled clean this round — SCALING.md "winnow drift was
+    # noise") and the rest of the r3 tail, in this order.
+    # (tests/test_queries_smoke.py pins name resolution.)
+    "similarity_centroid_confusion",
     "privacy_k_anonymity_customers",
     "privacy_l_diversity_customers",
     "text_winnow_fingerprints",

@@ -56,6 +56,7 @@ SCALAR_CROSS_OK = {
     "events_funnel_3step",              # 1-row × 1-row funnel report
     "graph_hits_part_authority",        # 1-row max normalizer per half-step
     "embedding_norm_outliers",          # 1-row median + MAD scalars
+    "similarity_centroid_confusion",    # |labels|-row centroid broadcast
 }
 
 
