@@ -104,6 +104,7 @@ R6_EXTRA = [
     "stats_mannwhitney_u",
     "stats_psi_value_drift",
     "similarity_centroid_confusion",
+    "stream_psi_drift_batch",
 ]
 
 # The heaviest operators, re-run at the 10x dataset for the scale

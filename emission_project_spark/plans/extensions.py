@@ -3509,3 +3509,64 @@ def embedding_matryoshka_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "energy_at_16"
         ),
     )
+
+
+# --- streaming batch twin: PSI drift monitor per event-time hour
+# against a frozen reference distribution (streaming/drift.py — the
+# streaming form is the identical single windowed aggregation with a
+# watermark; planted-drift stream tests live in test_streaming_drift).
+# The reference here is the table's own global bin distribution,
+# frozen via one bounded 10-row collect (install-time, not per-window);
+# the oracle recomputes the same smoothed reference and the same
+# left-associated 10-term PSI sum so the doubles match bit-for-bit
+# before the final round.
+_PSI_W = "(w.c{i} + 0.5) / (w.n_events + 5.0)"
+_PSI_R = "(ref.c{i} + 0.5) / (ref.n + 5.0)"
+_PSI_TERMS = " + ".join(
+    f"(({_PSI_W} - {_PSI_R}) * ln(({_PSI_W}) / ({_PSI_R})))".format(i=i)
+    for i in range(10)
+)
+_PSI_FILTERS = ",\n               ".join(
+    f"count(*) FILTER (WHERE bin = {i}) AS c{i}" for i in range(10)
+)
+
+
+@register(
+    "stream_psi_drift_batch",
+    oracle=f"""
+    WITH b AS (
+        SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+               least(CAST(floor(value / 50) AS BIGINT), 9) AS bin
+        FROM events
+    ),
+    ref AS (
+        SELECT count(*) AS n,
+               {_PSI_FILTERS}
+        FROM b
+    ),
+    w AS (
+        SELECT window_start, count(*) AS n_events,
+               {_PSI_FILTERS}
+        FROM b GROUP BY window_start
+    ),
+    t AS (
+        SELECT w.window_start, w.n_events,
+               {_PSI_TERMS} AS psi
+        FROM w CROSS JOIN ref
+    )
+    SELECT window_start,
+           window_start + INTERVAL 1 HOUR AS window_end,
+           CAST(n_events AS BIGINT) AS n_events,
+           round(psi, 6) AS psi,
+           (psi > 0.2) AS drift_action
+    FROM t
+    """,
+)
+def stream_psi_drift_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emission_project_spark.streaming.drift import (
+        reference_proportions,
+        windowed_psi,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return windowed_psi(ev, reference_proportions(ev), window="1 hour")

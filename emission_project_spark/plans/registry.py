@@ -116,6 +116,7 @@ _PRIORITY: list[str] = [
     # noise") and the rest of the r3 tail, in this order.
     # (tests/test_queries_smoke.py pins name resolution.)
     "similarity_centroid_confusion",
+    "stream_psi_drift_batch",
     "privacy_k_anonymity_customers",
     "privacy_l_diversity_customers",
     "text_winnow_fingerprints",
