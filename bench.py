@@ -105,6 +105,7 @@ R6_EXTRA = [
     "stats_psi_value_drift",
     "similarity_centroid_confusion",
     "stream_psi_drift_batch",
+    "sketch_f2_selfjoin_events",
 ]
 
 # The heaviest operators, re-run at the 10x dataset for the scale

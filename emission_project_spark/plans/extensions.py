@@ -3570,3 +3570,73 @@ def stream_psi_drift_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return windowed_psi(ev, reference_proportions(ev), window="1 hour")
+
+
+# --- AMS second frequency moment (self-join size) from the count-min
+# sketch: F2 = sum_k f(k)^2 over events.user_id, estimated as the
+# min-over-depths dot product of the sketch's counter rows with
+# themselves (Cormode & Muthukrishnan '05 §4.2) next to the exact
+# value and the >= bound check. F2 is the canonical key-skew number a
+# planner wants BEFORE paying for a join: shards sketch independently
+# (count_min_merge), and pricing the self-join reads depth*width cells
+# instead of shuffling the fact table. The md5 hash family makes every
+# cell — and therefore the estimate — exactly reproducible in SQL.
+@register(
+    "sketch_f2_selfjoin_events",
+    oracle="""
+    WITH tok AS (SELECT user_id::VARCHAR AS term FROM events),
+    dd AS (SELECT unnest(range(4)) AS d),
+    cells AS (
+        SELECT d,
+               ('0x' || substring(md5(d::VARCHAR || ':' || term), 1, 7))::BIGINT % 8192
+                   AS bucket,
+               count(*) AS cnt
+        FROM tok, dd
+        GROUP BY 1, 2
+    ),
+    ip AS (SELECT d, sum(cnt * cnt) AS ip FROM cells GROUP BY d),
+    est AS (SELECT min(ip) AS cm_estimate FROM ip),
+    ex AS (
+        SELECT sum(c * c) AS exact_f2
+        FROM (SELECT count(*) AS c FROM events GROUP BY user_id)
+    )
+    SELECT CAST(ex.exact_f2 AS BIGINT) AS exact_f2,
+           CAST(est.cm_estimate AS BIGINT) AS cm_estimate,
+           (est.cm_estimate >= ex.exact_f2) AS within_bound,
+           round((est.cm_estimate - ex.exact_f2)
+                 / CAST(ex.exact_f2 AS DOUBLE), 6) AS rel_error
+    FROM ex CROSS JOIN est
+    """,
+)
+def sketch_f2_selfjoin_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emission_project_spark.extensions.sketch import count_min_build
+
+    ev = load_table(spark, sf_dir, "events")
+    terms = ev.select(F.col("user_id").cast("string").alias("term"))
+    # inner-product error ~ ||f||_1^2/width: the point-query width
+    # (1024) is too narrow once n^2 dwarfs F2, so the F2 sketch runs
+    # wide (8192 cells/row is still a KB-scale broadcast). Self-join
+    # special case: sum(cnt^2) per depth row directly — one sketch
+    # build, no self-join (count_min_inner_product is the two-relation
+    # general form and computes the identical quantity for a = b).
+    sk = count_min_build(terms, width=8192)
+    est = (
+        sk.groupBy("depth")
+        .agg(F.sum(F.col("cnt") * F.col("cnt")).alias("_ip"))
+        .agg(F.min("_ip").alias("estimate"))
+    )
+    exact = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .agg(F.sum(F.col("_c") * F.col("_c")).alias("exact_f2"))
+    )
+    return exact.crossJoin(est).select(
+        F.col("exact_f2").cast("bigint").alias("exact_f2"),
+        F.col("estimate").cast("bigint").alias("cm_estimate"),
+        (F.col("estimate") >= F.col("exact_f2")).alias("within_bound"),
+        F.round(
+            (F.col("estimate") - F.col("exact_f2"))
+            / F.col("exact_f2").cast("double"),
+            6,
+        ).alias("rel_error"),
+    )

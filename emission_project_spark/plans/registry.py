@@ -117,6 +117,7 @@ _PRIORITY: list[str] = [
     # (tests/test_queries_smoke.py pins name resolution.)
     "similarity_centroid_confusion",
     "stream_psi_drift_batch",
+    "sketch_f2_selfjoin_events",
     "privacy_k_anonymity_customers",
     "privacy_l_diversity_customers",
     "text_winnow_fingerprints",

@@ -563,3 +563,48 @@ def test_substring_spans_planted(spark):
     # a tight cap drops the shared anchors and the report says how much
     rep2 = substring_cap_report(docs, k=6, max_gram_freq=1).collect()[0]
     assert rep2["n_dropped_occurrences"] > 0
+
+
+def test_count_min_inner_product_bounds_and_exactness(spark):
+    """AMS inner product: never underestimates the true join size /
+    F2; exact when the sketch is wide enough that no two keys collide
+    in any row; shard-merged sketches price the same join."""
+    from pyspark.sql import functions as F
+
+    from emission_project_spark.extensions.sketch import (
+        count_min_build,
+        count_min_inner_product,
+        count_min_merge,
+    )
+
+    r_words = ["a"] * 7 + ["b"] * 3 + ["c"] * 2
+    s_words = ["a"] * 2 + ["b"] * 5 + ["d"] * 4
+    true_join = 7 * 2 + 3 * 5  # sum_k f(k)*g(k) = 29
+    r = spark.createDataFrame([(w,) for w in r_words], "term string")
+    s = spark.createDataFrame([(w,) for w in s_words], "term string")
+
+    # narrow sketch: bound only
+    est_narrow = count_min_inner_product(
+        count_min_build(r, width=2), count_min_build(s, width=2)
+    ).first().estimate
+    assert est_narrow >= true_join
+
+    # wide sketch: 4 keys in 4096 buckets across 4 independent rows —
+    # at least one collision-free row is overwhelmingly certain, and
+    # min-of-rows recovers the exact product through it
+    est_wide = count_min_inner_product(
+        count_min_build(r, width=4096), count_min_build(s, width=4096)
+    ).first().estimate
+    assert est_wide == true_join
+
+    # self-join (F2): sum f^2 = 49 + 9 + 4 = 62
+    sk_r = count_min_build(r, width=4096)
+    assert count_min_inner_product(sk_r, sk_r).first().estimate == 62
+
+    # sharded build prices identically
+    h1 = spark.createDataFrame([(w,) for w in r_words[:5]], "term string")
+    h2 = spark.createDataFrame([(w,) for w in r_words[5:]], "term string")
+    merged = count_min_merge(
+        count_min_build(h1, width=4096), count_min_build(h2, width=4096)
+    )
+    assert count_min_inner_product(merged, merged).first().estimate == 62

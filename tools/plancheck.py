@@ -57,6 +57,7 @@ SCALAR_CROSS_OK = {
     "graph_hits_part_authority",        # 1-row max normalizer per half-step
     "embedding_norm_outliers",          # 1-row median + MAD scalars
     "similarity_centroid_confusion",    # |labels|-row centroid broadcast
+    "sketch_f2_selfjoin_events",        # 1-row exact × 1-row estimate
 }
 
 
