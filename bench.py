@@ -106,6 +106,8 @@ R6_EXTRA = [
     "similarity_centroid_confusion",
     "stream_psi_drift_batch",
     "sketch_f2_selfjoin_events",
+    "text_langid_confusion",
+    "curation_dsir_ess",
 ]
 
 # The heaviest operators, re-run at the 10x dataset for the scale

@@ -337,3 +337,90 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(novel * 1.0 / F.count(F.lit(1)), 4).alias("novelty"),
         )
     )
+
+
+# --- DSIR sampler health: effective sample size of the importance
+# weights w_i = exp((score_i - max)/T) the resampler would draw with
+# (Kish ESS = (Σw)²/Σw²). Low ESS/n means a handful of documents
+# dominate the resampled corpus — the standard failure mode of
+# importance sampling when the target and proposal LMs are far apart —
+# and is the number to check BEFORE paying for the resample pass.
+# Max-shift normalization makes exp() overflow-free (ESS is invariant
+# to weight scaling); the max is a 1-row scalar broadcast, never a
+# corpus-wide window sort. Reuses the exact rounded dsir_score surface
+# the driver already verifies, so the two queries cannot drift apart.
+@register(
+    "curation_dsir_ess",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, lang, unnest({_TOKS_SQL}) AS term FROM documents
+    ),
+    v AS (
+        SELECT term,
+               CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS ct,
+               CAST(sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS cr
+        FROM t GROUP BY term
+    ),
+    tot AS (
+        SELECT CAST(sum(ct) AS BIGINT) AS tt,
+               CAST(sum(cr) AS BIGINT) AS tr,
+               CAST(count(*) AS BIGINT) AS nv
+        FROM v
+    ),
+    scores AS (
+        SELECT t.doc_id,
+               round(sum(ln((v.ct + 1.0) / (tot.tt + tot.nv))
+                         - ln((v.cr + 1.0) / (tot.tr + tot.nv))), 4) AS s
+        FROM t JOIN v USING (term), tot
+        GROUP BY t.doc_id
+    ),
+    m AS (SELECT max(s) AS ms FROM scores),
+    w AS (SELECT exp((s - m.ms) / 5.0) AS w FROM scores, m)
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           round(pow(sum(w), 2) / sum(w * w), 4) AS ess,
+           round(pow(sum(w), 2) / sum(w * w) / count(*), 6) AS ess_fraction,
+           round(max(w) / sum(w), 6) AS top_weight_share
+    FROM w
+    """,
+)
+def curation_dsir_ess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emission_project_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", "lang", F.explode(tokens(F.lower(F.col("text")))).alias("term")
+    )
+    is_t = F.col("lang") == "en"
+    v = t.groupBy("term").agg(
+        F.sum(F.when(is_t, 1).otherwise(0)).alias("ct"),
+        F.sum(F.when(is_t, 0).otherwise(1)).alias("cr"),
+    )
+    tot = v.agg(
+        F.sum("ct").cast("bigint").alias("tt"),
+        F.sum("cr").cast("bigint").alias("tr"),
+        F.count(F.lit(1)).alias("nv"),
+    )
+    lam = F.log((F.col("ct") + 1.0) / (F.col("tt") + F.col("nv"))) - F.log(
+        (F.col("cr") + 1.0) / (F.col("tr") + F.col("nv"))
+    )
+    scores = (
+        t.join(F.broadcast(v), "term")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(lam), 4).alias("s"))
+    )
+    m = scores.agg(F.max("s").alias("ms"))
+    w = scores.crossJoin(F.broadcast(m)).select(
+        F.exp((F.col("s") - F.col("ms")) / F.lit(5.0)).alias("w")
+    )
+    return w.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.pow(F.sum("w"), 2) / F.sum(F.col("w") * F.col("w")), 4).alias("ess"),
+        F.round(
+            F.pow(F.sum("w"), 2) / F.sum(F.col("w") * F.col("w")) / F.count(F.lit(1)),
+            6,
+        ).alias("ess_fraction"),
+        F.round(F.max("w") / F.sum("w"), 6).alias("top_weight_share"),
+    )

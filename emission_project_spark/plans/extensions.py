@@ -3640,3 +3640,76 @@ def sketch_f2_selfjoin_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("rel_error"),
     )
+
+
+# --- langid evaluated against ground truth: the confusion matrix of
+# the n-gram-marker classifier (text_langid) vs the corpus's lang
+# column, with per-true-language recall shares. The corpus carries a
+# 'zh' class the 4-way classifier cannot emit, so the matrix also
+# localizes out-of-scope bleed (where unclassifiable docs land) — the
+# exact readout a pipeline needs before trusting a langid gate.
+# Confusion cells aggregate straight down from one scan; the window
+# runs over <= |langs|^2 rows.
+@register(
+    "text_langid_confusion",
+    oracle=f"""
+    WITH s AS (
+        SELECT lang AS true_lang,
+               {', '.join(
+                   f"CAST(len(list_filter({_TOKS_SQL}, t -> t IN "
+                   f"({', '.join(repr(m) for m in markers)}))) AS BIGINT) AS score_{lang}"
+                   for lang, markers in LANG_MARKERS.items()
+               )}
+        FROM documents
+    ),
+    p AS (SELECT true_lang, {_langid_case_sql()} AS predicted_lang FROM s),
+    conf AS (
+        SELECT true_lang, predicted_lang, CAST(count(*) AS BIGINT) AS n_docs
+        FROM p GROUP BY 1, 2
+    )
+    SELECT true_lang, predicted_lang, n_docs,
+           round(CAST(n_docs AS DOUBLE)
+                 / sum(n_docs) OVER (PARTITION BY true_lang), 6) AS recall_share,
+           (true_lang = predicted_lang) AS is_correct
+    FROM conf
+    """,
+)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    scores = lang_scores("text")
+    s = docs.select(
+        F.col("lang").alias("true_lang"),
+        *[c.alias(f"score_{lang}") for lang, c in scores.items()],
+    )
+    predicted = (
+        F.when(
+            (F.col("score_de") >= F.col("score_en"))
+            & (F.col("score_de") >= F.col("score_es"))
+            & (F.col("score_de") >= F.col("score_fr")),
+            "de",
+        )
+        .when(
+            (F.col("score_en") >= F.col("score_es"))
+            & (F.col("score_en") >= F.col("score_fr")),
+            "en",
+        )
+        .when(F.col("score_es") >= F.col("score_fr"), "es")
+        .otherwise("fr")
+    )
+    conf = (
+        s.select("true_lang", predicted.alias("predicted_lang"))
+        .groupBy("true_lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    per_true = Window.partitionBy("true_lang")
+    return conf.select(
+        "true_lang",
+        "predicted_lang",
+        "n_docs",
+        F.round(
+            F.col("n_docs").cast("double") / F.sum("n_docs").over(per_true), 6
+        ).alias("recall_share"),
+        (F.col("true_lang") == F.col("predicted_lang")).alias("is_correct"),
+    )

@@ -118,6 +118,8 @@ _PRIORITY: list[str] = [
     "similarity_centroid_confusion",
     "stream_psi_drift_batch",
     "sketch_f2_selfjoin_events",
+    "text_langid_confusion",
+    "curation_dsir_ess",
     "privacy_k_anonymity_customers",
     "privacy_l_diversity_customers",
     "text_winnow_fingerprints",

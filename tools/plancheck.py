@@ -58,6 +58,7 @@ SCALAR_CROSS_OK = {
     "embedding_norm_outliers",          # 1-row median + MAD scalars
     "similarity_centroid_confusion",    # |labels|-row centroid broadcast
     "sketch_f2_selfjoin_events",        # 1-row exact × 1-row estimate
+    "curation_dsir_ess",                # 1-row LM totals + 1-row max-shift scalar
 }
 
 
