@@ -108,6 +108,7 @@ R6_EXTRA = [
     "sketch_f2_selfjoin_events",
     "text_langid_confusion",
     "curation_dsir_ess",
+    "dedup_lsh_quality",
 ]
 
 # The heaviest operators, re-run at the 10x dataset for the scale

@@ -3713,3 +3713,88 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("recall_share"),
         (F.col("true_lang") == F.col("predicted_lang")).alias("is_correct"),
     )
+
+
+# --- LSH banding quality, measured: MinHash candidate pairs scored
+# against exact shingle-set Jaccard on the SAME inverted-index
+# universe (identical max_doc_freq cap on both sides, so the readout
+# grades the BANDING approximation, not the cap). precision@0.5 =
+# candidates that are true near-dups; recall@0.5 = true near-dups the
+# bands surfaced. This is the number to check before trusting an LSH
+# dedup pass at a new (bands, rows) operating point — the theoretical
+# S-curve says P(candidate) = 1-(1-J^r)^b, and this query measures
+# where the corpus actually sits on it. A candidate pair sharing no
+# kept shingle counts J = 0 (left join; precision debit). Both
+# aggregates are 1-row; the cross join is scalar.
+@register(
+    "dedup_lsh_quality",
+    oracle=f"""
+    WITH {_SHINGLE_SQL},
+    {_MINHASH_SIG_SQL},
+    cand AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sig a
+        JOIN sig b ON a.band = b.band AND a.signature = b.signature
+                  AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    kept AS (
+        SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 64
+    ),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        WHERE a.shingle IN (SELECT shingle FROM kept)
+        GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT i.doc_a, i.doc_b,
+               round(CAST(i.n_common AS DOUBLE)
+                     / (sa.n + sb.n - i.n_common), 6) AS jaccard
+        FROM inter i
+        JOIN sizes sa ON i.doc_a = sa.doc_id
+        JOIN sizes sb ON i.doc_b = sb.doc_id
+    ),
+    c AS (
+        SELECT count(*) AS n_candidates,
+               coalesce(sum(CASE WHEN s.jaccard >= 0.5 THEN 1 ELSE 0 END), 0)
+                   AS tp
+        FROM cand LEFT JOIN scored s USING (doc_a, doc_b)
+    ),
+    tr AS (SELECT count(*) AS n_true FROM scored WHERE jaccard >= 0.5)
+    SELECT CAST(c.n_candidates AS BIGINT) AS n_candidates,
+           CAST(tr.n_true AS BIGINT) AS n_true_pairs,
+           CAST(c.tp AS BIGINT) AS true_positives,
+           CASE WHEN c.n_candidates > 0
+                THEN round(CAST(c.tp AS DOUBLE) / c.n_candidates, 6)
+           END AS precision_at_05,
+           CASE WHEN tr.n_true > 0
+                THEN round(CAST(c.tp AS DOUBLE) / tr.n_true, 6)
+           END AS recall_at_05
+    FROM c CROSS JOIN tr
+    """,
+)
+def dedup_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    cand = minhash_lsh_candidates(docs).select("doc_a", "doc_b")
+    scored = ngram_jaccard_pairs(docs, threshold=0.0)
+    is_tp = F.col("jaccard") >= 0.5
+    c = cand.join(scored, ["doc_a", "doc_b"], "left").agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.coalesce(F.sum(F.when(is_tp, 1).otherwise(0)), F.lit(0)).alias("tp"),
+    )
+    tr = scored.filter(is_tp).agg(F.count(F.lit(1)).alias("n_true"))
+    return c.crossJoin(tr).select(
+        F.col("n_candidates").cast("bigint").alias("n_candidates"),
+        F.col("n_true").cast("bigint").alias("n_true_pairs"),
+        F.col("tp").cast("bigint").alias("true_positives"),
+        F.when(
+            F.col("n_candidates") > 0,
+            F.round(F.col("tp").cast("double") / F.col("n_candidates"), 6),
+        ).alias("precision_at_05"),
+        F.when(
+            F.col("n_true") > 0,
+            F.round(F.col("tp").cast("double") / F.col("n_true"), 6),
+        ).alias("recall_at_05"),
+    )

@@ -120,6 +120,7 @@ _PRIORITY: list[str] = [
     "sketch_f2_selfjoin_events",
     "text_langid_confusion",
     "curation_dsir_ess",
+    "dedup_lsh_quality",
     "privacy_k_anonymity_customers",
     "privacy_l_diversity_customers",
     "text_winnow_fingerprints",

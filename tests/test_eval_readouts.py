@@ -61,3 +61,48 @@ class TestDsirEss:
         assert abs(got.top_weight_share - round(max(w) / sw, 6)) < 1e-6
         # Kish bounds: 1 <= ESS <= n
         assert 1.0 <= got.ess <= got.n_docs + 1e-9
+
+
+class TestLshQuality:
+    def test_exact_duplicates_always_recalled(self, spark, tmp_path):
+        # exact duplicates agree on EVERY band (J=1 -> identical
+        # minhash signatures), so recall@0.5 must be 1.0 on a corpus
+        # whose only true pairs are exact dups
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq2
+
+        from emission_project_spark.plans.extensions import dedup_lsh_quality
+
+        texts = [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta"),  # dup of 1
+            (3, " ".join(f"u{i} v{i} w{i}" for i in range(12))),
+            (4, " ".join(f"x{i} y{i} z{i}" for i in range(12))),
+        ]
+        t = pa.table(
+            {
+                "doc_id": pa.array([d for d, _ in texts], type=pa.int64()),
+                "text": pa.array([s for _, s in texts], type=pa.string()),
+                "lang": pa.array(["en"] * 4, type=pa.string()),
+                "source": pa.array(["web"] * 4, type=pa.string()),
+                "n_chars": pa.array([len(s) for _, s in texts], type=pa.int64()),
+            }
+        )
+        pq2.write_table(t, os.path.join(tmp_path, "documents.parquet"))
+        row = dedup_lsh_quality(spark, str(tmp_path)).first()
+        assert row.n_true_pairs >= 1
+        assert row.recall_at_05 == 1.0
+        assert row.true_positives <= row.n_candidates
+        assert row.true_positives <= row.n_true_pairs
+
+    def test_invariants_on_corpus(self, spark, sf_dir):
+        import __spark_entry__ as entry
+
+        row = entry.queries()["dedup_lsh_quality"](spark, sf_dir).first()
+        assert row.true_positives <= min(row.n_candidates, row.n_true_pairs)
+        if row.n_candidates:
+            assert 0.0 <= row.precision_at_05 <= 1.0
+        if row.n_true_pairs:
+            assert 0.0 <= row.recall_at_05 <= 1.0

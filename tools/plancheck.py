@@ -59,6 +59,7 @@ SCALAR_CROSS_OK = {
     "similarity_centroid_confusion",    # |labels|-row centroid broadcast
     "sketch_f2_selfjoin_events",        # 1-row exact × 1-row estimate
     "curation_dsir_ess",                # 1-row LM totals + 1-row max-shift scalar
+    "dedup_lsh_quality",                # 1-row candidate agg × 1-row truth agg
 }
 
 
