@@ -139,6 +139,13 @@ SF1_HEAVY = [
     # for super-linear drift).
     "graph_pagerank_parts",
     "text_bigram_perplexity",
+    # round-6-late additions: both ride the capped inverted index —
+    # containment's pair mass is bounded by max_doc_freq exactly like
+    # jaccard's, and the LSH quality readout runs the band join AND
+    # the exact pipeline (its wall-time is the sum of both, the most
+    # shuffle-heavy single query in the registry).
+    "dedup_shingle_containment",
+    "dedup_lsh_quality",
 ]
 
 # Second decade (100x rows), opt-in via BENCH_SF10=1: the steepest
