@@ -305,3 +305,63 @@ def layout_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("files_total", F.lit(64).cast("bigint"))
     )
+
+
+# contribution cap: max documents any one (source, lang) cell may
+# contribute to the training mix (the RefinedWeb/C4 per-host cap,
+# Penedo et al. 2023 §3.1 — one over-crawled domain must not dominate
+# the corpus). 10 caps the hot cells at every test SF while leaving
+# small cells whole.
+_CELL_CAP = 10
+
+
+# --- per-(source, lang) contribution cap. Selection inside a cell is
+# a deterministic hash lottery: rank by md5(doc_id) (uniform,
+# reproducible across engines and runs — the same discipline as the
+# curation samplers) and keep the first CAP. Plan: ONE exchange on the
+# cell key for the rank window, then a partial-agg rollup on the same
+# key — Catalyst reuses the partitioning, so the cap costs exactly one
+# shuffle. At 100 TB a pathological mega-cell makes the per-cell sort
+# the bottleneck; the escape is two-phase (approx p = CAP/n quantile of
+# the hash per cell, filter, exact-rank only the boundary) — same
+# output, documented here, not needed at any tested scale. The report
+# is cell-cardinality-sized (≤ |sources|×|langs|), never data-sized.
+@register(
+    "curation_domain_cap",
+    oracle=f"""
+    WITH r AS (
+        SELECT source, lang,
+               row_number() OVER (
+                   PARTITION BY source, lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        FROM documents
+    )
+    SELECT source, lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN rk <= {_CELL_CAP} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+           CAST(sum(CASE WHEN rk > {_CELL_CAP} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dropped,
+           (count(*) > {_CELL_CAP}) AS capped,
+           round(sum(CASE WHEN rk <= {_CELL_CAP} THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 4) AS kept_frac
+    FROM r GROUP BY source, lang
+    """,
+)
+def curation_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source", "lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    r = docs.select("source", "lang", "doc_id").withColumn(
+        "rk", F.row_number().over(w)
+    )
+    kept = F.sum(F.when(F.col("rk") <= _CELL_CAP, 1).otherwise(0))
+    dropped = F.sum(F.when(F.col("rk") > _CELL_CAP, 1).otherwise(0))
+    return r.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        kept.cast("bigint").alias("n_kept"),
+        dropped.cast("bigint").alias("n_dropped"),
+        (F.count(F.lit(1)) > _CELL_CAP).alias("capped"),
+        F.round(kept * 1.0 / F.count(F.lit(1)), 4).alias("kept_frac"),
+    )

@@ -280,3 +280,78 @@ def stats_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("term").over(tot), 6).alias("psi_total"),
         (F.sum("term").over(tot) > 0.2).alias("drift_action"),
     )
+
+
+# --- autocorrelation of the hourly event-count series at lags 1/2/3/24
+# (24 = the daily-seasonality probe): the time-series health readout
+# that tells a pipeline whether its ingest volume has memory — a flat
+# ACF means Poisson-like arrivals, a spiked lag-24 means a daily cycle
+# the capacity planner must budget for. Plan: the fact scan collapses
+# to the hour-cardinality series FIRST (one hash partial-agg; 720 rows
+# here, ≤ hours-in-retention at any corpus size), then ONE
+# unpartitioned window pass builds all four lag columns over that
+# bucket-sized frame (the events_cumulative_users discipline: global
+# windows only ever run over bucket-cardinality input), and one
+# aggregate emits all four Pearson correlations. The four output rows
+# come from `stack` on the single agg row — no second scan, no
+# self-join. ACF is computed over the OBSERVED hour sequence; on a
+# sparse series compose with events_gapfill_hourly first (this
+# corpus's 720 hours are dense).
+@register(
+    "events_hourly_acf",
+    oracle="""
+    WITH h AS (
+        SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1
+    ),
+    l AS (
+        SELECT cnt,
+               lag(cnt, 1) OVER (ORDER BY hour) AS c1,
+               lag(cnt, 2) OVER (ORDER BY hour) AS c2,
+               lag(cnt, 3) OVER (ORDER BY hour) AS c3,
+               lag(cnt, 24) OVER (ORDER BY hour) AS c24
+        FROM h
+    ),
+    a AS (
+        SELECT CAST(count(c1) AS BIGINT) AS n1, corr(cnt, c1) AS a1,
+               CAST(count(c2) AS BIGINT) AS n2, corr(cnt, c2) AS a2,
+               CAST(count(c3) AS BIGINT) AS n3, corr(cnt, c3) AS a3,
+               CAST(count(c24) AS BIGINT) AS n24, corr(cnt, c24) AS a24
+        FROM l
+    )
+    SELECT lag, n_pairs, round(acf, 4) AS acf
+    FROM (
+        SELECT CAST(1 AS BIGINT) AS lag, n1 AS n_pairs, a1 AS acf FROM a
+        UNION ALL SELECT 2, n2, a2 FROM a
+        UNION ALL SELECT 3, n3, a3 FROM a
+        UNION ALL SELECT 24, n24, a24 FROM a
+    )
+    """,
+)
+def events_hourly_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.orderBy("hour")
+    lagged = h.select(
+        "cnt",
+        *[F.lag("cnt", k).over(w).alias(f"c{k}") for k in (1, 2, 3, 24)],
+    )
+    a = lagged.agg(
+        *[c for k in (1, 2, 3, 24) for c in (
+            F.count(f"c{k}").alias(f"n{k}"),
+            F.corr("cnt", f"c{k}").alias(f"a{k}"),
+        )]
+    )
+    stacked = a.select(
+        F.expr(
+            "stack(4, "
+            "CAST(1 AS BIGINT), n1, a1, "
+            "CAST(2 AS BIGINT), n2, a2, "
+            "CAST(3 AS BIGINT), n3, a3, "
+            "CAST(24 AS BIGINT), n24, a24) AS (lag, n_pairs, acf)"
+        )
+    )
+    return stacked.select("lag", "n_pairs", F.round("acf", 4).alias("acf"))

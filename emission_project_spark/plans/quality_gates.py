@@ -497,3 +497,106 @@ def stats_winsorized_doc_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(wins), 6).alias("winsorized_mean"),
         F.round(F.avg(trim), 6).alias("trimmed_mean"),
     )
+
+
+# --- reliability diagram + expected-calibration-error terms for the
+# linear quality classifier, scored against the Gopher rule gate as
+# pseudo-gold (the gate self-evaluation family: text_langid_confusion,
+# dedup_lsh_quality). Decile bins of p_keep; per bin the mean
+# predicted probability vs the observed gold rate, the |gap|, and the
+# n-weighted ECE contribution (sum of ece_term = ECE, Naeini et al.
+# 2015). Plan: the two operator pipelines are REUSED as subplans
+# (composition, not re-implementation), joined on doc_id — one
+# doc-keyed exchange each side — then collapsed to the ≤10-row bin
+# frame; the ECE total-weight window runs over that bin frame only.
+# The oracle inlines both registered pipelines' CTEs verbatim.
+@register(
+    "stats_classifier_calibration",
+    oracle=f"""
+    WITH w AS (
+        SELECT bucket,
+               ('0x' || substring(md5(CAST(bucket AS VARCHAR)), 1, 7))::BIGINT
+                   % 2001 - 1000 AS wi
+        FROM (SELECT unnest(range({_CLF_D})) AS bucket)
+    ),
+    t AS (SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents),
+    tb AS (
+        SELECT doc_id,
+               ('0x' || substring(md5(tok), 1, 7))::BIGINT % {_CLF_D} AS bucket
+        FROM t
+    ),
+    s AS (
+        SELECT tb.doc_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(w.wi) AS BIGINT) AS swi
+        FROM tb JOIN w USING (bucket) GROUP BY tb.doc_id
+    ),
+    p AS (
+        SELECT d.doc_id,
+               round(CASE WHEN s.doc_id IS NULL THEN 0.5
+                          ELSE 1.0 / (1.0 + exp(-(s.swi
+                               / ({_CLF_SCALE}.0 * s.n_tokens)))) END, 6)
+                   AS p_keep
+        FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id
+    ),
+    g AS (
+        SELECT doc_id,
+               (CAST(len(toks) AS BIGINT) BETWEEN 50 AND 100000
+                AND (CASE WHEN len(toks) = 0 THEN 0.0
+                          ELSE list_sum(list_transform(toks, t -> len(t)))
+                               * 1.0 / len(toks) END) BETWEEN 3 AND 10
+                AND (CASE WHEN len(toks) = 0 THEN 0.0
+                          ELSE len(list_filter(toks,
+                                   t -> regexp_matches(t, '[a-z]')))
+                               * 1.0 / len(toks) END) > 0.8
+                AND len(list_intersect(list_distinct(toks), {_STOP_SQL})) >= 2)
+                   AS gold
+        FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents)
+    ),
+    b AS (
+        SELECT least(CAST(floor(p.p_keep * 10) AS BIGINT), 9) AS bin,
+               p.p_keep,
+               CASE WHEN g.gold THEN 1 ELSE 0 END AS gi
+        FROM p JOIN g USING (doc_id)
+    ),
+    c AS (
+        SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+               avg(p_keep) AS mp, avg(gi) AS fg
+        FROM b GROUP BY bin
+    )
+    SELECT bin, n_docs,
+           round(mp, 4) AS mean_p_keep,
+           round(fg, 4) AS frac_gold,
+           round(abs(mp - fg), 4) AS abs_gap,
+           round(n_docs * abs(mp - fg) / sum(n_docs) OVER (), 6) AS ece_term
+    FROM c
+    """,
+)
+def stats_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    clf = text_quality_linear_classifier(spark, sf_dir).select("doc_id", "p_keep")
+    gold = text_gopher_rules(spark, sf_dir).select(
+        "doc_id", F.col("passes_gopher").cast("int").alias("gi")
+    )
+    b = clf.join(gold, "doc_id").select(
+        F.least(F.floor(F.col("p_keep") * 10).cast("bigint"), F.lit(9).cast("bigint"))
+        .alias("bin"),
+        "p_keep",
+        "gi",
+    )
+    c = b.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("p_keep").alias("_mp"),
+        F.avg("gi").alias("_fg"),
+    )
+    total = F.sum("n_docs").over(Window.partitionBy())
+    return c.select(
+        "bin",
+        "n_docs",
+        F.round("_mp", 4).alias("mean_p_keep"),
+        F.round("_fg", 4).alias("frac_gold"),
+        F.round(F.abs(F.col("_mp") - F.col("_fg")), 4).alias("abs_gap"),
+        F.round(F.col("n_docs") * F.abs(F.col("_mp") - F.col("_fg")) / total, 6)
+        .alias("ece_term"),
+    )

@@ -1,0 +1,105 @@
+"""Constructed invariants for the session-5 queries (domain cap,
+hourly ACF, classifier calibration) — properties the oracle hash
+can't state (it proves engine parity, not meaning)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow.parquet as pq
+
+SF001 = "/root/testdata/sf0.01"  # smallest SF where some cells exceed the cap
+
+
+class TestDomainCap:
+    def test_cap_arithmetic_and_cell_totals(self, spark, sf_dir):
+        from emission_project_spark.plans.corpus_ops import (
+            _CELL_CAP,
+            curation_domain_cap,
+        )
+        from emission_project_spark.catalog.tables import load_table
+
+        rows = curation_domain_cap(spark, sf_dir).collect()
+        docs = load_table(spark, sf_dir, "documents")
+        want = {
+            (r["source"], r["lang"]): r["n"]
+            for r in docs.groupBy("source", "lang").count().withColumnRenamed(
+                "count", "n"
+            ).collect()
+        }
+        got = {(r.source, r.lang): r for r in rows}
+        assert set(got) == set(want)
+        for key, r in got.items():
+            assert r.n_docs == want[key]
+            assert r.n_kept == min(r.n_docs, _CELL_CAP)
+            assert r.n_kept + r.n_dropped == r.n_docs
+            assert r.capped == (r.n_docs > _CELL_CAP)
+            assert abs(r.kept_frac - round(r.n_kept / r.n_docs, 4)) < 1e-9
+
+    def test_hot_cells_actually_capped_at_sf001(self, spark):
+        from emission_project_spark.plans.corpus_ops import curation_domain_cap
+
+        rows = curation_domain_cap(spark, SF001).collect()
+        assert any(r.capped for r in rows), "cap never binds at sf0.01"
+        assert any(not r.capped for r in rows), "cap binds everywhere"
+
+
+class TestHourlyAcf:
+    def test_matches_numpy_recompute(self, spark, sf_dir):
+        from emission_project_spark.plans.drift_stats import events_hourly_acf
+
+        got = {r.lag: r for r in events_hourly_acf(spark, sf_dir).collect()}
+        assert set(got) == {1, 2, 3, 24}
+
+        ev = pq.read_table(f"{sf_dir}/events.parquet").to_pandas()
+        series = (
+            ev.assign(hour=ev.ts.dt.floor("h"))
+            .groupby("hour")
+            .size()
+            .sort_index()
+            .to_numpy(dtype=float)
+        )
+        for lag, r in got.items():
+            a, b = series[lag:], series[:-lag]
+            assert r.n_pairs == len(a)
+            want = float(np.corrcoef(a, b)[0, 1])
+            assert abs(r.acf - round(want, 4)) < 1e-6
+            assert -1.0 <= r.acf <= 1.0
+
+
+class TestClassifierCalibration:
+    def test_bins_partition_corpus_and_ece_recomputes(self, spark, sf_dir):
+        from emission_project_spark.plans.quality_gates import (
+            stats_classifier_calibration,
+            text_gopher_rules,
+            text_quality_linear_classifier,
+        )
+
+        rows = stats_classifier_calibration(spark, sf_dir).collect()
+        p = {
+            r.doc_id: r.p_keep
+            for r in text_quality_linear_classifier(spark, sf_dir).collect()
+        }
+        gold = {
+            r.doc_id: r.passes_gopher
+            for r in text_gopher_rules(spark, sf_dir).collect()
+        }
+        assert sum(r.n_docs for r in rows) == len(p)
+
+        by_bin: dict[int, list[int]] = {}
+        for doc_id, pk in p.items():
+            by_bin.setdefault(min(int(math.floor(pk * 10)), 9), []).append(doc_id)
+        got = {r.bin: r for r in rows}
+        assert set(got) == set(by_bin)
+        total = len(p)
+        for b, ids in by_bin.items():
+            r = got[b]
+            assert 0 <= r.bin <= 9
+            assert r.n_docs == len(ids)
+            mp = sum(p[i] for i in ids) / len(ids)
+            fg = sum(1 for i in ids if gold[i]) / len(ids)
+            assert abs(r.mean_p_keep - round(mp, 4)) < 1e-6
+            assert abs(r.frac_gold - round(fg, 4)) < 1e-6
+            assert abs(r.abs_gap - round(abs(mp - fg), 4)) < 1e-6
+            assert abs(r.ece_term - round(len(ids) * abs(mp - fg) / total, 6)) < 1e-6
