@@ -297,6 +297,15 @@ def stats_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 # self-join. ACF is computed over the OBSERVED hour sequence; on a
 # sparse series compose with events_gapfill_hourly first (this
 # corpus's 720 hours are dense).
+#
+# Degenerate-series discipline: Spark 4's ANSI-mode `corr` THROWS
+# DIVIDE_BY_ZERO on a zero-variance or single-pair input (exactly what
+# the crafted boundary corpora produce), while DuckDB's returns NULL.
+# So the Spark side computes Pearson r from conditional moment sums
+# with `try_divide` — NULL on 0 pairs / 1 pair / constant series, the
+# oracle's semantics — instead of F.corr. The moment products are
+# exact for integer counts within 2^53, so a truly constant series
+# yields a variance of exactly 0.0, never a tiny negative.
 @register(
     "events_hourly_acf",
     oracle="""
@@ -336,15 +345,33 @@ def events_hourly_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.orderBy("hour")
     lagged = h.select(
-        "cnt",
-        *[F.lag("cnt", k).over(w).alias(f"c{k}") for k in (1, 2, 3, 24)],
+        F.col("cnt").cast("double").alias("cnt"),
+        *[
+            F.lag("cnt", k).over(w).cast("double").alias(f"c{k}")
+            for k in (1, 2, 3, 24)
+        ],
     )
-    a = lagged.agg(
-        *[c for k in (1, 2, 3, 24) for c in (
-            F.count(f"c{k}").alias(f"n{k}"),
-            F.corr("cnt", f"c{k}").alias(f"a{k}"),
-        )]
-    )
+
+    def _pearson_aggs(k: int) -> list:
+        ck = F.col(f"c{k}")
+        x = F.when(ck.isNotNull(), F.col("cnt"))  # pair set = rows with a lag
+        n = F.count(ck).cast("double")
+        sx, sy = F.sum(x), F.sum(ck)
+        sxx, syy = F.sum(x * x), F.sum(ck * ck)
+        sxy = F.sum(x * ck)
+        cov = n * sxy - sx * sy
+        # greatest(…, 0): a variance is mathematically ≥ 0; the clamp
+        # keeps an FP-cancellation hair below zero from reaching sqrt
+        # (NaN would leak where the oracle has NULL).
+        vxy = F.greatest(n * sxx - sx * sx, F.lit(0.0)) * F.greatest(
+            n * syy - sy * sy, F.lit(0.0)
+        )
+        return [
+            F.count(ck).alias(f"n{k}"),
+            F.try_divide(cov, F.sqrt(vxy)).alias(f"a{k}"),
+        ]
+
+    a = lagged.agg(*[c for k in (1, 2, 3, 24) for c in _pearson_aggs(k)])
     stacked = a.select(
         F.expr(
             "stack(4, "

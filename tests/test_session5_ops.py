@@ -103,3 +103,44 @@ class TestClassifierCalibration:
             assert abs(r.frac_gold - round(fg, 4)) < 1e-6
             assert abs(r.abs_gap - round(abs(mp - fg), 4)) < 1e-6
             assert abs(r.ece_term - round(len(ids) * abs(mp - fg) / total, 6)) < 1e-6
+
+
+class TestHourlyAcfDegenerate:
+    def test_constant_series_yields_null_not_error(self, spark, tmp_path):
+        """Spark 4 ANSI `corr` throws DIVIDE_BY_ZERO on zero variance;
+        the moments+try_divide form must return NULL (DuckDB corr
+        semantics) on a constant hourly series instead."""
+        import datetime as dt
+
+        import pyarrow as pa
+
+        from emission_project_spark.plans.drift_stats import events_hourly_acf
+
+        rows = []
+        for h in range(30):  # 30 hours, exactly 2 events each → constant
+            for j in range(2):
+                rows.append(
+                    (
+                        h * 2 + j,
+                        dt.datetime(2024, 1, 1) + dt.timedelta(hours=h, minutes=j),
+                        1,
+                        "click",
+                        1.0,
+                        "{}",
+                    )
+                )
+        cols = list(zip(*rows))
+        table = pa.table(
+            {
+                "event_id": pa.array(cols[0], type=pa.int64()),
+                "ts": pa.array(cols[1], type=pa.timestamp("us")),
+                "user_id": pa.array(cols[2], type=pa.int64()),
+                "event_type": pa.array(cols[3], type=pa.string()),
+                "value": pa.array(cols[4], type=pa.float64()),
+                "props": pa.array(cols[5], type=pa.string()),
+            }
+        )
+        pq.write_table(table, str(tmp_path / "events.parquet"))
+        got = {r.lag: r for r in events_hourly_acf(spark, str(tmp_path)).collect()}
+        assert got[1].n_pairs == 29 and got[1].acf is None
+        assert got[24].n_pairs == 6 and got[24].acf is None
