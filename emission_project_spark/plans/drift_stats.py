@@ -382,3 +382,103 @@ def events_hourly_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return stacked.select("lag", "n_pairs", F.round("acf", 4).alias("acf"))
+
+
+# --- CUSUM changepoint localization on the hourly series: where PSI
+# answers "did the distribution move between two fixed halves", CUSUM
+# (Page 1954; the Brownian-bridge form) answers WHEN the level
+# shifted — argmax_t |Σ_{i≤t}(c_i − mean)|, normalized by sd·√n and
+# compared to the Kolmogorov 5% critical value 1.358 (the sup of the
+# bridge has the same limit law as the KS statistic). Plan: the fact
+# scan collapses to the hour frame first; the running sum is ONE
+# ordered window over that bucket-sized frame (running Σc is an exact
+# integer — S_t = cum − t·mean reproduces bit-identically across
+# engines because both compute the same two doubles); global moments
+# ride the same frame as an unpartitioned window; the final argmax is
+# a 1-row conditional aggregate with an earliest-hour tie-break. All
+# variance/normalization terms go through try_divide / nullif so the
+# 1-hour and constant-series degenerates are NULL on both engines
+# (Spark's stddev_samp would be NaN — same ANSI trap family as
+# events_hourly_acf).
+@register(
+    "events_cusum_changepoint",
+    oracle="""
+    WITH h AS (
+        SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1
+    ),
+    m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               sum(1.0 * cnt) AS sx,
+               sum(1.0 * cnt * cnt) AS sxx
+        FROM h
+    ),
+    s AS (
+        SELECT hour,
+               sum(cnt) OVER (ORDER BY hour
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+               row_number() OVER (ORDER BY hour) AS t
+        FROM h
+    ),
+    x AS (
+        SELECT s.hour, abs(s.cum - s.t * (m.sx / m.n)) AS abss FROM s, m
+    ),
+    a AS (
+        SELECT max(abss) AS mx,
+               min(hour) FILTER (WHERE abss = (SELECT max(abss) FROM x))
+                   AS change_hour
+        FROM x
+    )
+    SELECT m.n AS n_hours,
+           round(m.sx / m.n, 4) AS mean_cnt,
+           round(sqrt((m.n * m.sxx - m.sx * m.sx)
+                      / nullif(1.0 * m.n * (m.n - 1), 0)), 4) AS sd_cnt,
+           a.change_hour,
+           round(a.mx / nullif(
+               sqrt((m.n * m.sxx - m.sx * m.sx)
+                    / nullif(1.0 * m.n * (m.n - 1), 0)) * sqrt(m.n), 0), 4)
+               AS cusum_stat,
+           (a.mx / nullif(
+               sqrt((m.n * m.sxx - m.sx * m.sx)
+                    / nullif(1.0 * m.n * (m.n - 1), 0)) * sqrt(m.n), 0)
+            > 1.358) AS significant_5pct
+    FROM m, a
+    """,
+)
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w_ord = Window.orderBy("hour").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    s = h.select(
+        "hour",
+        F.sum("cnt").over(w_ord).alias("cum"),
+        F.row_number().over(Window.orderBy("hour")).alias("t"),
+        F.count(F.lit(1)).over(w_all).cast("bigint").alias("n"),
+        F.sum(F.col("cnt") * 1.0).over(w_all).alias("sx"),
+        F.sum(F.col("cnt") * 1.0 * F.col("cnt")).over(w_all).alias("sxx"),
+    )
+    x = s.select(
+        "hour", "n", "sx", "sxx",
+        F.abs(F.col("cum") - F.col("t") * (F.col("sx") / F.col("n"))).alias("abss"),
+    ).withColumn("mxw", F.max("abss").over(w_all))
+    sd = F.sqrt(
+        F.try_divide(
+            F.first("n") * F.first("sxx") - F.first("sx") * F.first("sx"),
+            1.0 * F.first("n") * (F.first("n") - 1),
+        )
+    )
+    stat = F.try_divide(F.max("abss"), sd * F.sqrt(F.first("n")))
+    agg = x.agg(
+        F.first("n").alias("n_hours"),
+        F.round(F.first("sx") / F.first("n"), 4).alias("mean_cnt"),
+        F.round(sd, 4).alias("sd_cnt"),
+        F.min(F.when(F.col("abss") == F.col("mxw"), F.col("hour")))
+        .alias("change_hour"),
+        F.round(stat, 4).alias("cusum_stat"),
+        (stat > 1.358).alias("significant_5pct"),
+    )
+    return agg

@@ -144,3 +144,64 @@ class TestHourlyAcfDegenerate:
         got = {r.lag: r for r in events_hourly_acf(spark, str(tmp_path)).collect()}
         assert got[1].n_pairs == 29 and got[1].acf is None
         assert got[24].n_pairs == 6 and got[24].acf is None
+
+
+class TestCusumChangepoint:
+    @staticmethod
+    def _write_events(tmp_path, counts):
+        import datetime as dt
+
+        import pyarrow as pa
+
+        rows = []
+        eid = 0
+        for h, c in enumerate(counts):
+            for j in range(c):
+                rows.append(
+                    (
+                        eid,
+                        dt.datetime(2024, 1, 1) + dt.timedelta(hours=h, minutes=j % 60),
+                        1,
+                        "click",
+                        1.0,
+                        "{}",
+                    )
+                )
+                eid += 1
+        cols = list(zip(*rows))
+        table = pa.table(
+            {
+                "event_id": pa.array(cols[0], type=pa.int64()),
+                "ts": pa.array(cols[1], type=pa.timestamp("us")),
+                "user_id": pa.array(cols[2], type=pa.int64()),
+                "event_type": pa.array(cols[3], type=pa.string()),
+                "value": pa.array(cols[4], type=pa.float64()),
+                "props": pa.array(cols[5], type=pa.string()),
+            }
+        )
+        pq.write_table(table, str(tmp_path / "events.parquet"))
+
+    def test_planted_level_shift_is_localized(self, spark, tmp_path):
+        import datetime as dt
+
+        from emission_project_spark.plans.drift_stats import events_cusum_changepoint
+
+        # 20 quiet hours (2/h) then 20 loud hours (10/h): |S| peaks at
+        # the boundary hour t=20 (hour index 19), S_20 = 40 - 20*6 = -80
+        self._write_events(tmp_path, [2] * 20 + [10] * 20)
+        r = events_cusum_changepoint(spark, str(tmp_path)).first()
+        assert r.n_hours == 40
+        assert r.change_hour == dt.datetime(2024, 1, 1, 19)
+        assert abs(r.mean_cnt - 6.0) < 1e-9
+        assert r.significant_5pct is True
+        # stat recompute: 80 / (sd * sqrt(40))
+        sd = (40 * (20 * 4 + 20 * 100) - 240.0 * 240.0) / (40.0 * 39.0)
+        assert abs(r.cusum_stat - round(80.0 / (sd**0.5 * 40**0.5), 4)) < 1e-6
+
+    def test_constant_series_is_null_not_error(self, spark, tmp_path):
+        from emission_project_spark.plans.drift_stats import events_cusum_changepoint
+
+        self._write_events(tmp_path, [3] * 12)
+        r = events_cusum_changepoint(spark, str(tmp_path)).first()
+        assert r.n_hours == 12
+        assert r.cusum_stat is None and r.significant_5pct is None
