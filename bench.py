@@ -109,6 +109,11 @@ R6_EXTRA = [
     "text_langid_confusion",
     "curation_dsir_ess",
     "dedup_lsh_quality",
+    # session-5 additions: governance cap, time-series pair, calibration
+    "curation_domain_cap",
+    "events_hourly_acf",
+    "events_cusum_changepoint",
+    "stats_classifier_calibration",
 ]
 
 # The heaviest operators, re-run at the 10x dataset for the scale
