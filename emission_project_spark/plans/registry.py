@@ -115,6 +115,11 @@ _PRIORITY: list[str] = [
     # re-profiled clean this round — SCALING.md "winnow drift was
     # noise") and the rest of the r3 tail, in this order.
     # (tests/test_queries_smoke.py pins name resolution.)
+    # Session-3 builds (curation_domain_cap, events_hourly_acf,
+    # events_cusum_changepoint, stats_classifier_calibration) are not
+    # listed here: they register after _PRIORITY in import order and
+    # belong at the head of the round-7 rotation with the overflow
+    # below.
     "similarity_centroid_confusion",
     "stream_psi_drift_batch",
     "sketch_f2_selfjoin_events",
