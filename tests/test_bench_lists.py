@@ -27,3 +27,16 @@ def test_bench_lists_disjoint_headline_extra():
     assert not set(bench.HEADLINE) & set(bench.R5_EXTRA)
     assert not set(bench.HEADLINE) & set(bench.R6_EXTRA)
     assert not set(bench.R5_EXTRA) & set(bench.R6_EXTRA)
+
+
+def test_mt_calibration_probe_runs_and_bounds():
+    # the all-cores twin must complete quickly and can never beat a
+    # single worker's loop (it RUNS 32 of them; equality only on an
+    # impossibly ideal fork)
+    import time
+
+    t0 = time.perf_counter()
+    single = bench.cpu_calibration_mt(n_workers=1)
+    mt = bench.cpu_calibration_mt(n_workers=4)
+    assert 0 < single < 30 and 0 < mt < 60
+    assert time.perf_counter() - t0 < 90

@@ -25,6 +25,14 @@ import sys
 WOBBLE = 0.15   # documented local-JVM noise band
 HARD = 0.30     # normalized regression that fails the exit code
 
+# Contention index (cpu_calibration_mt_s / cpu_calibration_s) above
+# which single-thread normalization is KNOWN unreliable: co-tenant
+# core theft slows every 32-thread stage while the single-thread probe
+# stays normal (SCALING.md round-6 session 2 — a uniform +25% at a
+# clean calibration). Measured quiet-host index ≈ 1.3-2.0 (fork
+# overhead included); the contended episode would have shown >>3.
+CONTENDED = 2.5
+
 
 def _load(path: str) -> dict:
     with open(path) as f:
@@ -90,6 +98,27 @@ def main() -> int:
         f"\n{len(common)} compared; {len(regressions)} beyond wobble; "
         f"{len(hard)} hard (> {int(HARD * 100)}% normalized)"
     )
+
+    # Core-theft screen: if either record was taken under multicore
+    # contention the single-thread normalization above cannot be
+    # trusted — report INCONCLUSIVE (exit 3) instead of failing hard,
+    # and point at the clean-export A/B as the adjudication.
+    def contention_index(rec: dict) -> float | None:
+        st, mt = rec.get("cpu_calibration_s"), rec.get("cpu_calibration_mt_s")
+        return (mt / st) if (st and mt) else None
+
+    ia, ib = contention_index(a), contention_index(b)
+    for label, idx in (("old", ia), ("new", ib)):
+        if idx is not None:
+            print(f"contention index ({label}): {idx:.2f}"
+                  + ("  CONTENDED" if idx > CONTENDED else ""))
+    if hard and any(idx is not None and idx > CONTENDED for idx in (ia, ib)):
+        print(
+            "INCONCLUSIVE: hard regressions measured under multicore "
+            "contention — re-run on a quiet host or adjudicate with the "
+            "old-commit clean-export A/B (SCALING.md)."
+        )
+        return 3
     return 1 if hard else 0
 
 
