@@ -36,90 +36,21 @@ def register(name: str, oracle: str | None = None):
 
 
 # The driver's correctness artifact covers the first 50 registered
-# queries. Window policy (round 6): EVERY query that has never had a
-# driver row is in-window — (a) the 33 round-5 builds (TPC-H Q2/Q4/
-# Q6/Q8/Q10/Q11/Q12/Q15/Q16/Q20 grid, corpus-LM block, both graph
-# ranks, events/stats tail) in slots 1-33 — the rotation round 5
-# promised but did not apply; (b) 17 round-6 builds in slots 34-50:
-# the PQ/IVF-PQ ADC pair (plain + exact re-rank), the PCA stage-1
-# cross-moment probe, the substring-span pair + cap report, the
-# grid-completing TPC-H Q3, the linear quality classifier, the
-# winsorized length stats, the embedding-norm QC gate, the
-# canonical-survivor join, the five corpus-governance additions
-# (shingle containment minus the two privacy gates, chi-squared,
-# epoch schedule, z-order layout), and the drift trio (KS,
-# Mann-Whitney, PSI — the richest new cross-engine numerics). The
-# privacy gates, the winnow refresh pair, and the rest of the r3
-# tail rotate in round 7 — listed after the boundary in refresh
-# order.
+# queries. Window policy (round 7): (a) slots 1-12 are the twelve
+# queries that have never had a driver row — the round-6 overflow
+# (centroid confusion, streaming-PSI batch twin, AMS F2, langid
+# confusion, DSIR ESS, LSH banding quality, the two privacy gates)
+# plus the four session-3 builds (domain cap, hourly ACF, CUSUM
+# changepoint, classifier calibration); (b) round-7 new builds
+# follow, marked below — never driver-verified by construction;
+# (c) the remaining slots refresh the oldest driver rows: the
+# r3-verified tail in the refresh order round 6 laid out (winnow
+# pair first, then dedup/similarity families, text gates, events,
+# skew/relational core). After round 7 every query's latest driver
+# row should be ≤3 rounds old or queued at the head of round 8's
+# rotation. (tests/test_queries_smoke.py pins name resolution.)
 _PRIORITY: list[str] = [
-    # -- (a) round-5 builds: first driver row ------------------------------
-    "skew_key_profile_lineitem",
-    "join_q2_min_cost_supplier",
-    "join_q4_order_priority_check",
-    "join_q8_market_share",
-    "join_q10_returned_top_customers",
-    "join_q11_important_stock",
-    "join_q12_ship_class_priority",
-    "join_q15_top_supplier",
-    "join_q20_excess_share_suppliers",
-    "join_q6_forecast_revenue",
-    "curation_dsir_weights",
-    "text_bigram_perplexity",
-    "text_token_entropy",
-    "graph_pagerank_parts",
-    "text_gopher_rules",
-    "events_funnel_3step",
-    "embedding_matryoshka_energy",
-    "stats_welch_ab_events",
-    "events_cumulative_users",
-    "text_ngram_novelty",
-    "graph_hits_part_authority",
-    "embedding_dim_variance",
-    "embedding_quantize_error",
-    "events_anomaly_mad",
-    "profile_orders_columns",
-    "text_sentence_stats",
-    "events_dwell_times",
-    "events_transition_matrix",
-    "basket_part_pairs_lift",
-    "similarity_knn_classify",
-    "join_q16_supplier_diversity",
-    "stats_regression_price_on_qty",
-    "text_zipf_slope",
-    # -- (b) built round 6: first driver rows ------------------------------
-    "similarity_ivfpq_topk",
-    "similarity_ivfpq_rerank_topk",
-    "embedding_covariance_block",
-    "dedup_substring_spans",
-    "dedup_substring_cap_report",
-    "join_q3_shipping_priority",
-    "text_quality_linear_classifier",
-    "stats_winsorized_doc_lengths",
-    "embedding_norm_outliers",
-    "dedup_canonical_survivors",
-    "dedup_shingle_containment",
-    "stats_chi2_segment_priority",
-    "curation_epoch_schedule",
-    "layout_zorder_skipping",
-    "stats_ks_two_sample",
-    "stats_mannwhitney_u",
-    "stats_psi_value_drift",
-    # ---- window boundary (slot 50 = stats_psi_value_drift) ---------------
-    # 33 round-5 builds + 17 round-6 builds fill the window exactly;
-    # more round-6 builds exist than slots, so the overflow heads the
-    # round-7 rotation: first the later round-6 builds (centroid
-    # confusion), then the privacy gates (pure integer counting with
-    # pandas recomputation pytests — the least incremental value from
-    # a driver row), then the winnow refresh pair (r3 rows,
-    # re-profiled clean this round — SCALING.md "winnow drift was
-    # noise") and the rest of the r3 tail, in this order.
-    # (tests/test_queries_smoke.py pins name resolution.)
-    # Session-3 builds (curation_domain_cap, events_hourly_acf,
-    # events_cusum_changepoint, stats_classifier_calibration) are not
-    # listed here: they register after _PRIORITY in import order and
-    # belong at the head of the round-7 rotation with the overflow
-    # below.
+    # -- (a) never driver-verified: round-6 overflow + session-3 builds ----
     "similarity_centroid_confusion",
     "stream_psi_drift_batch",
     "sketch_f2_selfjoin_events",
@@ -128,6 +59,12 @@ _PRIORITY: list[str] = [
     "dedup_lsh_quality",
     "privacy_k_anonymity_customers",
     "privacy_l_diversity_customers",
+    "curation_domain_cap",
+    "events_hourly_acf",
+    "events_cusum_changepoint",
+    "stats_classifier_calibration",
+    # -- (b) round-7 new builds (insert here as they land) -----------------
+    # -- (c) r3-row refresh tail -------------------------------------------
     "text_winnow_fingerprints",
     "dedup_winnow_pairs",
     "approx_aggregates_events",
