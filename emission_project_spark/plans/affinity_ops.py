@@ -1,0 +1,714 @@
+"""Affinity & structure queries — round-7 additions.
+
+Graph structure (triangles, link prediction), exact set-similarity
+join with prefix filtering, collocation mining, vocabulary coverage,
+marketing attribution, digit-law conformance, and cosine range search.
+
+The reference (aniketkapdule/emission-project) has no graph/text
+surface; these extend the LLM-training-data-pipeline set the same way
+the dedup/similarity families do (see COVERAGE.md §3). Every query is
+oracle-checked against DuckDB; every float that crosses the compare
+boundary is round()-ed identically on both sides.
+
+Scale notes are per-query; the shared theme: nothing here is
+corpus-quadratic. Candidate generation is bounded by degree
+orientation (triangles), a support threshold + hub cap (Adamic-Adar),
+prefix filtering (Jaccard join), or a broadcast-sized dimension
+(vocab / queries / digit table).
+"""
+
+from __future__ import annotations
+
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from emission_project_spark.catalog.tables import load_table
+from emission_project_spark.functions.text import tokens
+from emission_project_spark.functions.vectors import cosine_similarity
+from emission_project_spark.plans.registry import register
+
+
+def _copurchase_pairs(spark: SparkSession, sf_dir: str, min_support: int = 1) -> DataFrame:
+    """Distinct undirected part co-purchase edges (pa < pb), optionally
+    thresholded on co-purchase support. The pair fanout is generated
+    inside per-order sorted arrays (the basket pattern shared with
+    basket_part_pairs_lift / graph_pagerank_parts): bounded by
+    lines-per-order, never corpus-quadratic."""
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = (
+        li.select("l_orderkey", "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
+    )
+    n = F.size("parts")
+    pair_structs = F.flatten(
+        F.transform(
+            "parts",
+            lambda x, i: F.transform(
+                F.slice(F.col("parts"), i + 2, F.greatest(n - i - 1, F.lit(0))),
+                lambda y: F.struct(x.alias("pa"), y.alias("pb")),
+            ),
+        )
+    )
+    pairs = (
+        baskets.select(F.explode(pair_structs).alias("pr"))
+        .groupBy(F.col("pr.pa").alias("pa"), F.col("pr.pb").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
+    if min_support > 1:
+        pairs = pairs.filter(F.col("support") >= min_support)
+    return pairs.select("pa", "pb")
+
+
+_PAIRS_SQL = """
+    op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb
+        FROM op a JOIN op b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+    )
+"""
+
+
+# --- Triangle census of the part co-purchase graph: triangle count,
+# wedge (open-triad) count, and the global (transitivity) clustering
+# coefficient 3T/W. The Spark plan uses DEGREE-ORDERED ORIENTATION
+# (Suri & Vassilvitskii, WWW'11): each undirected edge is directed
+# from its lower-(degree, id) endpoint to the higher, so every
+# triangle is generated from exactly one apex and the wedge fanout per
+# node is outdeg² with outdeg = O(sqrt(m)) — the skew-proof bound that
+# makes this survive power-law hubs at 100 TB, where id-ordered or
+# undirected wedge generation is quadratic in the hub degree. Wedges
+# are generated inside per-apex sorted adjacency arrays (no self-join)
+# and closed with one join against the oriented edge list. The oracle
+# counts the same triangles apex-ordered by id (orientation choice
+# does not change the count) and the same wedges from the degree sum.
+@register(
+    "graph_triangle_stats",
+    oracle=f"""
+    WITH {_PAIRS_SQL},
+    tri AS (
+        SELECT count(*) AS t
+        FROM pairs p1
+        JOIN pairs p2 ON p2.pa = p1.pa AND p2.pb > p1.pb
+        JOIN pairs p3 ON p3.pa = p1.pb AND p3.pb = p2.pb
+    ),
+    deg AS (
+        SELECT node, count(*) AS dg FROM (
+            SELECT pa AS node FROM pairs UNION ALL SELECT pb FROM pairs
+        ) GROUP BY 1
+    ),
+    agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+               CAST(sum(dg) / 2 AS BIGINT) AS n_edges,
+               CAST(sum(dg * (dg - 1) / 2) AS BIGINT) AS n_wedges
+        FROM deg
+    )
+    SELECT a.n_nodes, a.n_edges,
+           CAST(t.t AS BIGINT) AS n_triangles, a.n_wedges,
+           round(3.0 * t.t / a.n_wedges, 6) AS transitivity
+    FROM agg a CROSS JOIN tri t
+    """,
+)
+def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the edge list feeds FIVE consumers (deg ×2 union branches, the
+    # orientation join, wedge closure, the census agg) — checkpoint it
+    # once so the basket build isn't replayed per consumer (the same
+    # fix that took graph_pagerank_parts 19→5.7 s), spillable at
+    # edge scale (operators/pagerank.py precedent)
+    pairs = _copurchase_pairs(spark, sf_dir).localCheckpoint(
+        eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK
+    )
+    deg = (
+        pairs.select(F.col("pa").alias("node"))
+        .unionAll(pairs.select(F.col("pb")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("dg"))
+        .localCheckpoint(eager=False)  # node-sized; read by 3 consumers
+    )
+    # total order for orientation: (degree, id) — ties broken by id so
+    # the orientation is a strict total order, never a 2-cycle
+    da = deg.select(
+        F.col("node").alias("pa"), F.col("dg").alias("da")
+    )
+    db = deg.select(F.col("node").alias("pb"), F.col("dg").alias("db"))
+    oriented = (
+        pairs.join(da, "pa").join(db, "pb")
+        .select(
+            F.when(
+                (F.col("da") < F.col("db"))
+                | ((F.col("da") == F.col("db")) & (F.col("pa") < F.col("pb"))),
+                F.struct(F.col("pa").alias("src"), F.col("pb").alias("dst")),
+            )
+            .otherwise(F.struct(F.col("pb").alias("src"), F.col("pa").alias("dst")))
+            .alias("e")
+        )
+        .select("e.src", "e.dst")
+        # read twice (adjacency build + wedge closure)
+        .localCheckpoint(eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK)
+    )
+    # wedges inside per-apex sorted adjacency arrays: outdeg ≤ O(√m)
+    # under degree orientation, so the explode is skew-bounded
+    adj = oriented.groupBy("src").agg(F.sort_array(F.collect_list("dst")).alias("ns"))
+    k = F.size("ns")
+    wedge_structs = F.flatten(
+        F.transform(
+            "ns",
+            lambda x, i: F.transform(
+                F.slice(F.col("ns"), i + 2, F.greatest(k - i - 1, F.lit(0))),
+                lambda y: F.struct(x.alias("v"), y.alias("w")),
+            ),
+        )
+    )
+    wedges = adj.select(F.explode(wedge_structs).alias("wd")).select(
+        F.col("wd.v").alias("v"), F.col("wd.w").alias("w")
+    )
+    # close the wedge: (v,w) or (w,v) present as an ORIENTED edge —
+    # exactly one of the two can exist, so no double counting
+    closing = oriented.select(
+        F.least("src", "dst").alias("v"), F.greatest("src", "dst").alias("w")
+    )
+    tri = (
+        wedges.select(F.least("v", "w").alias("v"), F.greatest("v", "w").alias("w"))
+        .join(closing, ["v", "w"], "left_semi")
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    agg = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        (F.sum("dg") / 2).cast("long").alias("n_edges"),
+        F.sum(F.col("dg") * (F.col("dg") - 1) / 2).cast("long").alias("n_wedges"),
+    )
+    return (
+        agg.crossJoin(F.broadcast(tri))  # both sides are 1-row scalars
+        .select(
+            "n_nodes",
+            "n_edges",
+            F.col("t").cast("long").alias("n_triangles"),
+            "n_wedges",
+            F.round(F.lit(3.0) * F.col("t") / F.col("n_wedges"), 6).alias(
+                "transitivity"
+            ),
+        )
+    )
+
+
+# --- Adamic-Adar link prediction on the STRONG co-purchase graph
+# (support ≥ 2): for every non-adjacent pair sharing ≥1 common
+# neighbor, AA(a,b) = Σ_{z ∈ N(a)∩N(b)} 1/ln(deg z) — the classic
+# "which parts will be bought together next" score (Adamic & Adar
+# 2003). The support threshold is the sparsifier (the ≥2 graph here
+# is ~3% of the raw edge list with max degree 13); on top of it a
+# hub cap (deg ≤ 64) excludes promiscuous nodes from GENERATING
+# wedge pairs — the standard recall trade that keeps the fanout
+# Σ deg² bounded under skew, mirrored exactly in the oracle (same
+# pattern as dedup_ngram_jaccard's max_doc_freq cap). Scores are
+# sums of 1/ln(integer): addition order differs between engines only
+# at ~1e-15, absorbed by the 1e-6 round.
+@register(
+    "graph_adamic_adar_top",
+    oracle=f"""
+    WITH {_PAIRS_SQL.replace("GROUP BY 1, 2", "GROUP BY 1, 2 HAVING count(*) >= 2")},
+    edges AS (
+        SELECT pa AS s, pb AS d FROM pairs
+        UNION ALL SELECT pb, pa FROM pairs
+    ),
+    deg AS (SELECT s, count(*) AS dg FROM edges GROUP BY 1),
+    -- hub cap: only apexes with 2 <= deg <= 64 generate candidates
+    apex AS (
+        SELECT e.s AS z, e.d AS nb, dg FROM edges e JOIN deg ON deg.s = e.s
+        WHERE dg BETWEEN 2 AND 64
+    ),
+    cand AS (
+        SELECT a.nb AS na, b.nb AS nb2, sum(1.0 / ln(a.dg)) AS aa,
+               count(*) AS n_common
+        FROM apex a JOIN apex b ON a.z = b.z AND a.nb < b.nb
+        GROUP BY 1, 2
+    ),
+    nonadj AS (
+        SELECT c.* FROM cand c
+        LEFT JOIN pairs p ON p.pa = c.na AND p.pb = c.nb2
+        WHERE p.pa IS NULL
+    )
+    SELECT na AS node_a, nb2 AS node_b,
+           CAST(n_common AS BIGINT) AS n_common,
+           round(aa, 6) AS aa_score
+    FROM nonadj
+    ORDER BY round(aa, 6) DESC, na, nb2
+    LIMIT 20
+    """,
+)
+def graph_adamic_adar_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 3 consumers (edge union ×2 + the adjacency anti-join): build the
+    # basket pairs once, spillable at edge scale
+    pairs = _copurchase_pairs(spark, sf_dir, min_support=2).localCheckpoint(
+        eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK
+    )
+    edges = pairs.select(F.col("pa").alias("s"), F.col("pb").alias("d")).unionAll(
+        pairs.select(F.col("pb"), F.col("pa"))
+    )
+    deg = edges.groupBy("s").agg(F.count(F.lit(1)).alias("dg"))
+    # adjacency arrays per apex, hub-capped; wedge pairs generated
+    # inside the sorted array (no self-join), weight 1/ln(deg apex)
+    adj = (
+        edges.join(deg, "s")
+        .filter((F.col("dg") >= 2) & (F.col("dg") <= 64))
+        .groupBy("s", "dg")
+        .agg(F.sort_array(F.collect_list("d")).alias("ns"))
+    )
+    k = F.size("ns")
+    wedge_structs = F.flatten(
+        F.transform(
+            "ns",
+            lambda x, i: F.transform(
+                F.slice(F.col("ns"), i + 2, F.greatest(k - i - 1, F.lit(0))),
+                lambda y: F.struct(x.alias("na"), y.alias("nb2")),
+            ),
+        )
+    )
+    cand = (
+        adj.select(F.explode(wedge_structs).alias("wd"), (1.0 / F.log("dg")).alias("w"))
+        .groupBy(F.col("wd.na").alias("na"), F.col("wd.nb2").alias("nb2"))
+        .agg(F.sum("w").alias("aa"), F.count(F.lit(1)).alias("n_common"))
+    )
+    nonadj = cand.join(
+        pairs,
+        (pairs["pa"] == cand["na"]) & (pairs["pb"] == cand["nb2"]),
+        "left_anti",
+    )
+    return (
+        nonadj.select(
+            F.col("na").alias("node_a"),
+            F.col("nb2").alias("node_b"),
+            F.col("n_common").cast("long").alias("n_common"),
+            F.round("aa", 6).alias("aa_score"),
+        )
+        .orderBy(F.col("aa_score").desc(), "node_a", "node_b")
+        .limit(20)
+    )
+
+
+_SHINGLE5_SQL = """
+    d AS (SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS t FROM documents),
+    sh AS (
+        SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS sh
+        FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 4)) AS i
+              FROM d WHERE len(t) >= 5)
+    )
+"""
+
+
+def _shingles5(docs: DataFrame) -> DataFrame:
+    """Distinct 5-gram word shingles per document (Spark twin of
+    _SHINGLE5_SQL)."""
+    toked = docs.select(
+        "doc_id", tokens(F.lower(F.col("text"))).alias("t")
+    ).filter(F.size("t") >= 5)
+    sh = toked.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 4),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(F.col("t"), i),
+                    F.element_at(F.col("t"), i + 1),
+                    F.element_at(F.col("t"), i + 2),
+                    F.element_at(F.col("t"), i + 3),
+                    F.element_at(F.col("t"), i + 4),
+                ),
+            )
+        ).alias("sh"),
+    )
+    return sh.distinct()
+
+
+# --- EXACT τ-Jaccard similarity join with PREFIX FILTERING (the
+# PPJoin/AllPairs family — Bayardo et al. WWW'07, Xiao et al.
+# WWW'08) over 5-gram shingle sets. This is the exact-and-COMPLETE
+# counterpart to the recall-lossy detectors already in the registry:
+# MinHash-LSH is probabilistic, and dedup_ngram_jaccard's inverted
+# index drops stop-shingles above max_doc_freq; prefix filtering
+# guarantees zero false negatives at any scale. The trick: order the
+# shingle universe by ascending document frequency (rarest first);
+# a doc with n shingles can match some partner at Jaccard ≥ τ only
+# through its first n - ⌈τ·n⌉ + 1 rarest shingles, so only that
+# prefix enters the inverted index — candidate volume scales with
+# Σ df(rare shingles)², not Σ df², and a length filter
+# (min ≥ τ·max) prunes further before verification. Verification is
+# one array_intersect per candidate pair, O(|A|+|B|). The oracle is
+# the ALL-PAIRS exact join — the filter is provably lossless, so the
+# two result sets must be identical (that equality IS the test).
+@register(
+    "dedup_jaccard_prefix_join",
+    oracle=f"""
+    WITH {_SHINGLE5_SQL},
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    inter AS (
+        SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT da AS doc_a, db AS doc_b,
+           CAST(i AS BIGINT) AS n_common,
+           round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+    FROM inter
+    JOIN sz sa ON sa.doc_id = da
+    JOIN sz sb ON sb.doc_id = db
+    WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
+    """,
+)
+def dedup_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tau = 0.5
+    docs = load_table(spark, sf_dir, "documents")
+    # the exploded shingle table is corpus-sized and read twice (df
+    # ranking + per-doc set build); the ranked per-doc arrays are read
+    # three times (prefix explode + both verification sides) — build
+    # each once, spillable
+    sh = _shingles5(docs).localCheckpoint(
+        eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK
+    )
+    # global rarity order: (df asc, shingle asc) → dense integer rank.
+    # vocab-sized shuffle, not corpus-sized.
+    df_rank = (
+        sh.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .withColumn(
+            "rk", F.row_number().over(Window.orderBy(F.col("df").asc(), F.col("sh").asc()))
+        )
+        .select("sh", "rk")
+    )
+    ranked = (
+        sh.join(df_rank, "sh")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("rk")).alias("rks"))
+        .withColumn("n", F.size("rks"))
+        .localCheckpoint(eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK)
+    )
+    # prefix = the n - ceil(τ·n) + 1 rarest shingles
+    prefix_len = (F.col("n") - F.ceil(F.lit(tau) * F.col("n")) + 1).cast("int")
+    pfx = ranked.select(
+        "doc_id", "n", F.explode(F.slice("rks", 1, prefix_len)).alias("rk")
+    )
+    a = pfx.select(
+        F.col("doc_id").alias("doc_a"), F.col("n").alias("na"), "rk"
+    )
+    b = pfx.select(
+        F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"), "rk"
+    )
+    cand = (
+        a.join(b, "rk")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        # length filter: Jaccard ≥ τ ⟹ min(n) ≥ τ·max(n)
+        .filter(F.least("na", "nb") >= tau * F.greatest("na", "nb"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    # verify candidates exactly: one array_intersect per pair
+    sets_a = ranked.select(F.col("doc_id").alias("doc_a"), F.col("rks").alias("ra"), F.col("n").alias("na"))
+    sets_b = ranked.select(F.col("doc_id").alias("doc_b"), F.col("rks").alias("rb"), F.col("n").alias("nb"))
+    verified = (
+        cand.join(sets_a, "doc_a")
+        .join(sets_b, "doc_b")
+        .withColumn("n_common", F.size(F.array_intersect("ra", "rb")).cast("long"))
+        .withColumn(
+            "jaccard_raw",
+            F.col("n_common").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard_raw") >= tau)
+    )
+    return verified.select(
+        "doc_a", "doc_b", "n_common", F.round("jaccard_raw", 6).alias("jaccard")
+    )
+
+
+_TOKS_SQL = "regexp_extract_all(lower(text), '\\w+')"
+
+
+# --- PMI collocation mining (Church & Hanks 1990): the top bigrams by
+# pointwise mutual information ln(P(w1w2) / (P(w1)·P(w2))) with a
+# min-count floor of 5 (PMI without a count floor just surfaces
+# hapaxes — the floor is part of the metric's standard definition in
+# practice). One corpus pass builds bigram counts; unigram counts and
+# the two scalar totals are vocab-sized/1-row BROADCAST sides, so the
+# only shuffle is the bigram group-by — same shape (and same
+# scale argument) as text_bigrams_top. Ranking is on the ROUNDED
+# score with a bigram tie-break, so both engines rank identically.
+@register(
+    "text_pmi_collocations",
+    oracle=f"""
+    WITH d AS (SELECT {_TOKS_SQL} AS toks FROM documents),
+    uni AS (
+        SELECT unnest(toks) AS tok FROM d
+    ),
+    uc AS (SELECT tok, count(*) AS c FROM uni GROUP BY 1),
+    nt AS (SELECT count(*) AS n FROM uni),
+    big AS (
+        SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+                                     i -> [toks[i], toks[i + 1]])) AS bg
+        FROM d WHERE len(toks) >= 2
+    ),
+    bc AS (SELECT bg[1] AS w1, bg[2] AS w2, count(*) AS cb FROM big GROUP BY 1, 2),
+    nb AS (SELECT count(*) AS n FROM big)
+    SELECT w1 || ' ' || w2 AS bigram,
+           CAST(cb AS BIGINT) AS n,
+           round(ln((CAST(cb AS DOUBLE) / nb.n)
+                    / ((CAST(u1.c AS DOUBLE) / nt.n) * (CAST(u2.c AS DOUBLE) / nt.n))), 6) AS pmi
+    FROM bc
+    JOIN uc u1 ON u1.tok = w1
+    JOIN uc u2 ON u2.tok = w2
+    CROSS JOIN nt CROSS JOIN nb
+    WHERE cb >= 5
+    ORDER BY pmi DESC, bigram ASC
+    LIMIT 20
+    """,
+)
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select(tokens(F.lower(F.col("text"))).alias("toks"))
+    uni = toked.select(F.explode("toks").alias("tok"))
+    # two corpus passes total (unigram + bigram count); both scalar
+    # totals fold from the VOCAB-sized count tables, not the corpus
+    uc = uni.groupBy("tok").agg(F.count(F.lit(1)).alias("c")).localCheckpoint(
+        eager=False
+    )
+    nt = uc.agg(F.sum("c").alias("n_tok"))
+    bigrams = toked.filter(F.size("toks") >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 1),
+                lambda i: F.struct(
+                    F.element_at(F.col("toks"), i).alias("w1"),
+                    F.element_at(F.col("toks"), i + 1).alias("w2"),
+                ),
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    bc_all = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb")).localCheckpoint(
+        eager=False
+    )
+    bc = bc_all.filter(F.col("cb") >= 5)
+    nb = bc_all.agg(F.sum("cb").alias("n_big"))
+    u1 = uc.select(F.col("tok").alias("w1"), F.col("c").alias("c1"))
+    u2 = uc.select(F.col("tok").alias("w2"), F.col("c").alias("c2"))
+    scored = (
+        bc.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            F.concat_ws(" ", "w1", "w2").alias("bigram"),
+            F.col("cb").cast("long").alias("n"),
+            F.round(
+                F.log(
+                    (F.col("cb").cast("double") / F.col("n_big"))
+                    / (
+                        (F.col("c1").cast("double") / F.col("n_tok"))
+                        * (F.col("c2").cast("double") / F.col("n_tok"))
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.col("pmi").desc(), F.col("bigram").asc()).limit(20)
+
+
+# --- Vocabulary coverage: per-source out-of-vocabulary rate against
+# the corpus top-500 vocabulary — the tokenizer-fit diagnostic run
+# before committing a vocab to a training run (high OOV for a source
+# means the tokenizer fragments it). The vocab is a top-k over the
+# unigram counts (deterministic (count desc, token asc) boundary) and
+# is BROADCAST — the per-token membership probe is map-side, so the
+# only corpus-sized shuffle is the per-source aggregate.
+@register(
+    "text_vocab_oov_rate",
+    oracle=f"""
+    WITH toks AS (
+        SELECT source, unnest({_TOKS_SQL}) AS tok FROM documents
+    ),
+    vocab AS (
+        SELECT tok FROM (
+            SELECT tok, count(*) AS c,
+                   row_number() OVER (ORDER BY count(*) DESC, tok ASC) AS rk
+            FROM toks GROUP BY tok
+        ) WHERE rk <= 500
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           round(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6) AS oov_rate
+    FROM toks t LEFT JOIN vocab v ON v.tok = t.tok
+    GROUP BY source
+    """,
+)
+def text_vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(tokens(F.lower(F.col("text")))).alias("tok")
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn(
+            "rk",
+            F.row_number().over(Window.orderBy(F.col("c").desc(), F.col("tok").asc())),
+        )
+        .filter(F.col("rk") <= 500)
+        .select("tok", F.lit(True).alias("in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_oov",
+            F.round(F.col("n_oov") / F.col("n_tokens").cast("double"), 6).alias(
+                "oov_rate"
+            ),
+        )
+    )
+
+
+# --- Last-touch attribution: each purchase is credited to the user's
+# most recent PRECEDING touch event (click/view/signup); purchases
+# with no prior touch are 'direct'. The whole computation is ONE
+# window pass per user timeline (last(ignorenulls) over rows
+# UNBOUNDED PRECEDING..1 PRECEDING) — no self-join, no per-user
+# collect; at 100 TB this is a single shuffle on user_id and a sorted
+# stream per user. Ordering ties broken by event_id so both engines
+# walk identical timelines.
+@register(
+    "events_attribution_last_touch",
+    oracle="""
+    WITH tl AS (
+        SELECT event_type, value,
+               last_value(CASE WHEN event_type IN ('click','view','signup')
+                               THEN event_type END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS touch
+        FROM events
+    )
+    SELECT coalesce(touch, 'direct') AS channel,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           round(sum(value), 4) AS attributed_value
+    FROM tl WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+)
+def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(
+            F.col("event_type").isin("click", "view", "signup"), F.col("event_type")
+        ),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        ev.select("event_type", "value", touch.alias("touch"))
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce("touch", F.lit("direct")).alias("channel"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.round(F.sum("value"), 4).alias("attributed_value"),
+        )
+    )
+
+
+# --- Benford first-digit conformance of l_extendedprice: observed
+# first-significant-digit distribution vs the Benford expectation
+# log10(1 + 1/d), with the per-digit χ² contribution — the standard
+# fabricated-data / data-quality screen. The first digit is taken
+# from the DECIMAL STRING of the integer part (prices are ≥ 1), not
+# via log10/pow, so no float-boundary hazard exists on either
+# engine. One aggregation pass; the 9-digit expectation table is a
+# literal.
+@register(
+    "stats_benford_first_digit",
+    oracle="""
+    WITH obs AS (
+        SELECT CAST(substring(CAST(CAST(floor(l_extendedprice) AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+               count(*) AS n
+        FROM lineitem GROUP BY 1
+    ),
+    tot AS (SELECT sum(n) AS t FROM obs)
+    SELECT o.digit,
+           CAST(o.n AS BIGINT) AS n,
+           round(CAST(o.n AS DOUBLE) / tot.t, 6) AS observed_p,
+           round(log10(1 + 1.0 / o.digit), 6) AS benford_p,
+           round(power(CAST(o.n AS DOUBLE) / tot.t - log10(1 + 1.0 / o.digit), 2)
+                 / log10(1 + 1.0 / o.digit) * tot.t, 6) AS chi2_term
+    FROM obs o CROSS JOIN tot
+    """,
+)
+def stats_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    digit = F.substring(
+        F.floor("l_extendedprice").cast("long").cast("string"), 1, 1
+    ).cast("int")
+    obs = li.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = obs.agg(F.sum("n").alias("t"))
+    benford_p = F.log10(1 + 1.0 / F.col("digit"))
+    obs_p = F.col("n").cast("double") / F.col("t")
+    return obs.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        F.col("n").cast("long").alias("n"),
+        F.round(obs_p, 6).alias("observed_p"),
+        F.round(benford_p, 6).alias("benford_p"),
+        F.round(F.pow(obs_p - benford_p, 2) / benford_p * F.col("t"), 6).alias(
+            "chi2_term"
+        ),
+    )
+
+
+# --- Cosine RANGE search (radius query): every corpus vector within
+# cosine ≥ τ of each query vector — the retrieval mode dedup and
+# contamination scans actually use (top-k bounds the ANSWER size;
+# range bounds the SIMILARITY, which is what "return everything at
+# least this close" means). Same broadcast-queries plan as
+# brute_force_topk: one map-side scored pass, no shuffle at all —
+# the aggregate-free twin of the top-k window. The IVF/IVF-PQ
+# variants compose for the scale path exactly as they do for top-k.
+@register(
+    "similarity_range_search",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+               FROM embeddings WHERE vec_id < 5)
+    SELECT q.query_id, v.vec_id,
+           round(list_cosine_similarity(v.embedding::DOUBLE[], q.qe), 6) AS cosine_sim
+    FROM embeddings v CROSS JOIN q
+    WHERE v.vec_id <> q.query_id
+      AND list_cosine_similarity(v.embedding::DOUBLE[], q.qe) >= 0.2
+    """,
+)
+def similarity_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("_q_emb")
+    )
+    v = emb.select("vec_id", F.col("embedding").alias("_emb"))
+    sim = cosine_similarity("_emb", "_q_emb")
+    return (
+        v.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .filter(sim >= 0.2)
+        .select("query_id", "vec_id", F.round(sim, 6).alias("cosine_sim"))
+    )

@@ -64,6 +64,14 @@ _PRIORITY: list[str] = [
     "events_cusum_changepoint",
     "stats_classifier_calibration",
     # -- (b) round-7 new builds (insert here as they land) -----------------
+    "graph_triangle_stats",
+    "graph_adamic_adar_top",
+    "dedup_jaccard_prefix_join",
+    "text_pmi_collocations",
+    "text_vocab_oov_rate",
+    "events_attribution_last_touch",
+    "stats_benford_first_digit",
+    "similarity_range_search",
     # -- (c) r3-row refresh tail -------------------------------------------
     "text_winnow_fingerprints",
     "dedup_winnow_pairs",
@@ -141,5 +149,6 @@ def load_all() -> None:
     from emission_project_spark.plans import quality_gates  # noqa: F401
     from emission_project_spark.plans import corpus_ops  # noqa: F401
     from emission_project_spark.plans import drift_stats  # noqa: F401
+    from emission_project_spark.plans import affinity_ops  # noqa: F401
 
     _reorder()

@@ -60,6 +60,10 @@ SCALAR_CROSS_OK = {
     "sketch_f2_selfjoin_events",        # 1-row exact × 1-row estimate
     "curation_dsir_ess",                # 1-row LM totals + 1-row max-shift scalar
     "dedup_lsh_quality",                # 1-row candidate agg × 1-row truth agg
+    "graph_triangle_stats",             # 1-row census agg × 1-row triangle count
+    "text_pmi_collocations",            # 1-row token total × 1-row bigram total
+    "stats_benford_first_digit",        # 1-row grand-total scalar
+    "similarity_range_search",          # query set × corpus, the radius baseline
 }
 
 
