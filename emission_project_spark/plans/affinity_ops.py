@@ -289,6 +289,78 @@ def graph_adamic_adar_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kcore_round_sql(r: int, k: int) -> str:
+    """One peel round as a CTE: survivors are nodes with ≥k neighbors
+    among the previous round's survivors. MATERIALIZED is load-bearing:
+    each round references its predecessor twice, so letting the
+    optimizer inline the chain doubles the plan per round (2^6 copies
+    of the edge build — measured to spill DuckDB to disk exhaustion at
+    sf0.1)."""
+    return f"""
+    a{r} AS MATERIALIZED (
+        SELECT e.s AS n FROM edges e
+        JOIN a{r - 1} x ON x.n = e.s
+        JOIN a{r - 1} y ON y.n = e.d
+        GROUP BY e.s HAVING count(*) >= {k}
+    )"""
+
+
+# --- k-core peel (k=2, 6 synchronous rounds) of the STRONG
+# co-purchase graph: iteratively drop nodes with fewer than k
+# neighbors among survivors — the standard graph-denoising pass run
+# before community/centrality work (pendant chains and isolated
+# whiskers never stop burning compute otherwise). The contract is
+# "6 peel rounds", a well-defined result at ANY scale (the fixpoint
+# round count is data-dependent; tests pin that 6 rounds IS the
+# fixpoint on the generated data, and a non-converged run differs
+# from it detectably rather than erroring). Each round is one
+# edge-sized join + aggregate with the survivor set lineage-truncated
+# — the exact cost shape of one PageRank iteration; the oracle
+# replays the identical schedule as chained CTEs.
+@register(
+    "graph_kcore_peel",
+    oracle=f"""
+    WITH {_PAIRS_SQL.replace("GROUP BY 1, 2", "GROUP BY 1, 2 HAVING count(*) >= 2").replace("pairs AS (", "pairs AS MATERIALIZED (")},
+    edges AS MATERIALIZED (
+        SELECT pa AS s, pb AS d FROM pairs
+        UNION ALL SELECT pb, pa FROM pairs
+    ),
+    a0 AS MATERIALIZED (SELECT DISTINCT s AS n FROM edges),
+    {",".join(_kcore_round_sql(r, 2) for r in range(1, 7))}
+    SELECT e.s AS p_partkey, CAST(count(*) AS BIGINT) AS core_degree
+    FROM edges e
+    JOIN a6 x ON x.n = e.s
+    JOIN a6 y ON y.n = e.d
+    GROUP BY e.s
+    """,
+)
+def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = 2
+    pairs = _copurchase_pairs(spark, sf_dir, min_support=2)
+    edges = (
+        pairs.select(F.col("pa").alias("s"), F.col("pb").alias("d"))
+        .unionAll(pairs.select(F.col("pb"), F.col("pa")))
+        .localCheckpoint(eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK)
+    )
+    alive = edges.select(F.col("s").alias("n")).distinct()
+    for _ in range(6):
+        alive = (
+            edges.join(alive.withColumnRenamed("n", "s"), "s")
+            .join(alive.withColumnRenamed("n", "d"), "d")
+            .groupBy("s")
+            .agg(F.count(F.lit(1)).alias("dg"))
+            .filter(F.col("dg") >= k)
+            .select(F.col("s").alias("n"))
+            .localCheckpoint(eager=False)  # node-sized survivor set
+        )
+    return (
+        edges.join(alive.withColumnRenamed("n", "s"), "s")
+        .join(alive.withColumnRenamed("n", "d"), "d")
+        .groupBy(F.col("s").alias("p_partkey"))
+        .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
+    )
+
+
 _SHINGLE5_SQL = """
     d AS (SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS t FROM documents),
     sh AS (

@@ -1,0 +1,312 @@
+"""Cohort & concentration statistics — round-7 batch 2.
+
+Customer-economics readouts a data team runs next to the drift/AB
+stack already in ``drift_stats.py``: revenue concentration (Gini),
+categorical dependence (mutual information), RFM quartile
+segmentation, and a Kaplan-Meier time-to-conversion curve.
+
+Determinism notes (the usual house discipline):
+- every ranking that feeds ntile/row_number carries a full tie-break
+  (metric, id) so both engines bucket identically;
+- the KM survival product is computed as exp of a WINDOW-cumulative
+  sum of ln terms — a sequential, ordered summation, so Spark and
+  DuckDB add in the same order; a d==n collapse is handled with an
+  explicit zero flag because Spark ``log(0)`` is NULL while DuckDB's
+  is -inf;
+- all floats crossing the compare boundary are round(6)-ed on both
+  sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from emission_project_spark.catalog.tables import load_table
+from emission_project_spark.plans.registry import register
+
+
+# --- Gini coefficient of per-customer revenue — the inequality /
+# concentration profile of the order book (used in curation to detect
+# a corpus dominated by a few sources; stated here on customers, the
+# schema's natural unit). Formula on ascending-sorted revenue x_1..x_n:
+# G = 2·Σ i·x_i / (n·Σx) − (n+1)/n. The rank is a single global sort
+# (one shuffle); Σ i·x_i within a tie block is x·Σi regardless of
+# which tied row takes which i, so ties cannot flip the value. At
+# 100 TB the same readout would bin revenues first (the GK-quantile
+# route sketch.py provides); the exact global sort is the audited
+# baseline.
+@register(
+    "stats_gini_concentration",
+    oracle="""
+    WITH rev AS (
+        SELECT o_custkey, sum(o_totalprice) AS x
+        FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+        SELECT x, row_number() OVER (ORDER BY x, o_custkey) AS i FROM rev
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_customers,
+           round(sum(x), 2) AS total_revenue,
+           round(2.0 * sum(i * x) / (count(*) * sum(x))
+                 - (count(*) + 1.0) / count(*), 6) AS gini
+    FROM ranked
+    """,
+)
+def stats_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("x"))
+    ranked = rev.select(
+        "x", F.row_number().over(Window.orderBy("x", "o_custkey")).alias("i")
+    )
+    n = F.count(F.lit(1))
+    return ranked.agg(
+        n.cast("long").alias("n_customers"),
+        F.round(F.sum("x"), 2).alias("total_revenue"),
+        F.round(
+            2.0 * F.sum(F.col("i") * F.col("x")) / (n * F.sum("x"))
+            - (n + F.lit(1.0)) / n,
+            6,
+        ).alias("gini"),
+    )
+
+
+# --- Mutual information (nats) between customer market segment and
+# order priority — the feature-selection dependence readout that
+# complements stats_chi2_segment_priority (χ² tests independence; MI
+# quantifies it in information units). One fact-dim join, one 25-cell
+# contingency aggregate; marginals fold from the CELL table (25 rows),
+# never a second corpus pass.
+@register(
+    "stats_mutual_info_priority_segment",
+    oracle="""
+    WITH cells AS (
+        SELECT c.c_mktsegment AS seg, o.o_orderpriority AS pri,
+               count(*) AS n
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        GROUP BY 1, 2
+    ),
+    tot AS (SELECT sum(n) AS t FROM cells),
+    ms AS (SELECT seg, sum(n) AS ns FROM cells GROUP BY 1),
+    mp AS (SELECT pri, sum(n) AS np FROM cells GROUP BY 1)
+    SELECT CAST(tot.t AS BIGINT) AS n_orders,
+           CAST(count(*) AS BIGINT) AS n_cells,
+           round(sum((CAST(c.n AS DOUBLE) / tot.t)
+                     * ln((CAST(c.n AS DOUBLE) * tot.t)
+                          / (CAST(ms.ns AS DOUBLE) * mp.np))), 6) AS mi_nats
+    FROM cells c
+    JOIN ms ON ms.seg = c.seg
+    JOIN mp ON mp.pri = c.pri
+    CROSS JOIN tot
+    GROUP BY tot.t
+    """,
+)
+def stats_mutual_info_priority_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    cells = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"), F.col("o_orderpriority").alias("pri")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)  # 25 rows; read by 4 consumers
+    )
+    tot = cells.agg(F.sum("n").alias("t"))
+    ms = cells.groupBy("seg").agg(F.sum("n").alias("ns"))
+    mp = cells.groupBy("pri").agg(F.sum("n").alias("np"))
+    joined = (
+        cells.join(F.broadcast(ms), "seg")
+        .join(F.broadcast(mp), "pri")
+        .crossJoin(F.broadcast(tot))
+    )
+    term = (F.col("n").cast("double") / F.col("t")) * F.log(
+        (F.col("n").cast("double") * F.col("t"))
+        / (F.col("ns").cast("double") * F.col("np"))
+    )
+    return joined.groupBy("t").agg(
+        F.col("t").cast("long").alias("n_orders"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.round(F.sum(term), 6).alias("mi_nats"),
+    ).select("n_orders", "n_cells", "mi_nats")
+
+
+# --- RFM quartile segmentation of purchasers: recency (days since
+# last purchase, vs the corpus clock), frequency (# purchases),
+# monetary (Σ value), each cut into ntile(4) with quartile 1 = best
+# and a (metric, user_id) tie-break so both engines bucket the same
+# users into the same quartiles. Output is the segment histogram
+# (≤64 rows) — the thing a lifecycle team actually reads. One shuffle
+# per user aggregate + three window sorts over the USER-sized table
+# (not the event log).
+@register(
+    "events_rfm_segments",
+    oracle="""
+    WITH clock AS (SELECT max(ts) AS mx FROM events),
+    u AS (
+        SELECT user_id,
+               date_diff('day', CAST(max(ts) AS DATE),
+                         CAST((SELECT mx FROM clock) AS DATE)) AS rec_days,
+               count(*) AS freq,
+               sum(value) AS mon
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    q AS (
+        SELECT ntile(4) OVER (ORDER BY rec_days ASC, user_id) AS r,
+               ntile(4) OVER (ORDER BY freq DESC, user_id) AS f,
+               ntile(4) OVER (ORDER BY mon DESC, user_id) AS m
+        FROM u
+    )
+    SELECT r, f, m, CAST(count(*) AS BIGINT) AS n_users
+    FROM q GROUP BY 1, 2, 3
+    """,
+)
+def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase")
+    mx = ev.agg(F.max("ts").alias("mx"))
+    u = (
+        p.groupBy("user_id")
+        .agg(F.max("ts").alias("last_ts"), F.count(F.lit(1)).alias("freq"),
+             F.sum("value").alias("mon"))
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "user_id",
+            F.datediff(F.to_date("mx"), F.to_date("last_ts")).alias("rec_days"),
+            "freq",
+            "mon",
+        )
+    )
+    q = u.select(
+        F.ntile(4).over(Window.orderBy(F.col("rec_days").asc(), F.col("user_id"))).alias("r"),
+        F.ntile(4).over(Window.orderBy(F.col("freq").desc(), F.col("user_id"))).alias("f"),
+        F.ntile(4).over(Window.orderBy(F.col("mon").desc(), F.col("user_id"))).alias("m"),
+    )
+    return q.groupBy("r", "f", "m").agg(F.count(F.lit(1)).alias("n_users"))
+
+
+# --- Kaplan-Meier time-to-conversion: for every user whose journey
+# starts with a signup, the days until their first purchase at or
+# after it; users who never convert are right-CENSORED at the corpus
+# clock — the estimator that makes "median days to convert" honest
+# when most users haven't converted yet (a plain average silently
+# drops the censored mass). S(t) = Π_{t_i ≤ t} (1 − d_i/n_i) over
+# distinct event days, computed as exp of the window-cumulative sum
+# of ln(1 − d/n) — a SEQUENTIAL ordered summation, identical in both
+# engines — with an explicit zero flag for a d==n collapse (Spark
+# ln(0) is NULL, DuckDB's is -inf; neither is allowed to reach the
+# output). The risk-set size n_i folds from ONE ordered pass over the
+# per-day duration histogram (total − cumulative preceding), never a
+# per-time rescan of users.
+@register(
+    "events_kaplan_meier",
+    oracle="""
+    WITH clock AS (SELECT max(ts) AS mx FROM events),
+    s AS (
+        SELECT user_id, min(ts) AS start_ts FROM events
+        WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    p AS (
+        SELECT s.user_id, s.start_ts, min(e.ts) AS conv_ts
+        FROM s LEFT JOIN events e
+          ON e.user_id = s.user_id AND e.event_type = 'purchase'
+         AND e.ts >= s.start_ts
+        GROUP BY 1, 2
+    ),
+    dur AS (
+        SELECT CASE WHEN conv_ts IS NULL
+                    THEN date_diff('day', CAST(start_ts AS DATE),
+                                   CAST((SELECT mx FROM clock) AS DATE))
+                    ELSE date_diff('day', CAST(start_ts AS DATE),
+                                   CAST(conv_ts AS DATE)) END AS t,
+               CASE WHEN conv_ts IS NULL THEN 0 ELSE 1 END AS ev
+        FROM p
+    ),
+    byday AS (
+        SELECT t, sum(ev) AS d, count(*) AS c FROM dur GROUP BY t
+    ),
+    tot AS (SELECT sum(c) AS n FROM byday),
+    risk AS (
+        SELECT t, d,
+               tot.n - coalesce(sum(c) OVER (ORDER BY t
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+        FROM byday CROSS JOIN tot
+    ),
+    km AS (
+        SELECT t, d, n_risk,
+               sum(CASE WHEN d < n_risk THEN ln(1.0 - CAST(d AS DOUBLE) / n_risk)
+                        ELSE 0 END)
+                   OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS lnsum,
+               max(CASE WHEN d = n_risk THEN 1 ELSE 0 END)
+                   OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS hit_zero
+        FROM risk
+    )
+    SELECT CAST(t AS BIGINT) AS t_days,
+           CAST(n_risk AS BIGINT) AS n_risk,
+           CAST(d AS BIGINT) AS n_events,
+           round(CASE WHEN hit_zero = 1 THEN 0.0 ELSE exp(lnsum) END, 6) AS survival
+    FROM km WHERE d > 0
+    """,
+)
+def events_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts").alias("mx"))
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("start_ts"))
+    )
+    pe = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts")
+    )
+    p = (
+        s.join(pe, (s["user_id"] == pe["user_id"]) & (pe["pts"] >= s["start_ts"]), "left")
+        .groupBy(s["user_id"], "start_ts")
+        .agg(F.min("pts").alias("conv_ts"))
+    )
+    dur = p.crossJoin(F.broadcast(mx)).select(
+        F.when(
+            F.col("conv_ts").isNull(),
+            F.datediff(F.to_date("mx"), F.to_date("start_ts")),
+        )
+        .otherwise(F.datediff(F.to_date("conv_ts"), F.to_date("start_ts")))
+        .alias("t"),
+        F.when(F.col("conv_ts").isNull(), 0).otherwise(1).alias("ev"),
+    )
+    byday = dur.groupBy("t").agg(
+        F.sum("ev").alias("d"), F.count(F.lit(1)).alias("c")
+    ).localCheckpoint(eager=False)  # day-sized; read twice (total + pass)
+    tot = byday.agg(F.sum("c").alias("n"))
+    w_prev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    w_cur = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    risk = byday.crossJoin(F.broadcast(tot)).select(
+        "t",
+        "d",
+        (F.col("n") - F.coalesce(F.sum("c").over(w_prev), F.lit(0))).alias("n_risk"),
+    )
+    km = risk.select(
+        "t",
+        "d",
+        "n_risk",
+        F.sum(
+            F.when(
+                F.col("d") < F.col("n_risk"),
+                F.log(1.0 - F.col("d").cast("double") / F.col("n_risk")),
+            ).otherwise(F.lit(0.0))
+        )
+        .over(w_cur)
+        .alias("lnsum"),
+        F.max(F.when(F.col("d") == F.col("n_risk"), 1).otherwise(0))
+        .over(w_cur)
+        .alias("hit_zero"),
+    )
+    return km.filter(F.col("d") > 0).select(
+        F.col("t").cast("long").alias("t_days"),
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("d").cast("long").alias("n_events"),
+        F.round(
+            F.when(F.col("hit_zero") == 1, F.lit(0.0)).otherwise(F.exp("lnsum")), 6
+        ).alias("survival"),
+    )

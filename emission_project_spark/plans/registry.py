@@ -72,6 +72,11 @@ _PRIORITY: list[str] = [
     "events_attribution_last_touch",
     "stats_benford_first_digit",
     "similarity_range_search",
+    "graph_kcore_peel",
+    "stats_gini_concentration",
+    "stats_mutual_info_priority_segment",
+    "events_rfm_segments",
+    "events_kaplan_meier",
     # -- (c) r3-row refresh tail -------------------------------------------
     "text_winnow_fingerprints",
     "dedup_winnow_pairs",
@@ -150,5 +155,6 @@ def load_all() -> None:
     from emission_project_spark.plans import corpus_ops  # noqa: F401
     from emission_project_spark.plans import drift_stats  # noqa: F401
     from emission_project_spark.plans import affinity_ops  # noqa: F401
+    from emission_project_spark.plans import cohort_stats  # noqa: F401
 
     _reorder()

@@ -64,6 +64,9 @@ SCALAR_CROSS_OK = {
     "text_pmi_collocations",            # 1-row token total × 1-row bigram total
     "stats_benford_first_digit",        # 1-row grand-total scalar
     "similarity_range_search",          # query set × corpus, the radius baseline
+    "events_rfm_segments",              # 1-row corpus-clock scalar
+    "events_kaplan_meier",              # 1-row corpus-clock + 1-row risk total
+    "stats_mutual_info_priority_segment",  # 1-row contingency grand total
 }
 
 
