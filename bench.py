@@ -116,6 +116,23 @@ R6_EXTRA = [
     "stats_classifier_calibration",
 ]
 
+# Round-7 additions: affinity/structure + cohort-stats families.
+R7_EXTRA = [
+    "graph_triangle_stats",
+    "graph_adamic_adar_top",
+    "graph_kcore_peel",
+    "dedup_jaccard_prefix_join",
+    "text_pmi_collocations",
+    "text_vocab_oov_rate",
+    "events_attribution_last_touch",
+    "stats_benford_first_digit",
+    "similarity_range_search",
+    "stats_gini_concentration",
+    "stats_mutual_info_priority_segment",
+    "events_rfm_segments",
+    "events_kaplan_meier",
+]
+
 # The heaviest operators, re-run at the 10x dataset for the scale
 # proof (near-linear = caps/blocking hold an order of magnitude up).
 SF1_HEAVY = [
@@ -341,6 +358,12 @@ def main() -> None:
         out["r6_extras"] = {
             "queries": extras6,
             "value": round(sum(extras6.values()), 3),
+        }
+    extras7 = {name: timed(name, sf_dir, runs) for name in R7_EXTRA if name in qs}
+    if extras7:
+        out["r7_extras"] = {
+            "queries": extras7,
+            "value": round(sum(extras7.values()), 3),
         }
 
     # Scale proof: if the deterministic 10x dataset exists (generated by

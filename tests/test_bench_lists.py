@@ -14,6 +14,7 @@ def test_bench_lists_resolve():
         bench.HEADLINE,
         bench.R5_EXTRA,
         bench.R6_EXTRA,
+        bench.R7_EXTRA,
         bench.SF1_HEAVY,
         bench.SF10_HEAVY,
     ):
@@ -26,7 +27,10 @@ def test_bench_lists_disjoint_headline_extra():
     # double-time its members under a different block
     assert not set(bench.HEADLINE) & set(bench.R5_EXTRA)
     assert not set(bench.HEADLINE) & set(bench.R6_EXTRA)
+    assert not set(bench.HEADLINE) & set(bench.R7_EXTRA)
     assert not set(bench.R5_EXTRA) & set(bench.R6_EXTRA)
+    assert not set(bench.R5_EXTRA) & set(bench.R7_EXTRA)
+    assert not set(bench.R6_EXTRA) & set(bench.R7_EXTRA)
 
 
 def test_mt_calibration_probe_runs_and_bounds():
