@@ -149,31 +149,33 @@ def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         # read twice (adjacency build + wedge closure)
         .localCheckpoint(eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK)
     )
-    # wedges inside per-apex sorted adjacency arrays: outdeg ≤ O(√m)
-    # under degree orientation, so the explode is skew-bounded
-    adj = oriented.groupBy("src").agg(F.sort_array(F.collect_list("dst")).alias("ns"))
-    k = F.size("ns")
-    wedge_structs = F.flatten(
-        F.transform(
-            "ns",
-            lambda x, i: F.transform(
-                F.slice(F.col("ns"), i + 2, F.greatest(k - i - 1, F.lit(0))),
-                lambda y: F.struct(x.alias("v"), y.alias("w")),
-            ),
-        )
+    # EDGE-ITERATOR triangle count over the orientation: a triangle
+    # u→v, u→w, v→w is counted exactly once at its base edge (u,v) as
+    # |N⁺(u) ∩ N⁺(v)|. Attaching the two sorted out-neighbor arrays to
+    # each edge keeps the shuffle at EDGE-count records (the wedge-
+    # explode alternative shuffles Σ outdeg² individual rows — measured
+    # 72M rows / 20 s at sf0.1 vs ~3 s for this shape); the per-edge
+    # intersect is O(|N⁺(u)|+|N⁺(v)|) JVM array work. Degree
+    # orientation still bounds every array at O(√m) under skew.
+    adj = (
+        oriented.groupBy("src")
+        .agg(F.sort_array(F.collect_list("dst")).alias("ns"))
+        .localCheckpoint(eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK)
     )
-    wedges = adj.select(F.explode(wedge_structs).alias("wd")).select(
-        F.col("wd.v").alias("v"), F.col("wd.w").alias("w")
-    )
-    # close the wedge: (v,w) or (w,v) present as an ORIENTED edge —
-    # exactly one of the two can exist, so no double counting
-    closing = oriented.select(
-        F.least("src", "dst").alias("v"), F.greatest("src", "dst").alias("w")
-    )
+    adj_u = adj.select(F.col("src").alias("u"), F.col("ns").alias("nu"))
+    adj_v = adj.select(F.col("src").alias("v"), F.col("ns").alias("nv"))
     tri = (
-        wedges.select(F.least("v", "w").alias("v"), F.greatest("v", "w").alias("w"))
-        .join(closing, ["v", "w"], "left_semi")
-        .agg(F.count(F.lit(1)).alias("t"))
+        oriented.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .join(adj_u, "u")
+        .join(adj_v, "v", "left")  # dst may have no out-edges
+        .select(
+            F.size(
+                F.array_intersect(
+                    "nu", F.coalesce("nv", F.array().cast("array<bigint>"))
+                )
+            ).alias("c")
+        )
+        .agg(F.sum("c").alias("t"))
     )
     agg = deg.agg(
         F.count(F.lit(1)).alias("n_nodes"),

@@ -310,3 +310,218 @@ def events_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("hit_zero") == 1, F.lit(0.0)).otherwise(F.exp("lnsum")), 6
         ).alias("survival"),
     )
+
+
+# --- Poisson bootstrap CI (B=200) for the corpus mean document
+# length — THE bootstrap that works at 100 TB: classical resampling
+# needs n indexed draws per replicate from a global row index
+# (undistributable); the Poisson(1) approximation (Chamandy et al.,
+# Google 2012) gives every row an independent weight per replicate,
+# so the whole computation is one map-side weight expansion + a
+# B-key aggregate with map-side partial combine + a B-row quantile.
+# Weights are DETERMINISTIC: u = md5(doc_id·replicate) 28-bit
+# uniform (the curation_mixture_sample lottery), inverted through
+# the exact Poisson(1) CDF ladder — both engines draw the identical
+# weight for the identical (row, replicate). Replicate means are
+# ratios of EXACT INTEGER sums (weight × n_chars), so no
+# accumulation-order float hazard exists anywhere; means are
+# round(6)-ed before the percentile so both engines take quantiles
+# of identical 200-value multisets (`percentile` ≡ `quantile_cont`,
+# the winsorized-stats precedent).
+_POIS_CDF = [
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.9999167588507119,
+]
+
+_POIS_CASE_SQL = (
+    "CASE "
+    + " ".join(f"WHEN u < {c!r} THEN {k}" for k, c in enumerate(_POIS_CDF))
+    + " ELSE 7 END"
+)
+
+
+def _poisson_weight(u):
+    """Spark twin of _POIS_CASE_SQL (same constants, same ladder)."""
+    expr = F.lit(7)
+    for k in range(len(_POIS_CDF) - 1, -1, -1):
+        expr = F.when(u < F.lit(_POIS_CDF[k]), F.lit(k)).otherwise(expr)
+    return expr
+
+
+@register(
+    "stats_poisson_bootstrap_ci",
+    oracle=f"""
+    WITH reps AS (
+        SELECT d.n_chars,
+               b.b,
+               ('0x' || substring(md5(CAST(d.doc_id AS VARCHAR) || '-' ||
+                                      CAST(b.b AS VARCHAR)), 1, 7))::BIGINT
+                   / 268435456.0 AS u
+        FROM documents d
+        CROSS JOIN (SELECT unnest(generate_series(0, 199)) AS b) b
+    ),
+    w AS (SELECT b, n_chars, {_POIS_CASE_SQL} AS wt FROM reps),
+    means AS (
+        SELECT b, round(CAST(sum(wt * n_chars) AS DOUBLE) / sum(wt), 6) AS m
+        FROM w GROUP BY b HAVING sum(wt) > 0
+    ),
+    pt AS (SELECT round(avg(CAST(n_chars AS DOUBLE)), 6) AS point_mean,
+                  CAST(count(*) AS BIGINT) AS n_docs
+           FROM documents)
+    SELECT pt.point_mean, pt.n_docs,
+           CAST(count(*) AS BIGINT) AS n_replicates,
+           round(avg(m), 6) AS boot_mean,
+           round(quantile_cont(m, 0.025), 6) AS ci_lo,
+           round(quantile_cont(m, 0.975), 6) AS ci_hi
+    FROM means CROSS JOIN pt
+    GROUP BY pt.point_mean, pt.n_docs
+    """,
+)
+def stats_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n_reps = 200
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    reps = docs.select(
+        "doc_id",
+        "n_chars",
+        F.explode(F.sequence(F.lit(0), F.lit(n_reps - 1))).alias("b"),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "-",
+                        F.col("doc_id").cast("string"),
+                        F.col("b").cast("string"),
+                    )
+                ),
+                1,
+                7,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        / F.lit(268435456.0)
+    )
+    w = reps.select("b", "n_chars", _poisson_weight(u).alias("wt"))
+    means = (
+        w.groupBy("b")
+        .agg(
+            F.sum(F.col("wt") * F.col("n_chars")).alias("sx"),
+            F.sum("wt").alias("sw"),
+        )
+        .filter(F.col("sw") > 0)
+        .select(F.round(F.col("sx").cast("double") / F.col("sw"), 6).alias("m"))
+    )
+    pt = docs.agg(
+        F.round(F.avg(F.col("n_chars").cast("double")), 6).alias("point_mean"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+    )
+    ci = means.agg(
+        F.count(F.lit(1)).cast("long").alias("n_replicates"),
+        F.round(F.avg("m"), 6).alias("boot_mean"),
+        F.round(F.expr("percentile(m, 0.025)"), 6).alias("ci_lo"),
+        F.round(F.expr("percentile(m, 0.975)"), 6).alias("ci_hi"),
+    )
+    return pt.crossJoin(F.broadcast(ci)).select(
+        "point_mean", "n_docs", "n_replicates", "boot_mean", "ci_lo", "ci_hi"
+    )
+
+
+# --- Top converting session paths: sessionize each user timeline
+# (30-minute inactivity gap — the events_sessionize contract), render
+# the within-session event-type sequence as a path string, and rank
+# the 10 most common paths with their conversion share — the
+# path-mining readout behind "which journeys actually buy". The path
+# assembly is ONE ordered window pass + one per-session aggregate
+# (array_sort of (ts, event_id, type) structs — no second sort
+# shuffle); ties inside a session are broken by event_id so both
+# engines render identical strings. Top-k is count-ranked with a path
+# tie-break — pure integers, no float boundary.
+@register(
+    "events_path_topk",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type,
+               CASE WHEN CAST(ts AS TIMESTAMP)
+                         - lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    tagged AS (
+        SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM ordered
+    ),
+    paths AS (
+        SELECT user_id, session_no,
+               string_agg(event_type, '>' ORDER BY ts, event_id) AS path,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+        FROM tagged GROUP BY user_id, session_no
+    )
+    SELECT path,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(converted) AS BIGINT) AS n_converting,
+           round(CAST(sum(converted) AS DOUBLE) / count(*), 6) AS conversion_rate
+    FROM paths GROUP BY path
+    ORDER BY n_sessions DESC, path ASC
+    LIMIT 10
+    """,
+)
+def events_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w_lag = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w_lag)
+            > 30 * 60,
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    tagged = ordered.withColumn(
+        "session_no",
+        F.sum("new_session").over(w_lag.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    paths = tagged.groupBy("user_id", "session_no").agg(
+        F.concat_ws(
+            ">",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "event_type"))
+                ),
+                lambda s: s["event_type"],
+            ),
+        ).alias("path"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted"),
+    )
+    return (
+        paths.groupBy("path")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("converted").cast("long").alias("n_converting"),
+        )
+        .select(
+            "path",
+            "n_sessions",
+            "n_converting",
+            F.round(
+                F.col("n_converting").cast("double") / F.col("n_sessions"), 6
+            ).alias("conversion_rate"),
+        )
+        .orderBy(F.col("n_sessions").desc(), F.col("path").asc())
+        .limit(10)
+    )

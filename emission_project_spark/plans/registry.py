@@ -77,6 +77,8 @@ _PRIORITY: list[str] = [
     "stats_mutual_info_priority_segment",
     "events_rfm_segments",
     "events_kaplan_meier",
+    "stats_poisson_bootstrap_ci",
+    "events_path_topk",
     # -- (c) r3-row refresh tail -------------------------------------------
     "text_winnow_fingerprints",
     "dedup_winnow_pairs",

@@ -254,3 +254,66 @@ def inactivity_monitor(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+ATTRIBUTION_SCHEMA = "user_id bigint, purchase_id bigint, channel string, value double"
+_ATTR_STATE_SCHEMA = "last_us bigint, last_id bigint, last_type string"
+
+_TOUCH_TYPES = ("click", "view", "signup")
+
+
+def last_touch_attribution(events: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Streaming last-touch attribution: every purchase is credited to
+    the user's most recent PRECEDING touch event (click/view/signup),
+    'direct' if none — emitted the moment the purchase flows by, not
+    at end-of-day. This is the streaming twin of the oracle-checked
+    ``events_attribution_last_touch`` batch query: over a bounded
+    input, grouping this operator's per-purchase emissions by channel
+    reproduces that query's aggregate exactly (pinned in
+    tests/test_streaming.py).
+
+    State per user is O(1) FOREVER — just the latest touch's
+    (timestamp, event_id, type) triple — which is what makes the
+    operator run at clickstream scale: a window-function restatement
+    needs the user's whole history in the frame, this needs 24 bytes.
+    Within a micro-batch rows are processed in (ts, event_id) order
+    and ACROSS batches the state carries the last touch, so a
+    purchase in batch N+1 credits a touch from batch N; ties on
+    timestamp resolve to the higher event_id, matching the batch
+    twin's window ordering.
+    """
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        last_us, last_id, last_type = (
+            state.get if state.exists else (-1, -1, None)
+        )
+        out: list[list] = []
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows["_us"] = pd.to_datetime(rows[ts_col]).astype("int64") // 1000
+        rows = rows.sort_values(["_us", "event_id"], kind="mergesort")
+        for _, r in rows.iterrows():
+            et = r["event_type"]
+            if et == "purchase":
+                channel = last_type if last_type is not None else "direct"
+                out.append([key[0], int(r["event_id"]), channel, float(r["value"])])
+            elif et in _TOUCH_TYPES:
+                us, eid = int(r["_us"]), int(r["event_id"])
+                # same-timestamp touches: higher event_id wins (the
+                # batch twin orders by (ts, event_id) too)
+                if (us, eid) > (last_us, last_id):
+                    last_us, last_id, last_type = us, eid, et
+        state.update((last_us, last_id, last_type))
+        if out:
+            yield pd.DataFrame(
+                out, columns=["user_id", "purchase_id", "channel", "value"]
+            )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=ATTRIBUTION_SCHEMA,
+        stateStructType=_ATTR_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -121,6 +121,7 @@ def aff_dir(tmp_path_factory):
                 "doc_id": pa.array([r[0] for r in _DOCS], type=pa.int64()),
                 "text": pa.array([r[1] for r in _DOCS], type=pa.string()),
                 "source": pa.array([r[2] for r in _DOCS], type=pa.string()),
+                "n_chars": pa.array([len(r[1]) for r in _DOCS], type=pa.int64()),
             }
         ),
         os.path.join(d, "documents.parquet"),
@@ -165,6 +166,8 @@ _AFFINITY_QUERIES = [
     "events_attribution_last_touch",
     "stats_benford_first_digit",
     "similarity_range_search",
+    "stats_poisson_bootstrap_ci",
+    "events_path_topk",
 ]
 
 
@@ -298,3 +301,39 @@ def test_range_search_radius_semantics(spark, aff_dir):
     # threshold is inclusive: vec 4 scores exactly... (0.6) >= 0.2 ✓;
     # and symmetry: query 4 sees vec 0 at 0.6 too
     assert got[(4, 0)] == 0.6
+
+
+def test_poisson_bootstrap_brackets_point_mean(spark, aff_dir):
+    sys.path.insert(0, _REPO)
+    import __spark_entry__ as entrymod
+
+    [r] = entrymod.queries()["stats_poisson_bootstrap_ci"](spark, aff_dir).collect()
+    n_chars = [len(t) for _, t, _ in _DOCS]
+    assert r["n_docs"] == len(_DOCS)
+    assert r["point_mean"] == round(sum(n_chars) / len(n_chars), 6)
+    # a replicate whose 6 Poisson(1) weights are ALL zero is degenerate
+    # and drops (HAVING sum(wt) > 0) — probability e^-6 ≈ 0.25% per
+    # replicate on this tiny corpus (2/200 with these hashes; at the
+    # real corpus sizes e^-n is zero for every practical purpose)
+    assert 190 <= r["n_replicates"] <= 200
+    # the CI must be a proper interval around the bootstrap mean, and
+    # on a 6-doc corpus it must actually have width (resampling noise)
+    assert r["ci_lo"] <= r["boot_mean"] <= r["ci_hi"]
+    assert r["ci_lo"] < r["ci_hi"]
+
+
+def test_path_topk_sessions(spark, aff_dir):
+    sys.path.insert(0, _REPO)
+    import __spark_entry__ as entrymod
+
+    rows = {
+        r["path"]: r
+        for r in entrymod.queries()["events_path_topk"](spark, aff_dir).collect()
+    }
+    # user 1: four events 5 min apart -> one session, converted
+    assert rows["click>purchase>view>purchase"]["n_converting"] == 1
+    # user 3: click/view share a timestamp (id order), purchase follows
+    # at EXACTLY a 30-min gap -> same session (strictly-greater split)
+    assert "click>view>purchase" in rows
+    # user 2: lone purchase session
+    assert rows["purchase"]["conversion_rate"] == 1.0

@@ -717,3 +717,119 @@ def test_stream_static_enrichment_inner_drops_orphans(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         enrich_stream(stream, dim, "k", how="full")
+
+
+def test_streaming_last_touch_attribution(spark, tmp_path):
+    """Last-touch state carries ACROSS micro-batches (batch-2 purchase
+    credits batch-1 touch), same-timestamp touches resolve to the
+    higher event_id, touches after a purchase don't credit it
+    retroactively, and the per-channel aggregate of the streamed
+    emissions equals the oracle-checked batch twin on identical data."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from emission_project_spark.streaming.stateful import last_touch_attribution
+
+    incoming = tmp_path / "incoming"
+    incoming.mkdir()
+    # written intentionally out of time order inside each file: the
+    # operator must sort by (ts, event_id) before walking the timeline
+    (incoming / "a.csv").write_text(
+        "event_id,ts,user_id,event_type,value\n"
+        "3,2024-03-01 10:10:00,1,purchase,10.0\n"
+        "1,2024-03-01 10:00:00,1,click,0.0\n"
+        "2,2024-03-01 10:00:00,1,view,0.0\n"      # same ts as click: id 2 wins
+        "4,2024-03-01 10:00:00,2,purchase,5.0\n"  # no prior touch: direct
+    )
+    (incoming / "b.csv").write_text(
+        "event_id,ts,user_id,event_type,value\n"
+        "5,2024-03-01 10:20:00,1,purchase,20.0\n"  # credits batch-1 'view'
+        "6,2024-03-01 10:30:00,1,signup,0.0\n"
+        "7,2024-03-01 10:40:00,1,purchase,30.0\n"  # credits 'signup'
+        "8,2024-03-01 10:50:00,2,click,0.0\n"
+        "9,2024-03-01 11:00:00,2,purchase,40.0\n"  # credits 'click'
+    )
+    os.utime(incoming / "a.csv", (1000000000, 1000000000))
+    os.utime(incoming / "b.csv", (1000000100, 1000000100))
+
+    stream = (
+        spark.readStream.format("csv")
+        .schema("event_id bigint, ts timestamp, user_id bigint,"
+                " event_type string, value double")
+        .option("header", "true")
+        .option("maxFilesPerTrigger", "1")
+        .load(str(incoming))
+    )
+    q = (
+        last_touch_attribution(stream)
+        .writeStream.format("memory")
+        .queryName("attr_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_attr"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.purchase_id: (r.channel, r.value)
+        for r in spark.sql(
+            "SELECT purchase_id, channel, value FROM attr_out"
+        ).collect()
+    }
+    assert got == {
+        3: ("view", 10.0),     # same-ts tie: view (id 2) beats click (id 1)
+        4: ("direct", 5.0),
+        5: ("view", 20.0),     # state carried across micro-batches
+        7: ("signup", 30.0),
+        9: ("click", 40.0),
+    }
+
+    # batch-twin consistency: the registered oracle-checked query over
+    # the same rows equals the per-channel aggregate of the emissions
+    import datetime as _dt
+
+    import __spark_entry__ as entrymod
+
+    rows = [
+        (3, "2024-03-01 10:10:00", 1, "purchase", 10.0),
+        (1, "2024-03-01 10:00:00", 1, "click", 0.0),
+        (2, "2024-03-01 10:00:00", 1, "view", 0.0),
+        (4, "2024-03-01 10:00:00", 2, "purchase", 5.0),
+        (5, "2024-03-01 10:20:00", 1, "purchase", 20.0),
+        (6, "2024-03-01 10:30:00", 1, "signup", 0.0),
+        (7, "2024-03-01 10:40:00", 1, "purchase", 30.0),
+        (8, "2024-03-01 10:50:00", 2, "click", 0.0),
+        (9, "2024-03-01 11:00:00", 2, "purchase", 40.0),
+    ]
+    d = tmp_path / "twin"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], type=pa.int64()),
+                "ts": pa.array(
+                    [_dt.datetime.fromisoformat(r[1]) for r in rows],
+                    type=pa.timestamp("us"),
+                ),
+                "user_id": pa.array([r[2] for r in rows], type=pa.int64()),
+                "event_type": pa.array([r[3] for r in rows], type=pa.string()),
+                "value": pa.array([r[4] for r in rows], type=pa.float64()),
+            }
+        ),
+        str(d / "events.parquet"),
+    )
+    twin = {
+        r.channel: (r.n_purchases, r.attributed_value)
+        for r in entrymod.queries()["events_attribution_last_touch"](
+            spark, str(d)
+        ).collect()
+    }
+    from collections import Counter, defaultdict
+
+    agg_n = Counter(ch for ch, _ in got.values())
+    agg_v = defaultdict(float)
+    for ch, v in got.values():
+        agg_v[ch] += v
+    assert twin == {ch: (agg_n[ch], round(agg_v[ch], 4)) for ch in agg_n}

@@ -67,6 +67,7 @@ SCALAR_CROSS_OK = {
     "events_rfm_segments",              # 1-row corpus-clock scalar
     "events_kaplan_meier",              # 1-row corpus-clock + 1-row risk total
     "stats_mutual_info_priority_segment",  # 1-row contingency grand total
+    "stats_poisson_bootstrap_ci",       # 1-row point estimate × 1-row CI agg
 }
 
 
