@@ -131,6 +131,9 @@ R7_EXTRA = [
     "stats_mutual_info_priority_segment",
     "events_rfm_segments",
     "events_kaplan_meier",
+    "stats_poisson_bootstrap_ci",
+    "events_path_topk",
+    "similarity_mmr_rerank",
 ]
 
 # The heaviest operators, re-run at the 10x dataset for the scale

@@ -18,6 +18,8 @@ Spark and the DuckDB oracle rank identically.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -540,4 +542,92 @@ def centroid_classify(
         "vec_id",
         "true_label",
         F.col("_best.cid").cast("bigint").alias("predicted_label"),
+    )
+
+
+def mmr_rerank(
+    vectors: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    pool: int = 30,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998): from each query's cosine top-``pool`` shortlist, greedily
+    select ``k`` items maximizing ``λ·rel − (1−λ)·max_sim_to_selected``
+    — the diversified-retrieval step that keeps a near-dup cluster
+    from monopolizing a result list (retrieval-augmented sampling and
+    eval-set construction both need it).
+
+    Scale shape: the shortlist is the same broadcast-query scored pass
+    as ``brute_force_topk``; everything after operates on a
+    k-row-bounded pool (≤ pool rows per query, pool² pairwise sims),
+    which is collected like the k-means centroid sets — bounded by
+    construction, never data-sized. All relevance/similarity values
+    are rounded (ROUND) BEFORE the greedy walk, so the selection
+    sequence is reproducible across engines bit-for-bit; ties break to
+    the smaller vec_id.
+    """
+    scored = brute_force_topk(vectors, query, k=pool)
+    pool_df = scored.filter(F.col("cosine_sim").isNotNull()).select(
+        "query_id", "vec_id", F.col("cosine_sim").alias("rel")
+    )
+    emb = vectors.select("vec_id", F.col("embedding").alias("_e"))
+    pa = pool_df.join(emb, "vec_id").select(
+        "query_id", F.col("vec_id").alias("va"), "rel", F.col("_e").alias("ea")
+    )
+    pb = pool_df.join(emb, "vec_id").select(
+        F.col("query_id").alias("qb"), F.col("vec_id").alias("vb"), F.col("_e").alias("eb")
+    )
+    sims_df = (
+        pa.join(
+            F.broadcast(pb),
+            (pa["query_id"] == pb["qb"]) & (pa["va"] != pb["vb"]),
+        )
+        .select(
+            "query_id",
+            "va",
+            "vb",
+            F.round(cosine_similarity("ea", "eb"), ROUND).alias("sim"),
+        )
+    )
+    # bounded collects: ≤ pool rows and ≤ pool² sims per query — the
+    # centroid-collect precedent, never data-sized
+    rels: dict = {}
+    for r in pool_df.collect():
+        rels.setdefault(r["query_id"], {})[r["vec_id"]] = r["rel"]
+    sims: dict = {}
+    for r in sims_df.collect():
+        sims.setdefault(r["query_id"], {})[(r["va"], r["vb"])] = r["sim"]
+
+    out_rows = []
+    for qid in sorted(rels):
+        cand = dict(rels[qid])
+        ssim = sims.get(qid, {})
+        selected: list = []
+        for rank in range(1, min(k, len(cand)) + 1):
+            best = None
+            for vid, rel in cand.items():
+                ms = max(
+                    (ssim.get((vid, s), 0.0) for s in selected), default=0.0
+                )
+                score = lam * rel - (1.0 - lam) * ms
+                key = (-score, vid)
+                if best is None or key < best[0]:
+                    best = (key, vid, rel, score)
+            _, vid, rel, score = best
+            selected.append(vid)
+            del cand[vid]
+            # floor(x·1e6+0.5)/1e6 — the cross-engine HALF_UP grid (the
+            # int8-quantizer precedent): Python round() is HALF_EVEN and
+            # disagrees with DuckDB round() on exact .5 boundaries,
+            # which crafted round-number corpora actually hit
+            out_rows.append(
+                (qid, rank, vid, rel, math.floor(score * 1e6 + 0.5) / 1e6)
+            )
+
+    spark = vectors.sparkSession
+    return spark.createDataFrame(
+        out_rows,
+        "query_id bigint, mmr_rank int, vec_id bigint, rel double, mmr_score double",
     )

@@ -786,3 +786,104 @@ def similarity_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(sim >= 0.2)
         .select("query_id", "vec_id", F.round(sim, 6).alias("cosine_sim"))
     )
+
+
+_MMR_LAM = 0.7
+# NOT "0.3": the Spark side computes (1.0 - 0.7) in doubles, which is
+# 0.30000000000000004 — the SQL literal must be the same double or the
+# two engines walk ulp-different greedy scores
+_MMR_ONE_MINUS_LAM = repr(1.0 - _MMR_LAM)
+
+
+def _mmr_pick_sql(r: int) -> str:
+    """One greedy MMR pick as CTEs: score every unselected pool member
+    against the selected set, take rank 1 per query. MATERIALIZED for
+    the same reason as the k-core chain (each round references the
+    previous selection twice)."""
+    return f"""
+    p{r} AS MATERIALIZED (
+        SELECT query_id, vec_id, rel, score, {r} AS mmr_rank FROM (
+            SELECT c.query_id, c.vec_id, c.rel,
+                   {_MMR_LAM} * c.rel
+                     - {_MMR_ONE_MINUS_LAM} * coalesce(mx.ms, 0.0) AS score,
+                   row_number() OVER (
+                       PARTITION BY c.query_id
+                       ORDER BY {_MMR_LAM} * c.rel
+                                - {_MMR_ONE_MINUS_LAM} * coalesce(mx.ms, 0.0) DESC,
+                                c.vec_id ASC) AS rk
+            FROM pool c
+            LEFT JOIN (
+                SELECT s.query_id, si.va AS vec_id, max(si.sim) AS ms
+                FROM sel{r - 1} s
+                JOIN sims si ON si.query_id = s.query_id AND si.vb = s.vec_id
+                GROUP BY 1, 2
+            ) mx ON mx.query_id = c.query_id AND mx.vec_id = c.vec_id
+            WHERE NOT EXISTS (SELECT 1 FROM sel{r - 1} s
+                              WHERE s.query_id = c.query_id
+                                AND s.vec_id = c.vec_id)
+        ) WHERE rk = 1
+    ),
+    sel{r} AS MATERIALIZED (
+        SELECT query_id, vec_id FROM sel{r - 1}
+        UNION ALL SELECT query_id, vec_id FROM p{r}
+    )"""
+
+
+# --- MMR diversified re-ranking (Carbonell & Goldstein 1998): from
+# each query's cosine top-30 shortlist, greedily pick 10 maximizing
+# λ·relevance − (1−λ)·max-similarity-to-already-picked — the
+# diversified-retrieval step that stops a near-dup cluster from
+# monopolizing a result list (eval-set construction and RAG sampling
+# both need it). Pool selection is the brute_force_topk scored pass;
+# the greedy walk runs on the ≤30-row pool (collected like the
+# k-means centroid sets — bounded by construction). Every value the
+# walk reads (rel, pairwise sim) is ROUNDED first, so both engines
+# select the identical sequence; the oracle replays the greedy as 10
+# chained MATERIALIZED pick-CTEs.
+@register(
+    "similarity_mmr_rerank",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+               FROM embeddings WHERE vec_id < 2),
+    scored AS (
+        SELECT q.query_id, v.vec_id,
+               CASE WHEN list_dot_product(v.embedding::DOUBLE[], v.embedding::DOUBLE[]) > 0
+                         AND list_dot_product(q.qe, q.qe) > 0
+                    THEN round(list_cosine_similarity(v.embedding::DOUBLE[], q.qe), 6)
+               END AS rel
+        FROM embeddings v CROSS JOIN q
+        WHERE v.vec_id <> q.query_id
+    ),
+    pool AS MATERIALIZED (
+        SELECT query_id, vec_id, rel FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                       ORDER BY rel DESC, vec_id) AS prk
+            FROM scored WHERE rel IS NOT NULL
+        ) WHERE prk <= 30
+    ),
+    sims AS MATERIALIZED (
+        SELECT a.query_id, a.vec_id AS va, b.vec_id AS vb,
+               round(list_cosine_similarity(ea.embedding::DOUBLE[],
+                                            eb.embedding::DOUBLE[]), 6) AS sim
+        FROM pool a
+        JOIN pool b ON a.query_id = b.query_id AND a.vec_id <> b.vec_id
+        JOIN embeddings ea ON ea.vec_id = a.vec_id
+        JOIN embeddings eb ON eb.vec_id = b.vec_id
+    ),
+    sel0 AS (SELECT CAST(NULL AS BIGINT) AS query_id,
+                    CAST(NULL AS BIGINT) AS vec_id WHERE 1 = 0),
+    {",".join(_mmr_pick_sql(r) for r in range(1, 11))}
+    SELECT query_id, CAST(mmr_rank AS INTEGER) AS mmr_rank, vec_id, rel,
+           -- floor(x·1e6+0.5)/1e6: cross-engine HALF_UP grid (Python
+           -- round is HALF_EVEN; exact .5 boundaries differ otherwise)
+           floor(score * 1000000 + 0.5) / 1000000 AS mmr_score
+    FROM ({" UNION ALL ".join(f"SELECT * FROM p{r}" for r in range(1, 11))})
+    """,
+)
+def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emission_project_spark.extensions.similarity import mmr_rerank
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return mmr_rerank(
+        emb, emb.filter(F.col("vec_id") < 2), k=10, pool=30, lam=_MMR_LAM
+    )

@@ -79,6 +79,7 @@ _PRIORITY: list[str] = [
     "events_kaplan_meier",
     "stats_poisson_bootstrap_ci",
     "events_path_topk",
+    "similarity_mmr_rerank",
     # -- (c) r3-row refresh tail -------------------------------------------
     "text_winnow_fingerprints",
     "dedup_winnow_pairs",

@@ -337,3 +337,50 @@ def test_path_topk_sessions(spark, aff_dir):
     assert "click>view>purchase" in rows
     # user 2: lone purchase session
     assert rows["purchase"]["conversion_rate"] == 1.0
+
+
+def test_mmr_demotes_near_duplicate(spark, tmp_path_factory):
+    """Pure relevance ranks the duplicate (id 2) second by id-tie; MMR
+    must demote it below the diverse vector (id 3) because its
+    max-similarity-to-selected is 1.0 — plus oracle parity on the
+    crafted corpus."""
+    sys.path.insert(0, _REPO)
+    import __spark_entry__ as entrymod
+
+    d = str(tmp_path_factory.mktemp("mmr_boundary"))
+    vecs = [
+        (0, [1.0, 0.0, 0.0]),        # the query
+        (1, [0.9, 0.435, 0.0]),      # rel ~0.9
+        (2, [0.9, 0.435, 0.0]),      # exact dup of 1: sim=1.0
+        (3, [0.9, -0.435, 0.0]),     # same rel, diverse (sim ~0.62)
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([v[0] for v in vecs], type=pa.int64()),
+                "embedding": pa.array(
+                    [v[1] for v in vecs], type=pa.list_(pa.float32())
+                ),
+            }
+        ),
+        os.path.join(d, "embeddings.parquet"),
+    )
+    rows = [
+        r
+        for r in entrymod.queries()["similarity_mmr_rerank"](spark, d).collect()
+        if r["query_id"] == 0
+    ]
+    order = [r["vec_id"] for r in sorted(rows, key=lambda r: r["mmr_rank"])]
+    assert order == [1, 3, 2]
+
+    fn, sql = (
+        entrymod.queries()["similarity_mmr_rerank"],
+        entrymod.oracle_sql()["similarity_mmr_rerank"],
+    )
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE OR REPLACE VIEW embeddings AS SELECT * FROM '{d}/embeddings.parquet'"
+    )
+    r = _compare.compare_query(spark, con, "similarity_mmr_rerank", fn, sql, d)
+    assert "error" not in r, r
+    assert r.get("cols_match") and r.get("values_match"), r
