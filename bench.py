@@ -171,6 +171,14 @@ SF1_HEAVY = [
     # shuffle-heavy single query in the registry).
     "dedup_shingle_containment",
     "dedup_lsh_quality",
+    # round-7 additions: the three steepest new scalers — triangle
+    # census (wedge mass grows with graph density), the prefix-filtered
+    # exact Jaccard join (candidate mass rides the rare-shingle df
+    # distribution), and the Poisson bootstrap (rows × 200 replicates
+    # by construction, the deliberate linear-blowup control).
+    "graph_triangle_stats",
+    "dedup_jaccard_prefix_join",
+    "stats_poisson_bootstrap_ci",
 ]
 
 # Second decade (100x rows), opt-in via BENCH_SF10=1: the steepest
