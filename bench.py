@@ -134,6 +134,9 @@ R7_EXTRA = [
     "stats_poisson_bootstrap_ci",
     "events_path_topk",
     "similarity_mmr_rerank",
+    "stats_cramers_v_priority_segment",
+    "text_rake_keywords",
+    "text_hash_feature_buckets",
 ]
 
 # The heaviest operators, re-run at the 10x dataset for the scale

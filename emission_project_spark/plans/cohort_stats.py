@@ -525,3 +525,86 @@ def events_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_sessions").desc(), F.col("path").asc())
         .limit(10)
     )
+
+
+# --- Cramér's V (bias-uncorrected) for segment × priority — the
+# NORMALIZED dependence readout that makes the χ² statistic
+# comparable across tables of different size and shape:
+# V = sqrt(χ² / (n·(min(r,c)−1))). Same one-join 25-cell contingency
+# as the MI query; marginals and the grand total fold from the cell
+# table. Output also carries χ² and the dof so the three dependence
+# readouts (χ², MI, V) reconcile against each other in tests.
+@register(
+    "stats_cramers_v_priority_segment",
+    oracle="""
+    WITH cells AS (
+        SELECT c.c_mktsegment AS seg, o.o_orderpriority AS pri, count(*) AS n
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        GROUP BY 1, 2
+    ),
+    tot AS (SELECT sum(n) AS t FROM cells),
+    ms AS (SELECT seg, sum(n) AS ns FROM cells GROUP BY 1),
+    mp AS (SELECT pri, sum(n) AS np FROM cells GROUP BY 1),
+    -- the FULL r×c grid: a structurally-zero cell still contributes
+    -- (0−e)²/e to χ² — summing only observed cells understates the
+    -- statistic on sparse tables (a crafted perfect-dependence 2×2
+    -- yields 2.0 instead of the correct 4.0)
+    grid AS (
+        SELECT ms.seg, mp.pri, ms.ns, mp.np, coalesce(c.n, 0) AS n
+        FROM ms CROSS JOIN mp
+        LEFT JOIN cells c ON c.seg = ms.seg AND c.pri = mp.pri
+    ),
+    chi AS (
+        SELECT sum(power(g.n - CAST(g.ns AS DOUBLE) * g.np / tot.t, 2)
+                   / (CAST(g.ns AS DOUBLE) * g.np / tot.t)) AS chi2,
+               max(tot.t) AS n,
+               CAST(count(DISTINCT g.seg) AS BIGINT) AS r,
+               CAST(count(DISTINCT g.pri) AS BIGINT) AS cc
+        FROM grid g
+        CROSS JOIN tot
+    )
+    SELECT CAST(n AS BIGINT) AS n_orders,
+           round(chi2, 6) AS chi2,
+           CAST((r - 1) * (cc - 1) AS BIGINT) AS dof,
+           round(sqrt(chi2 / (n * (least(r, cc) - 1))), 6) AS cramers_v
+    FROM chi
+    """,
+)
+def stats_cramers_v_priority_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    cells = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"), F.col("o_orderpriority").alias("pri")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)  # 25 rows; read by 4 consumers
+    )
+    tot = cells.agg(F.sum("n").alias("t"))
+    ms = cells.groupBy("seg").agg(F.sum("n").alias("ns"))
+    mp = cells.groupBy("pri").agg(F.sum("n").alias("np"))
+    # full r×c grid so structurally-zero cells contribute (0−e)²/e
+    grid = (
+        ms.crossJoin(F.broadcast(mp))
+        .join(F.broadcast(cells), ["seg", "pri"], "left")
+        .withColumn("n", F.coalesce("n", F.lit(0)))
+    )
+    exp = F.col("ns").cast("double") * F.col("np") / F.col("t")
+    chi = (
+        grid.crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(F.pow(F.col("n") - exp, 2) / exp).alias("chi2"),
+            F.max("t").alias("n"),
+            F.countDistinct("seg").alias("r"),
+            F.countDistinct("pri").alias("cc"),
+        )
+    )
+    return chi.select(
+        F.col("n").cast("long").alias("n_orders"),
+        F.round("chi2", 6).alias("chi2"),
+        ((F.col("r") - 1) * (F.col("cc") - 1)).cast("long").alias("dof"),
+        F.round(
+            F.sqrt(F.col("chi2") / (F.col("n") * (F.least("r", "cc") - 1))), 6
+        ).alias("cramers_v"),
+    )

@@ -152,19 +152,26 @@ def privacy_l_diversity_customers(spark: SparkSession, sf_dir: str) -> DataFrame
         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         GROUP BY 1, 2
     ),
-    tot AS (
-        SELECT segment, priority, o,
-               sum(o) OVER (PARTITION BY segment) AS row_tot,
-               sum(o) OVER (PARTITION BY priority) AS col_tot,
-               sum(o) OVER () AS n
-        FROM obs
+    ms AS (SELECT segment, sum(o) AS row_tot FROM obs GROUP BY 1),
+    mp AS (SELECT priority, sum(o) AS col_tot FROM obs GROUP BY 1),
+    tot AS (SELECT sum(o) AS n FROM obs),
+    -- FULL r×c grid: a structurally-zero cell still contributes
+    -- (0−e)²/e — summing only observed cells understates χ² on sparse
+    -- tables (invisible on the dense generated data, caught by the
+    -- crafted perfect-dependence 2×2 in tests/test_cohort_stats.py)
+    grid AS (
+        SELECT ms.segment, mp.priority, ms.row_tot, mp.col_tot,
+               coalesce(obs.o, 0) AS o
+        FROM ms CROSS JOIN mp
+        LEFT JOIN obs ON obs.segment = ms.segment
+                     AND obs.priority = mp.priority
     )
-    SELECT CAST(max(n) AS BIGINT) AS n,
+    SELECT CAST(max(tot.n) AS BIGINT) AS n,
            CAST((count(DISTINCT segment) - 1)
                 * (count(DISTINCT priority) - 1) AS BIGINT) AS dof,
-           round(sum(pow(o - row_tot * col_tot / n, 2)
-                     / (row_tot * col_tot / n)), 4) AS chi2
-    FROM tot
+           round(sum(pow(o - row_tot * col_tot / tot.n, 2)
+                     / (row_tot * col_tot / tot.n)), 4) AS chi2
+    FROM grid CROSS JOIN tot
     """,
 )
 def stats_chi2_segment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -178,16 +185,19 @@ def stats_chi2_segment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).cast("double").alias("o"))
     )
-    tot = obs.select(
-        "segment",
-        "priority",
-        "o",
-        F.sum("o").over(Window.partitionBy("segment")).alias("row_tot"),
-        F.sum("o").over(Window.partitionBy("priority")).alias("col_tot"),
-        F.sum("o").over(Window.partitionBy()).alias("n"),
+    obs = obs.localCheckpoint(eager=False)  # ≤ r×c rows; 4 consumers
+    ms = obs.groupBy("segment").agg(F.sum("o").alias("row_tot"))
+    mp = obs.groupBy("priority").agg(F.sum("o").alias("col_tot"))
+    tot = obs.agg(F.sum("o").alias("n"))
+    # full r×c grid so structurally-zero cells contribute (0−e)²/e
+    grid = (
+        ms.crossJoin(F.broadcast(mp))
+        .join(F.broadcast(obs), ["segment", "priority"], "left")
+        .withColumn("o", F.coalesce("o", F.lit(0.0)))
+        .crossJoin(F.broadcast(tot))
     )
     e = F.col("row_tot") * F.col("col_tot") / F.col("n")
-    return tot.agg(
+    return grid.agg(
         F.max("n").cast("bigint").alias("n"),
         (
             (F.count_distinct(F.col("segment")) - 1)

@@ -80,6 +80,9 @@ _PRIORITY: list[str] = [
     "stats_poisson_bootstrap_ci",
     "events_path_topk",
     "similarity_mmr_rerank",
+    "stats_cramers_v_priority_segment",
+    "text_rake_keywords",
+    "text_hash_feature_buckets",
     # -- (c) r3-row refresh tail -------------------------------------------
     "text_winnow_fingerprints",
     "dedup_winnow_pairs",
@@ -159,5 +162,6 @@ def load_all() -> None:
     from emission_project_spark.plans import drift_stats  # noqa: F401
     from emission_project_spark.plans import affinity_ops  # noqa: F401
     from emission_project_spark.plans import cohort_stats  # noqa: F401
+    from emission_project_spark.plans import keyword_ops  # noqa: F401
 
     _reorder()

@@ -168,6 +168,8 @@ _AFFINITY_QUERIES = [
     "similarity_range_search",
     "stats_poisson_bootstrap_ci",
     "events_path_topk",
+    "text_rake_keywords",
+    "text_hash_feature_buckets",
 ]
 
 
@@ -384,3 +386,46 @@ def test_mmr_demotes_near_duplicate(spark, tmp_path_factory):
     r = _compare.compare_query(spark, con, "similarity_mmr_rerank", fn, sql, d)
     assert "error" not in r, r
     assert r.get("cols_match") and r.get("values_match"), r
+
+
+def test_rake_hand_computed_scores(spark, tmp_path_factory):
+    """Two identical docs of 'the deep learning model is a deep
+    learning system': every content word has degree/frequency 3, so
+    both 3-word phrases score 9.0 with 2 occurrences each."""
+    sys.path.insert(0, _REPO)
+    import __spark_entry__ as entrymod
+
+    d = str(tmp_path_factory.mktemp("rake_boundary"))
+    text = "the deep learning model is a deep learning system"
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1], type=pa.int64()),
+                "text": pa.array([text, text], type=pa.string()),
+            }
+        ),
+        os.path.join(d, "documents.parquet"),
+    )
+    rows = entrymod.queries()["text_rake_keywords"](spark, d).collect()
+    got = {r["phrase"]: (r["n_occurrences"], r["rake_score"]) for r in rows}
+    assert got == {
+        "deep learning model": (2, 9.0),
+        "deep learning system": (2, 9.0),
+    }
+    # tie on score -> alphabetical phrase order
+    assert [r["phrase"] for r in rows] == [
+        "deep learning model", "deep learning system",
+    ]
+
+
+def test_hash_buckets_conserve_mass(spark, aff_dir):
+    sys.path.insert(0, _REPO)
+    import __spark_entry__ as entrymod
+
+    rows = entrymod.queries()["text_hash_feature_buckets"](spark, aff_dir).collect()
+    total_tokens = sum(len(t.split()) for _, t, _ in _DOCS)
+    assert sum(r["n_tokens"] for r in rows) == total_tokens
+    assert all(0 <= r["bucket"] < 64 for r in rows)
+    assert abs(sum(r["mass_share"] for r in rows) - 1.0) < 1e-4
+    # every bucket's distinct count is bounded by its occupancy
+    assert all(r["n_distinct"] <= r["n_tokens"] for r in rows)

@@ -129,6 +129,7 @@ def cohort_dir(tmp_path_factory):
 _COHORT_QUERIES = [
     "stats_gini_concentration",
     "stats_mutual_info_priority_segment",
+    "stats_cramers_v_priority_segment",
     "events_rfm_segments",
     "events_kaplan_meier",
     "graph_kcore_peel",
@@ -226,3 +227,32 @@ def test_kcore_six_rounds_is_fixpoint_on_testdata(spark, sf_dir):
 
     rows = entrymod.queries()["graph_kcore_peel"](spark, sf_dir).collect()
     assert all(r["core_degree"] >= 2 for r in rows)
+
+
+def test_cramers_v_perfect_dependence_is_one(spark, cohort_dir):
+    """SEG_A always 1-URGENT, SEG_B always 2-HIGH: chi2 = n*(min-1),
+    so V = 1.0 exactly; and the three dependence readouts reconcile
+    (chi2 here equals the chi2 implied by MI = ln 2 dependence)."""
+    sys.path.insert(0, _REPO)
+    import __spark_entry__ as entrymod
+
+    [r] = entrymod.queries()["stats_cramers_v_priority_segment"](
+        spark, cohort_dir
+    ).collect()
+    assert r["n_orders"] == 4
+    assert r["chi2"] == 4.0
+    assert r["dof"] == 1
+    assert r["cramers_v"] == 1.0
+
+
+def test_chi2_includes_structurally_zero_cells(spark, cohort_dir):
+    """The pre-existing chi2 query shares the zero-cell fix: on the
+    perfect-dependence 2x2 its statistic is n*(min-1) = 4.0, not the
+    2.0 an observed-cells-only sum produces."""
+    sys.path.insert(0, _REPO)
+    import __spark_entry__ as entrymod
+
+    [r] = entrymod.queries()["stats_chi2_segment_priority"](
+        spark, cohort_dir
+    ).collect()
+    assert r["chi2"] == 4.0 and r["dof"] == 1

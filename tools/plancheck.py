@@ -68,6 +68,9 @@ SCALAR_CROSS_OK = {
     "events_kaplan_meier",              # 1-row corpus-clock + 1-row risk total
     "stats_mutual_info_priority_segment",  # 1-row contingency grand total
     "stats_poisson_bootstrap_ci",       # 1-row point estimate × 1-row CI agg
+    "stats_cramers_v_priority_segment",  # 1-row contingency grand total
+    "stats_chi2_segment_priority",      # 1-row contingency grand total
+    "text_hash_feature_buckets",        # 1-row corpus token total
 }
 
 
