@@ -551,6 +551,7 @@ def mmr_rerank(
     k: int = 10,
     pool: int = 30,
     lam: float = 0.7,
+    max_collect: int = 10_000,
 ) -> DataFrame:
     """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
     1998): from each query's cosine top-``pool`` shortlist, greedily
@@ -563,7 +564,13 @@ def mmr_rerank(
     as ``brute_force_topk``; everything after operates on a
     k-row-bounded pool (≤ pool rows per query, pool² pairwise sims),
     which is collected like the k-means centroid sets — bounded by
-    construction, never data-sized. All relevance/similarity values
+    construction, never data-sized. The collect itself is a VALIDATED
+    bound, not a convention: the pool relation is fetched through
+    ``limit(max_collect + 1)`` and the function raises if the limit is
+    hit, so a caller passing a corpus-sized query set gets a loud
+    error instead of a silent driver-sized collect (driver memory is
+    bounded by ``max_collect`` rows by construction — the limit is in
+    the plan, not checked after the fact). All relevance/similarity values
     are rounded (ROUND) BEFORE the greedy walk, so the selection
     sequence is reproducible across engines bit-for-bit; ties break to
     the smaller vec_id.
@@ -592,9 +599,18 @@ def mmr_rerank(
         )
     )
     # bounded collects: ≤ pool rows and ≤ pool² sims per query — the
-    # centroid-collect precedent, never data-sized
+    # centroid-collect precedent, never data-sized; limit() puts the
+    # bound IN THE PLAN so an oversized query set can't reach the
+    # driver before the guard fires
+    pool_rows = pool_df.limit(max_collect + 1).collect()
+    if len(pool_rows) > max_collect:
+        raise ValueError(
+            f"mmr_rerank pool relation exceeds max_collect={max_collect} "
+            f"rows (n_queries × pool too large) — shrink the query set, "
+            f"lower pool={pool}, or raise max_collect explicitly"
+        )
     rels: dict = {}
-    for r in pool_df.collect():
+    for r in pool_rows:
         rels.setdefault(r["query_id"], {})[r["vec_id"]] = r["rel"]
     sims: dict = {}
     for r in sims_df.collect():

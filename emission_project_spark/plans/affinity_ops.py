@@ -108,7 +108,7 @@ _PAIRS_SQL = """
     )
     SELECT a.n_nodes, a.n_edges,
            CAST(t.t AS BIGINT) AS n_triangles, a.n_wedges,
-           round(3.0 * t.t / a.n_wedges, 6) AS transitivity
+           round(3.0 * t.t / NULLIF(a.n_wedges, 0), 6) AS transitivity
     FROM agg a CROSS JOIN tri t
     """,
 )
@@ -189,9 +189,13 @@ def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_edges",
             F.col("t").cast("long").alias("n_triangles"),
             "n_wedges",
-            F.round(F.lit(3.0) * F.col("t") / F.col("n_wedges"), 6).alias(
-                "transitivity"
-            ),
+            # try_divide: a wedge-free graph (no node with degree >= 2)
+            # has n_wedges = 0 — transitivity is undefined, NULL on both
+            # engines (oracle mirrors with NULLIF; the events_hourly_acf
+            # zero-variance precedent), never an ANSI DIVIDE_BY_ZERO
+            F.round(
+                F.try_divide(F.lit(3.0) * F.col("t"), F.col("n_wedges")), 6
+            ).alias("transitivity"),
         )
     )
 
@@ -708,26 +712,36 @@ def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame
 # --- Benford first-digit conformance of l_extendedprice: observed
 # first-significant-digit distribution vs the Benford expectation
 # log10(1 + 1/d), with the per-digit χ² contribution — the standard
-# fabricated-data / data-quality screen. The first digit is taken
-# from the DECIMAL STRING of the integer part (prices are ≥ 1), not
-# via log10/pow, so no float-boundary hazard exists on either
-# engine. One aggregation pass; the 9-digit expectation table is a
-# literal.
+# fabricated-data / data-quality screen. Benford is defined on the
+# leading NONZERO digit: a value in [0,1) floors to integer part 0,
+# whose string first char is digit 0, and 1/0 is an ANSI
+# DIVIDE_BY_ZERO on Spark (inf on DuckDB) — so both engines restrict
+# to digit BETWEEN 1 AND 9 and the excluded sub-1/NULL mass is
+# surfaced as `n_excluded` (the truncation-observable rule). The
+# first digit comes from the DECIMAL STRING of the integer part, not
+# via log10/pow, so no float-boundary hazard. One aggregation pass;
+# the 9-digit expectation table is a literal.
 @register(
     "stats_benford_first_digit",
     oracle="""
-    WITH obs AS (
+    WITH obs0 AS (
         SELECT CAST(substring(CAST(CAST(floor(l_extendedprice) AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit,
                count(*) AS n
         FROM lineitem GROUP BY 1
     ),
-    tot AS (SELECT sum(n) AS t FROM obs)
+    obs AS (SELECT * FROM obs0 WHERE digit BETWEEN 1 AND 9),
+    tot AS (
+        SELECT sum(CASE WHEN digit BETWEEN 1 AND 9 THEN n ELSE 0 END) AS t,
+               CAST(coalesce(sum(CASE WHEN digit BETWEEN 1 AND 9 THEN 0 ELSE n END), 0) AS BIGINT) AS n_excluded
+        FROM obs0
+    )
     SELECT o.digit,
            CAST(o.n AS BIGINT) AS n,
            round(CAST(o.n AS DOUBLE) / tot.t, 6) AS observed_p,
            round(log10(1 + 1.0 / o.digit), 6) AS benford_p,
            round(power(CAST(o.n AS DOUBLE) / tot.t - log10(1 + 1.0 / o.digit), 2)
-                 / log10(1 + 1.0 / o.digit) * tot.t, 6) AS chi2_term
+                 / log10(1 + 1.0 / o.digit) * tot.t, 6) AS chi2_term,
+           tot.n_excluded
     FROM obs o CROSS JOIN tot
     """,
 )
@@ -736,10 +750,19 @@ def stats_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
     digit = F.substring(
         F.floor("l_extendedprice").cast("long").cast("string"), 1, 1
     ).cast("int")
-    obs = li.select(digit.alias("digit")).groupBy("digit").agg(
+    obs0 = li.select(digit.alias("digit")).groupBy("digit").agg(
         F.count(F.lit(1)).alias("n")
     )
-    tot = obs.agg(F.sum("n").alias("t"))
+    valid = F.col("digit").between(1, 9)
+    tot = obs0.agg(
+        F.sum(F.when(valid, F.col("n")).otherwise(F.lit(0))).alias("t"),
+        F.coalesce(
+            F.sum(F.when(valid, F.lit(0)).otherwise(F.col("n"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_excluded"),
+    )
+    obs = obs0.filter(valid)
     benford_p = F.log10(1 + 1.0 / F.col("digit"))
     obs_p = F.col("n").cast("double") / F.col("t")
     return obs.crossJoin(F.broadcast(tot)).select(
@@ -750,6 +773,7 @@ def stats_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.pow(obs_p - benford_p, 2) / benford_p * F.col("t"), 6).alias(
             "chi2_term"
         ),
+        "n_excluded",
     )
 
 

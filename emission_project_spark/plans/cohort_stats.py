@@ -482,9 +482,15 @@ def events_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         "event_id",
         "event_type",
+        # exact-µs gap arithmetic (the events_dwell_times precedent):
+        # ts.cast("long") truncates to seconds, which splits/merges
+        # sessions differently from the oracle's full-TIMESTAMP
+        # `> INTERVAL 30 MINUTE` on fractional-second boundaries — and
+        # from the full-precision events_sessionize contract
         F.when(
-            F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w_lag)
-            > 30 * 60,
+            F.unix_micros(F.col("ts"))
+            - F.lag(F.unix_micros(F.col("ts"))).over(w_lag)
+            > 30 * 60 * 1_000_000,
             1,
         )
         .otherwise(0)

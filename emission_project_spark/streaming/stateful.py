@@ -281,6 +281,22 @@ def last_touch_attribution(events: DataFrame, ts_col: str = "ts") -> DataFrame:
     purchase in batch N+1 credits a touch from batch N; ties on
     timestamp resolve to the higher event_id, matching the batch
     twin's window ordering.
+
+    ORDERING CONTRACT (the scope of the batch-parity claim): parity
+    with ``events_attribution_last_touch`` holds only when events
+    arrive across micro-batches in event-time order per user — the
+    at-scale shape when the source is a per-user-keyed, time-ordered
+    log (e.g. a Kafka topic keyed by user_id). A purchase that lands
+    in a LATER batch than a touch with a LATER timestamp is credited
+    against the state as of its arrival batch, and a late-arriving
+    touch cannot retro-credit an already-emitted purchase: emission
+    is immediate (``NoTimeout``) and append-mode output is
+    immutable. Callers with out-of-order sources must buffer per-user
+    rows behind a watermark upstream (``with_watermark`` + a
+    sort-within-batch stage) before this operator; the operator
+    itself deliberately does not buffer, because unbounded
+    reorder-tolerance would reintroduce the O(history) state this
+    design exists to avoid.
     """
 
     def update(

@@ -388,6 +388,34 @@ def test_mmr_demotes_near_duplicate(spark, tmp_path_factory):
     assert r.get("cols_match") and r.get("values_match"), r
 
 
+def test_mmr_pool_collect_guard(spark, tmp_path_factory):
+    """mmr_rerank must raise (not silently collect) when the pool
+    relation exceeds max_collect — a corpus-sized query set can't
+    reach the driver; the limit is in the plan."""
+    import pytest as _pytest
+
+    from emission_project_spark.extensions.similarity import mmr_rerank
+
+    d = str(tmp_path_factory.mktemp("mmr_guard"))
+    vecs = [(i, [1.0, float(i) / 10.0, 0.0]) for i in range(6)]
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([v[0] for v in vecs], type=pa.int64()),
+                "embedding": pa.array(
+                    [v[1] for v in vecs], type=pa.list_(pa.float32())
+                ),
+            }
+        ),
+        os.path.join(d, "embeddings.parquet"),
+    )
+    emb = spark.read.parquet(os.path.join(d, "embeddings.parquet"))
+    with _pytest.raises(ValueError, match="max_collect"):
+        mmr_rerank(emb, emb, k=2, pool=5, max_collect=3)
+    # under the bound the same call succeeds
+    assert mmr_rerank(emb, emb, k=1, pool=2, max_collect=100).count() > 0
+
+
 def test_rake_hand_computed_scores(spark, tmp_path_factory):
     """Two identical docs of 'the deep learning model is a deep
     learning system': every content word has degree/frequency 3, so

@@ -69,6 +69,21 @@ _EVENTS = [
     (17, _ts(12, 40, 0), 3, "view", 1.25, '{"k": 16}'),
     (18, _ts(13, 40, 0), 3, "error", 2.75, '{"k": 17}'),
     (19, _ts(8, 0, 0), 3, "signup", 14.0, '{"k": 18}'),
+    # user 3 — a SECOND purchase at the identical µs as id 16:
+    # same-timestamp purchase ties must credit/count deterministically
+    # by event_id on both engines (attribution, RFM, funnels)
+    (20, _ts(12, 10, 0), 3, "purchase", 9.5, '{"k": 19}'),
+    # user 4 — all-censored journey: signup + touches, NEVER a
+    # purchase (Kaplan-Meier censored mass; zero-conversion paths);
+    # the lone view 6 h later is a SINGLE-EVENT session for path
+    # mining and a lone-touch tail for attribution
+    (21, _ts(14, 0, 0), 4, "signup", 0.0, '{"k": 20}'),
+    (22, _ts(14, 5, 0), 4, "click", 1.0, '{"k": 21}'),
+    (23, _ts(20, 0, 0), 4, "view", 2.0, '{"k": 22}'),
+    # user 1 — a touch at the SAME µs as purchase id 3 but a HIGHER
+    # event_id: the (ts, event_id) window order decides whether the
+    # purchase sees it; both engines must agree
+    (24, _ts(11, 0, 0, 1), 1, "click", 0.5, '{"k": 23}'),
 ]
 
 
@@ -124,3 +139,45 @@ def test_boundary_corpus_oracle_parity(spark, boundary_dir, name, fn, sql):
     assert "error" not in r, r
     assert r.get("cols_match") and r.get("values_match"), r
     assert r["spark_rows"] == r["oracle_rows"], r
+
+
+def test_kaplan_meier_all_censored_cohort(spark, tmp_path_factory):
+    """A corpus where NO user ever converts: every duration is
+    right-censored at the corpus clock, so the per-day histogram has
+    d = 0 everywhere and the KM output is EMPTY (the `WHERE d > 0`
+    contract) on both engines — not a crash, not a ln(0)/divide
+    hazard, and the same zero rows from Spark and DuckDB."""
+    sys.path.insert(0, _REPO)
+    import __spark_entry__ as entrymod
+
+    d = str(tmp_path_factory.mktemp("km_censored"))
+    rows = [
+        (1, _ts(9, 0, 0), 1, "signup", 0.0, "{}"),
+        (2, _ts(10, 0, 0), 1, "click", 1.0, "{}"),
+        (3, _ts(9, 0, 0, 0, 2), 2, "signup", 0.0, "{}"),
+        (4, _ts(11, 0, 0, 0, 3), 2, "view", 2.0, "{}"),
+        (5, _ts(12, 0, 0, 0, 4), 3, "signup", 0.0, "{}"),
+    ]
+    cols = list(zip(*rows))
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(cols[0], type=pa.int64()),
+                "ts": pa.array(cols[1], type=pa.timestamp("us")),
+                "user_id": pa.array(cols[2], type=pa.int64()),
+                "event_type": pa.array(cols[3], type=pa.string()),
+                "value": pa.array(cols[4], type=pa.float64()),
+                "props": pa.array(cols[5], type=pa.string()),
+            }
+        ),
+        os.path.join(d, "events.parquet"),
+    )
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE OR REPLACE VIEW events AS SELECT * FROM '{d}/events.parquet'"
+    )
+    fn = entrymod.queries()["events_kaplan_meier"]
+    sql = entrymod.oracle_sql()["events_kaplan_meier"]
+    r = _compare.compare_query(spark, con, "events_kaplan_meier", fn, sql, d)
+    assert "error" not in r, r
+    assert r["spark_rows"] == r["oracle_rows"] == 0, r
