@@ -273,24 +273,16 @@ def perceptual_hash(
     )
 
 
-def phash_neardup_pairs(
+def phash_candidate_pairs(
     hashes: DataFrame,
     bands: int = 4,
-    max_hamming: int = 3,
     max_bucket: int = 256,
 ) -> DataFrame:
-    """(doc_a, doc_b, hamming) for pairs within ``max_hamming`` bits.
-
-    Pigeonhole-complete when ``max_hamming < bands`` (a closer pair
-    must share one exact 16-bit band). Hot buckets beyond
-    ``max_bucket`` are dropped before any pair materializes (the
-    dedup-kit cap discipline; report separately if needed).
-    """
-    if max_hamming >= bands:
-        raise ValueError(
-            f"recall guarantee needs max_hamming < bands "
-            f"({max_hamming} >= {bands})"
-        )
+    """(doc_a, doc_b, hamming) for every DISTINCT same-band-value
+    candidate pair — the raw LSH candidate relation with its exact
+    hamming distance attached, before any threshold. Hot buckets
+    beyond ``max_bucket`` are dropped before any pair materializes
+    (the dedup-kit cap discipline; report separately if needed)."""
     width = 64 // bands
     mask = (1 << width) - 1
     banded = hashes.select(
@@ -337,9 +329,30 @@ def phash_neardup_pairs(
     return (
         small.select(F.explode(pair_structs).alias("p"))
         .select("p.doc_a", "p.doc_b", "p.hamming")
-        .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def phash_neardup_pairs(
+    hashes: DataFrame,
+    bands: int = 4,
+    max_hamming: int = 3,
+    max_bucket: int = 256,
+) -> DataFrame:
+    """(doc_a, doc_b, hamming) for pairs within ``max_hamming`` bits.
+
+    Pigeonhole-complete when ``max_hamming < bands`` (a closer pair
+    must share one exact 16-bit band). The candidate relation comes
+    from ``phash_candidate_pairs``; this layer is just the threshold.
+    """
+    if max_hamming >= bands:
+        raise ValueError(
+            f"recall guarantee needs max_hamming < bands "
+            f"({max_hamming} >= {bands})"
+        )
+    return phash_candidate_pairs(
+        hashes, bands=bands, max_bucket=max_bucket
+    ).filter(F.col("hamming") <= max_hamming)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,971 @@
+"""Round-8 batch: retrieval-eval metrics, agreement/association stats,
+concentration curves, arrival-process stats, vocabulary growth, a
+fixed-matrix PCA projection, pHash near-dup pairs, and the streaming-
+attribution batch twin.
+
+Why these: a training-data pipeline doesn't just BUILD indexes and
+filters — it has to GRADE them. recall@k / NDCG@k grade the ANN ladder
+against exact ground truth; ROC-AUC / calibration grade quality
+classifiers; kappa grades two labelers against each other; JS
+divergence and Lorenz/Theil grade mixture drift and source
+concentration; Heaps' law grades corpus vocabulary growth (dedup
+health at a glance: a flat curve means you're re-crawling the same
+pages). All are single-pass or bounded-pool DataFrame plans.
+
+House determinism rules apply throughout: every ranking carries a full
+(metric, id) tie-break; scores are round(6)-ed BEFORE ranks are taken;
+order-sensitive float sums either fold over exact-integer aggregates
+(decimal/HUGEINT) or are round(6)-ed where ulp noise is provably below
+the grid; no per-row Python UDFs (the one Arrow `mapInPandas` here is
+the pHash decode, which is the multimodal kit's existing surface).
+
+Reference provenance: the reference pipeline (emission-dag.py) has no
+eval surface at all — these extend the engine along the LLM-pipeline
+axis the build brief names first-class.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from emission_project_spark.catalog.tables import load_table
+from emission_project_spark.functions.text import LANG_MARKERS
+from emission_project_spark.functions.vectors import cosine_similarity, dot
+from emission_project_spark.plans.registry import register
+
+_K = 10
+_N_QUERIES = 20
+_TRUNC_DIM = 16
+
+# full-precision scored CTE shared by the eval queries (the
+# similarity_bruteforce_topk oracle shape: zero-norm guard to NULL,
+# round BEFORE rank, (sim DESC, vec_id) tie-break)
+_SCORED_SQL = f"""
+    q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+          FROM embeddings WHERE vec_id < {_N_QUERIES}),
+    scored AS (
+        SELECT q.query_id, v.vec_id,
+               CASE WHEN list_dot_product(v.embedding::DOUBLE[], v.embedding::DOUBLE[]) > 0
+                         AND list_dot_product(q.qe, q.qe) > 0
+                    THEN round(list_cosine_similarity(v.embedding::DOUBLE[], q.qe), 6)
+               END AS full_sim,
+               CASE WHEN list_dot_product((v.embedding::DOUBLE[])[1:{_TRUNC_DIM}], (v.embedding::DOUBLE[])[1:{_TRUNC_DIM}]) > 0
+                         AND list_dot_product(q.qe[1:{_TRUNC_DIM}], q.qe[1:{_TRUNC_DIM}]) > 0
+                    THEN round(list_cosine_similarity((v.embedding::DOUBLE[])[1:{_TRUNC_DIM}], q.qe[1:{_TRUNC_DIM}]), 6)
+               END AS trunc_sim
+        FROM embeddings v CROSS JOIN q
+        WHERE v.vec_id <> q.query_id
+    ),
+    gt AS (
+        SELECT query_id, vec_id, full_sim,
+               row_number() OVER (PARTITION BY query_id
+                    ORDER BY full_sim DESC, vec_id) AS r
+        FROM scored QUALIFY r <= {_K}
+    ),
+    ap AS (
+        SELECT query_id, vec_id, full_sim,
+               row_number() OVER (PARTITION BY query_id
+                    ORDER BY trunc_sim DESC, vec_id) AS r
+        FROM scored QUALIFY r <= {_K}
+    )
+"""
+
+
+def _scored_both(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, vec_id, full_sim, trunc_sim) — ONE broadcast-query
+    map-side pass scores both the full vector and its matryoshka
+    prefix; no shuffle until the per-query top-k windows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("_q")
+    )
+    v = emb.select("vec_id", F.col("embedding").alias("_e"))
+    return (
+        v.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine_similarity("_e", "_q"), 6).alias("full_sim"),
+            F.round(
+                cosine_similarity(
+                    F.slice("_e", 1, _TRUNC_DIM), F.slice("_q", 1, _TRUNC_DIM)
+                ),
+                6,
+            ).alias("trunc_sim"),
+        )
+    )
+
+
+def _topk(scored: DataFrame, by: str) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(
+        F.col(by).desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= _K)
+        .select("query_id", "vec_id", "full_sim", "r")
+    )
+
+
+# --- recall@k of the matryoshka-truncated ranking (first 16 of 64
+# dims) against the exact full-dimension top-k — THE acceptance metric
+# for any ANN/compression tier before it ships (Kusupati et al. 2022
+# evaluate truncated representations exactly this way). At 100 TB the
+# ground truth comes from a sampled query set (here: vec_id < 20) and
+# the same one-pass dual scoring; the expensive side is the exact
+# ranking you're grading against, which is why it's sampled.
+@register(
+    "similarity_recall_at_k",
+    oracle=f"""
+    WITH {_SCORED_SQL}
+    SELECT g.query_id,
+           CAST(count(a.vec_id) AS BIGINT) AS n_hits,
+           round(count(a.vec_id) / {_K}.0, 6) AS recall
+    FROM gt g LEFT JOIN ap a
+      ON a.query_id = g.query_id AND a.vec_id = g.vec_id
+    GROUP BY g.query_id
+    """,
+)
+def similarity_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = _scored_both(spark, sf_dir).localCheckpoint(eager=False)
+    gt = _topk(scored, "full_sim")
+    ap = _topk(scored, "trunc_sim").select(
+        F.col("query_id").alias("aq"), F.col("vec_id").alias("av")
+    )
+    return (
+        gt.join(
+            ap,
+            (gt["query_id"] == ap["aq"]) & (gt["vec_id"] == ap["av"]),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("av").alias("n_hits"),
+            F.round(F.count("av") / float(_K), 6).alias("recall"),
+        )
+    )
+
+
+# --- NDCG@k of the truncated ranking, gains from the EXACT cosine
+# (graded relevance, shifted to [0,1] because cosine can be negative
+# and DCG needs non-negative gains): DCG = Σ gain/log2(1+rank) over
+# the approx list, IDCG = the same sum over the exact list (which is
+# optimal for this gain by construction), NDCG = DCG/IDCG. ≤10 float
+# terms per query — ulp noise orders below the round(6) grid.
+@register(
+    "similarity_ndcg_at_k",
+    oracle=f"""
+    WITH {_SCORED_SQL},
+    dcg AS (
+        SELECT query_id,
+               sum((full_sim + 1.0) / 2.0 / log2(1.0 + r)) AS dcg
+        FROM ap GROUP BY query_id
+    ),
+    idcg AS (
+        SELECT query_id,
+               sum((full_sim + 1.0) / 2.0 / log2(1.0 + r)) AS idcg
+        FROM gt GROUP BY query_id
+    )
+    SELECT d.query_id, round(d.dcg, 6) AS dcg, round(i.idcg, 6) AS idcg,
+           round(d.dcg / NULLIF(i.idcg, 0), 6) AS ndcg
+    FROM dcg d JOIN idcg i ON i.query_id = d.query_id
+    """,
+)
+def similarity_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = _scored_both(spark, sf_dir).localCheckpoint(eager=False)
+    gain = (F.col("full_sim") + 1.0) / 2.0 / F.log2(1.0 + F.col("r"))
+    dcg = (
+        _topk(scored, "trunc_sim")
+        .groupBy("query_id")
+        .agg(F.sum(gain).alias("dcg"))
+    )
+    idcg = (
+        _topk(scored, "full_sim")
+        .groupBy("query_id")
+        .agg(F.sum(gain).alias("idcg"))
+        .withColumnRenamed("query_id", "iq")
+    )
+    return dcg.join(idcg, dcg["query_id"] == idcg["iq"]).select(
+        "query_id",
+        F.round("dcg", 6).alias("dcg"),
+        F.round("idcg", 6).alias("idcg"),
+        # try_divide: an all-minimal-gain list (every cosine exactly
+        # -1) has IDCG 0 — NDCG undefined, NULL on both engines
+        F.round(F.try_divide(F.col("dcg"), F.col("idcg")), 6).alias("ndcg"),
+    )
+
+
+# --- projection onto a FIXED 2-component loading matrix — the
+# oracle-checkable half of the PCA surface (the eigendecomposition
+# itself lives in extensions/pca.py, numpy-exact pytest-pinned; a
+# trained component matrix is deployed as literals exactly like this).
+# Loadings are multiples of 1/8 so every literal is binary-exact in
+# both engines; the dot is the house sequential fold. Map-side only:
+# zero shuffles at any scale.
+_PC1 = [((i % 8) - 3.5) * 0.25 for i in range(64)]
+_PC2 = [((i // 8) - 3.5) * 0.25 for i in range(64)]
+
+
+@register(
+    "embedding_pca_project",
+    oracle=f"""
+    WITH w AS (SELECT [{", ".join(repr(v) for v in _PC1)}]::DOUBLE[] AS w1,
+                      [{", ".join(repr(v) for v in _PC2)}]::DOUBLE[] AS w2)
+    SELECT vec_id, label,
+           round(list_dot_product(embedding::DOUBLE[], w.w1), 6) + 0.0 AS pc1,
+           round(list_dot_product(embedding::DOUBLE[], w.w2), 6) + 0.0 AS pc2
+    FROM embeddings CROSS JOIN w
+    """,
+)
+def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    w1 = F.array(*[F.lit(v) for v in _PC1])
+    w2 = F.array(*[F.lit(v) for v in _PC2])
+    # + 0.0 normalizes IEEE negative zero: a tiny negative projection
+    # rounds to -0.0, whose hash differs from 0.0 across engines
+    return emb.select(
+        "vec_id",
+        "label",
+        (F.round(dot("embedding", w1), 6) + 0.0).alias("pc1"),
+        (F.round(dot("embedding", w2), 6) + 0.0).alias("pc2"),
+    )
+
+
+# --- ROC-AUC via the rank-sum (Mann-Whitney) identity:
+# AUC = (Σ avg-ranks of positives − n⁺(n⁺+1)/2) / (n⁺·n⁻), mid-ranks
+# for ties — the standard exact AUC without an O(n²) pair join.
+# Positives = purchases, score = event value ("does value predict
+# purchase?"). avg-rank = min-rank + (ties−1)/2 sits on the 0.5 grid,
+# so the positive-rank sum is exact in doubles and the AUC is pure
+# integer arithmetic until the final division. One global sort — at
+# 100 TB swap in the binned AUC over a fixed value grid (the PSI
+# discipline); the exact rank version is the audited baseline.
+@register(
+    "stats_roc_auc",
+    oracle="""
+    WITH r AS (
+        SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+               rank() OVER (ORDER BY value) AS rmin,
+               count(*) OVER (PARTITION BY value) AS ties
+        FROM events
+    ),
+    a AS (
+        SELECT sum(y) AS np, sum(1 - y) AS nn,
+               sum(CASE WHEN y = 1 THEN rmin + (ties - 1) / 2.0 ELSE 0 END) AS rpos
+        FROM r
+    )
+    SELECT CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
+           round((rpos - np * (np + 1) / 2.0) / NULLIF(np * nn, 0), 6) AS auc
+    FROM a
+    """,
+)
+def stats_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    y = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    r = ev.select(
+        y.alias("y"),
+        F.rank().over(Window.orderBy("value")).alias("rmin"),
+        F.count(F.lit(1)).over(Window.partitionBy("value")).alias("ties"),
+    )
+    a = r.agg(
+        F.sum("y").alias("np"),
+        F.sum(1 - F.col("y")).alias("nn"),
+        F.sum(
+            F.when(
+                F.col("y") == 1, F.col("rmin") + (F.col("ties") - 1) / 2.0
+            ).otherwise(F.lit(0.0))
+        ).alias("rpos"),
+    )
+    return a.select(
+        F.col("np").cast("long").alias("n_pos"),
+        F.col("nn").cast("long").alias("n_neg"),
+        # try_divide: a single-class corpus (no positives or no
+        # negatives) has an undefined AUC — NULL on both engines
+        F.round(
+            F.try_divide(
+                F.col("rpos") - F.col("np") * (F.col("np") + 1) / 2.0,
+                F.col("np") * F.col("nn"),
+            ),
+            6,
+        ).alias("auc"),
+    )
+
+
+# --- Spearman rank correlation (quantity vs extended price): Pearson
+# on average ranks. Ranks are DOUBLED into exact integers (2·avgrank =
+# 2·minrank + ties − 1) and every moment folds as decimal(38,0) /
+# HUGEINT, so both engines divide the SAME exact integers — zero
+# float-order hazard even at sf1 where Σ(2r)² overflows a bigint.
+@register(
+    "stats_spearman_corr",
+    oracle="""
+    WITH r AS (
+        SELECT 2 * rank() OVER (ORDER BY l_quantity)
+                 + count(*) OVER (PARTITION BY l_quantity) - 1 AS rx,
+               2 * rank() OVER (ORDER BY l_extendedprice)
+                 + count(*) OVER (PARTITION BY l_extendedprice) - 1 AS ry
+        FROM lineitem
+    ),
+    m AS (
+        SELECT count(*) AS n,
+               sum(CAST(rx AS HUGEINT)) AS sx, sum(CAST(ry AS HUGEINT)) AS sy,
+               sum(CAST(rx AS HUGEINT) * rx) AS sxx,
+               sum(CAST(ry AS HUGEINT) * ry) AS syy,
+               sum(CAST(rx AS HUGEINT) * ry) AS sxy
+        FROM r
+    )
+    SELECT CAST(n AS BIGINT) AS n_rows,
+           round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / NULLIF(sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 0),
+                 6) AS spearman_rho
+    FROM m
+    """,
+)
+def stats_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def dbl_rank(col: str) -> F.Column:
+        return (
+            2 * F.rank().over(Window.orderBy(col))
+            + F.count(F.lit(1)).over(Window.partitionBy(col))
+            - 1
+        )
+
+    r = li.select(
+        dbl_rank("l_quantity").cast("decimal(18,0)").alias("rx"),
+        dbl_rank("l_extendedprice").cast("decimal(18,0)").alias("ry"),
+    )
+    m = r.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rx").alias("sx"),
+        F.sum("ry").alias("sy"),
+        F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).alias("syy"),
+        F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    return m.select(
+        F.col("n").cast("long").alias("n_rows"),
+        # try_divide: a constant column has zero rank variance and an
+        # undefined rho — NULL on both engines (NULLIF in the oracle)
+        F.round(
+            F.try_divide(
+                n * sxy - sx * sy,
+                F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            ),
+            6,
+        ).alias("spearman_rho"),
+    )
+
+
+# --- Cohen's kappa between the n-gram langid labeler and the stored
+# lang column — chance-corrected inter-rater agreement, the honest
+# number when one class dominates (plain accuracy flatters a labeler
+# that just predicts 'en'). The truth side includes 'zh', which the
+# 4-way heuristic can never predict — kappa's marginal product handles
+# the asymmetric label sets where accuracy-style readouts silently
+# can't. Builds on the same 4-way CASE as text_langid (contract:
+# identical prediction on both engines), one confusion-cell aggregate,
+# marginals fold from the cells.
+_LANGID_CASE = """CASE WHEN score_de >= score_en AND score_de >= score_es AND score_de >= score_fr THEN 'de'
+                   WHEN score_en >= score_es AND score_en >= score_fr THEN 'en'
+                   WHEN score_es >= score_fr THEN 'es'
+                   ELSE 'fr' END"""
+_LANG_SCORES_SQL = ", ".join(
+    f"CAST(len(list_filter(regexp_extract_all(lower(text), '\\w+'), t -> t IN "
+    f"({', '.join(repr(m) for m in markers)}))) AS BIGINT) AS score_{lang}"
+    for lang, markers in LANG_MARKERS.items()
+)
+
+
+@register(
+    "stats_cohens_kappa",
+    oracle=f"""
+    WITH s AS (SELECT lang, {_LANG_SCORES_SQL} FROM documents),
+    lab AS (SELECT lang AS truth, {_LANGID_CASE} AS pred FROM s),
+    cells AS (SELECT truth, pred, count(*) AS n FROM lab GROUP BY 1, 2),
+    tot AS (SELECT sum(n) AS nn, sum(CASE WHEN truth = pred THEN n ELSE 0 END) AS agree FROM cells),
+    rowm AS (SELECT pred AS l, sum(n) AS npred FROM cells GROUP BY 1),
+    colm AS (SELECT truth AS l, sum(n) AS ntruth FROM cells GROUP BY 1),
+    pe AS (
+        SELECT sum(coalesce(r.npred, 0) * coalesce(c.ntruth, 0)) AS cross_mass
+        FROM rowm r FULL OUTER JOIN colm c ON c.l = r.l
+    )
+    SELECT CAST(tot.nn AS BIGINT) AS n_docs,
+           round(CAST(tot.agree AS DOUBLE) / tot.nn, 6) AS p_observed,
+           round(CAST(pe.cross_mass AS DOUBLE) / (tot.nn * tot.nn), 6) AS p_expected,
+           round((CAST(tot.agree AS DOUBLE) / tot.nn
+                  - CAST(pe.cross_mass AS DOUBLE) / (tot.nn * tot.nn))
+                 / NULLIF(1.0 - CAST(pe.cross_mass AS DOUBLE) / (tot.nn * tot.nn), 0),
+                 6) AS kappa
+    FROM tot CROSS JOIN pe
+    """,
+)
+def stats_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emission_project_spark.functions.text import lang_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    scores = lang_scores("text")
+    s = docs.select(
+        F.col("lang").alias("truth"),
+        *[c.alias(f"score_{lang}") for lang, c in scores.items()],
+    )
+    pred = (
+        F.when(
+            (F.col("score_de") >= F.col("score_en"))
+            & (F.col("score_de") >= F.col("score_es"))
+            & (F.col("score_de") >= F.col("score_fr")),
+            "de",
+        )
+        .when(
+            (F.col("score_en") >= F.col("score_es"))
+            & (F.col("score_en") >= F.col("score_fr")),
+            "en",
+        )
+        .when(F.col("score_es") >= F.col("score_fr"), "es")
+        .otherwise("fr")
+    )
+    cells = (
+        s.select("truth", pred.alias("pred"))
+        .groupBy("truth", "pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)  # ≤25 cells, read by 3 consumers
+    )
+    tot = cells.agg(
+        F.sum("n").alias("nn"),
+        F.sum(F.when(F.col("truth") == F.col("pred"), F.col("n")).otherwise(0)).alias(
+            "agree"
+        ),
+    )
+    rowm = cells.groupBy("pred").agg(F.sum("n").alias("npred"))
+    colm = cells.groupBy("truth").agg(F.sum("n").alias("ntruth"))
+    pe = (
+        rowm.join(colm, rowm["pred"] == colm["truth"], "full_outer")
+        .select(
+            (
+                F.coalesce("npred", F.lit(0)) * F.coalesce("ntruth", F.lit(0))
+            ).alias("m")
+        )
+        .agg(F.sum("m").alias("cross_mass"))
+    )
+    nn = F.col("nn").cast("double")
+    po = F.col("agree").cast("double") / nn
+    pexp = F.col("cross_mass").cast("double") / (nn * nn)
+    return tot.crossJoin(F.broadcast(pe)).select(
+        F.col("nn").cast("long").alias("n_docs"),
+        F.round(po, 6).alias("p_observed"),
+        F.round(pexp, 6).alias("p_expected"),
+        # try_divide: two constant raters in full agreement give
+        # pe = 1 and an undefined kappa — NULL on both engines
+        F.round(F.try_divide(po - pexp, 1.0 - pexp), 6).alias("kappa"),
+    )
+
+
+# --- Jensen-Shannon divergence between the click and view value
+# distributions over the PSI bin grid (least(floor(v/50), 9) — the
+# stream_psi_drift_batch contract): JSD = ½Σp·ln(2p/(p+q)) +
+# ½Σq·ln(2q/(p+q)), zero-mass terms contribute 0 (x·ln x → 0), so
+# unlike KL/PSI it needs no epsilon smoothing and is symmetric and
+# bounded by ln 2 — the drift number you alert on when bins can be
+# empty. ≤11 cells; two filtered aggregates over one binned pass.
+@register(
+    "stats_jensen_shannon",
+    oracle="""
+    WITH b AS (
+        SELECT event_type, least(CAST(floor(value / 50) AS BIGINT), 9) AS bin
+        FROM events WHERE event_type IN ('click', 'view')
+    ),
+    c AS (
+        SELECT bin,
+               count(*) FILTER (WHERE event_type = 'click') AS cp,
+               count(*) FILTER (WHERE event_type = 'view') AS cq
+        FROM b GROUP BY bin
+    ),
+    t AS (SELECT sum(cp) AS np, sum(cq) AS nq FROM c),
+    terms AS (
+        SELECT CASE WHEN cp > 0 THEN 0.5 * (CAST(cp AS DOUBLE) / t.np)
+                        * ln(2.0 * (CAST(cp AS DOUBLE) / t.np)
+                             / (CAST(cp AS DOUBLE) / t.np + CAST(cq AS DOUBLE) / t.nq))
+                    ELSE 0 END
+             + CASE WHEN cq > 0 THEN 0.5 * (CAST(cq AS DOUBLE) / t.nq)
+                        * ln(2.0 * (CAST(cq AS DOUBLE) / t.nq)
+                             / (CAST(cp AS DOUBLE) / t.np + CAST(cq AS DOUBLE) / t.nq))
+                    ELSE 0 END AS term
+        FROM c CROSS JOIN t
+    )
+    SELECT CAST(t.np AS BIGINT) AS n_click, CAST(t.nq AS BIGINT) AS n_view,
+           round((SELECT sum(term) FROM terms), 6) AS js_divergence
+    FROM t
+    -- one-sided corpus: a divergence needs both samples; zero rows
+    -- (not a 0/0 NaN) when either side is absent, on both engines
+    WHERE t.np > 0 AND t.nq > 0
+    """,
+)
+def stats_jensen_shannon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    b = ev.select(
+        "event_type",
+        F.least(F.floor(F.col("value") / 50).cast("long"), F.lit(9)).alias("bin"),
+    )
+    c = b.groupBy("bin").agg(
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("cp"),
+        F.count(F.when(F.col("event_type") == "view", 1)).alias("cq"),
+    )
+    # one-sided corpus guard: both samples must be non-empty or the
+    # p/q ratios degenerate to 0/0 — emit zero rows instead (oracle
+    # mirrors with WHERE np > 0 AND nq > 0)
+    t = c.agg(F.sum("cp").alias("np"), F.sum("cq").alias("nq")).filter(
+        (F.col("np") > 0) & (F.col("nq") > 0)
+    )
+    p = F.col("cp").cast("double") / F.col("np")
+    q = F.col("cq").cast("double") / F.col("nq")
+    term = F.when(
+        F.col("cp") > 0, 0.5 * p * F.log(2.0 * p / (p + q))
+    ).otherwise(F.lit(0.0)) + F.when(
+        F.col("cq") > 0, 0.5 * q * F.log(2.0 * q / (p + q))
+    ).otherwise(F.lit(0.0))
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(F.col("np"), F.col("nq"), term.alias("term"))
+        .groupBy("np", "nq")
+        .agg(F.round(F.sum("term"), 6).alias("js_divergence"))
+        .select(
+            F.col("np").cast("long").alias("n_click"),
+            F.col("nq").cast("long").alias("n_view"),
+            "js_divergence",
+        )
+    )
+
+
+# --- Lorenz curve at customer-revenue deciles — the shape behind the
+# Gini scalar (stats_gini_concentration): which tenth of the customer
+# base carries which share of revenue. Zero-order customers are
+# INCLUDED at revenue 0 (left join) — excluding them understates
+# concentration, the classic Lorenz mistake. One user-sized sort;
+# decile boundaries tie-broken by (revenue, custkey).
+@register(
+    "stats_lorenz_deciles",
+    oracle="""
+    WITH rev AS (
+        SELECT c.c_custkey, coalesce(sum(o.o_totalprice), 0) AS x
+        FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY 1
+    ),
+    d AS (
+        SELECT x, ntile(10) OVER (ORDER BY x, c_custkey) AS decile FROM rev
+    ),
+    g AS (
+        SELECT decile, count(*) AS n_customers, sum(x) AS dec_rev
+        FROM d GROUP BY decile
+    ),
+    t AS (SELECT sum(dec_rev) AS total FROM g)
+    SELECT decile,
+           CAST(n_customers AS BIGINT) AS n_customers,
+           round(dec_rev, 2) AS decile_revenue,
+           round(dec_rev / NULLIF(t.total, 0), 6) AS revenue_share,
+           round(sum(dec_rev) OVER (ORDER BY decile
+                 ROWS UNBOUNDED PRECEDING) / NULLIF(t.total, 0), 6) AS cum_revenue_share
+    FROM g CROSS JOIN t
+    """,
+)
+def stats_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    rev = (
+        cust.join(
+            orders, cust["c_custkey"] == orders["o_custkey"], "left"
+        )
+        .groupBy("c_custkey")
+        .agg(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)).alias("x"))
+    )
+    d = rev.select(
+        "x",
+        F.ntile(10).over(Window.orderBy("x", "c_custkey")).alias("decile"),
+    )
+    g = d.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_customers"), F.sum("x").alias("dec_rev")
+    )
+    t = g.agg(F.sum("dec_rev").alias("total"))
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return g.crossJoin(F.broadcast(t)).select(
+        "decile",
+        F.col("n_customers").cast("long").alias("n_customers"),
+        F.round("dec_rev", 2).alias("decile_revenue"),
+        # try_divide: an all-zero-revenue corpus has no shares to
+        # apportion — NULL on both engines (NULLIF in the oracle)
+        F.round(F.try_divide(F.col("dec_rev"), F.col("total")), 6).alias(
+            "revenue_share"
+        ),
+        F.round(
+            F.try_divide(F.sum("dec_rev").over(w), F.col("total")), 6
+        ).alias("cum_revenue_share"),
+    )
+
+
+# --- Theil T index of customer revenue — the decomposable
+# concentration scalar (unlike Gini it splits exactly into
+# within-group + between-group terms, which is what you want when the
+# question is "is the skew inside sources or across them"). T =
+# (1/n)·Σ (x/μ)·ln(x/μ) over POSITIVE revenues (ln needs x>0; zero-
+# revenue customers are excluded and counted observably). One
+# aggregate for (n, Σx), one map-side term pass — no sort at all,
+# unlike the Gini/Lorenz pair.
+@register(
+    "stats_theil_index",
+    oracle="""
+    WITH rev AS (
+        SELECT o_custkey, sum(o_totalprice) AS x FROM orders GROUP BY 1
+    ),
+    t AS (SELECT count(*) AS n, sum(x) AS sx FROM rev WHERE x > 0),
+    ex AS (SELECT count(*) AS n_excluded FROM rev WHERE x <= 0)
+    SELECT CAST(t.n AS BIGINT) AS n_customers,
+           CAST(ex.n_excluded AS BIGINT) AS n_excluded,
+           round((SELECT sum((x / (t.sx / t.n)) * ln(x / (t.sx / t.n)))
+                  FROM rev WHERE x > 0) / NULLIF(t.n, 0), 6) AS theil_t
+    FROM t CROSS JOIN ex
+    """,
+)
+def stats_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    rev = (
+        orders.groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("x"))
+        .localCheckpoint(eager=False)  # user-sized; read by 3 consumers
+    )
+    pos = rev.filter(F.col("x") > 0)
+    t = pos.agg(F.count(F.lit(1)).alias("n"), F.sum("x").alias("sx"))
+    ex = rev.filter(F.col("x") <= 0).agg(
+        F.count(F.lit(1)).alias("n_excluded")
+    )
+    mu = F.col("sx") / F.col("n")
+    terms = pos.crossJoin(F.broadcast(t)).select(
+        ((F.col("x") / mu) * F.log(F.col("x") / mu)).alias("term")
+    )
+    # agg (not groupBy) so an all-excluded corpus still yields the
+    # 1-row readout the oracle's scalar CTE produces — NULL theil via
+    # try_divide (NULLIF in the oracle), counts stay observable
+    th = terms.agg(F.sum("term").alias("st"))
+    return (
+        th.crossJoin(F.broadcast(t))
+        .crossJoin(F.broadcast(ex))
+        .select(
+            F.col("n").cast("long").alias("n_customers"),
+            F.col("n_excluded").cast("long").alias("n_excluded"),
+            F.round(F.try_divide(F.col("st"), F.col("n")), 6).alias("theil_t"),
+        )
+    )
+
+
+# --- inter-arrival burstiness per event type: gaps between a user's
+# consecutive same-type events, then CV = σ/μ and the Goh-Barabási
+# burstiness B = (σ−μ)/(σ+μ) ∈ (−1, 1) — B≈0 is Poisson traffic,
+# B→1 is bursty (bot/scraper signature), B→−1 is a metronome
+# (heartbeat). Moments fold as EXACT integer µs sums (decimal(38,0) /
+# HUGEINT — Σgap² overflows a bigint at real scales), so both engines
+# derive σ and μ from identical integers; the only doubles are the
+# final ratios. One window pass + one aggregate.
+@register(
+    "events_interarrival_burstiness",
+    oracle="""
+    WITH g AS (
+        SELECT event_type,
+               epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                   PARTITION BY user_id, event_type ORDER BY ts, event_id
+               ) AS gap_us
+        FROM events
+    ),
+    m AS (
+        SELECT event_type, count(*) AS n,
+               sum(CAST(gap_us AS HUGEINT)) AS s,
+               sum(CAST(gap_us AS HUGEINT) * gap_us) AS ss
+        FROM g WHERE gap_us IS NOT NULL GROUP BY 1
+    ),
+    d AS (
+        SELECT event_type, n,
+               CAST(s AS DOUBLE) / n AS mean_us,
+               sqrt(greatest((CAST(ss AS DOUBLE)
+                              - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+                             / (n - 1), 0)) AS sd_us
+        FROM m WHERE n >= 2
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_gaps,
+           round(mean_us / 1e6, 6) AS mean_gap_s,
+           round(sd_us / NULLIF(mean_us, 0), 6) AS cv,
+           round((sd_us - mean_us) / NULLIF(sd_us + mean_us, 0), 6) AS burstiness
+    FROM d
+    """,
+)
+def events_interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    g = ev.select(
+        "event_type", (us - F.lag(us).over(w)).alias("gap_us")
+    ).filter(F.col("gap_us").isNotNull())
+    m = g.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("gap_us").cast("decimal(38,0)")).alias("s"),
+        F.sum(
+            F.col("gap_us").cast("decimal(18,0)")
+            * F.col("gap_us").cast("decimal(18,0)")
+        ).alias("ss"),
+    )
+    n = F.col("n").cast("double")
+    s, ss = F.col("s").cast("double"), F.col("ss").cast("double")
+    mean_us = s / n
+    sd_us = F.sqrt(F.greatest((ss - s * s / n) / (n - 1), F.lit(0.0)))
+    return m.filter(F.col("n") >= 2).select(
+        "event_type",
+        F.col("n").cast("long").alias("n_gaps"),
+        F.round(mean_us / 1e6, 6).alias("mean_gap_s"),
+        # try_divide: all-identical timestamps make every gap 0 —
+        # mean = sd = 0, CV/B undefined, NULL on both engines
+        F.round(F.try_divide(sd_us, mean_us), 6).alias("cv"),
+        F.round(F.try_divide(sd_us - mean_us, sd_us + mean_us), 6).alias(
+            "burstiness"
+        ),
+    )
+
+
+# --- Heaps'-law vocabulary growth: cumulative distinct token types vs
+# cumulative tokens at 10 corpus checkpoints (docs in doc_id order),
+# plus the fitted Heaps exponent β from the log-log regression over
+# the checkpoints (V ≈ k·nᵝ, β<1 always; a β collapsing toward 0 means
+# the crawl is re-reading the same pages — the corpus-health readout
+# dedup teams watch). A token's first occurrence is min(doc_id) — one
+# token-level aggregate, never a per-checkpoint rescan; checkpoints
+# are doc deciles (ntile over doc_id).
+@register(
+    "text_heaps_law",
+    oracle="""
+    WITH db AS (
+        SELECT doc_id, ntile(10) OVER (ORDER BY doc_id) AS bucket,
+               len(regexp_extract_all(lower(text), '\\w+')) AS n_toks
+        FROM documents
+    ),
+    firsts AS (
+        SELECT min(doc_id) AS first_doc
+        FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\w+')) AS tok
+              FROM documents)
+        GROUP BY tok
+    ),
+    newt AS (
+        SELECT db.bucket, count(*) AS new_types
+        FROM firsts JOIN db ON db.doc_id = firsts.first_doc
+        GROUP BY 1
+    ),
+    curve AS (
+        SELECT b.bucket,
+               CAST(sum(b.n_docs) OVER w AS BIGINT) AS n_docs_cum,
+               CAST(sum(b.toks) OVER w AS BIGINT) AS n_tokens_cum,
+               CAST(sum(coalesce(nt.new_types, 0)) OVER w AS BIGINT) AS vocab_cum
+        FROM (SELECT bucket, count(*) AS n_docs, sum(n_toks) AS toks
+              FROM db GROUP BY 1) b
+        LEFT JOIN newt nt ON nt.bucket = b.bucket
+        WINDOW w AS (ORDER BY b.bucket ROWS UNBOUNDED PRECEDING)
+    ),
+    fit AS (
+        -- only positive checkpoints enter the log-log fit: Spark
+        -- ln(0) is NULL (silently dropped by sum) while DuckDB's is
+        -- -inf — the Kaplan-Meier trap class; NULLIF guards the
+        -- single-checkpoint / constant-curve denominator
+        SELECT (count(*) * sum(ln(n_tokens_cum) * ln(vocab_cum))
+                - sum(ln(n_tokens_cum)) * sum(ln(vocab_cum)))
+               / NULLIF(count(*) * sum(ln(n_tokens_cum) * ln(n_tokens_cum))
+                  - sum(ln(n_tokens_cum)) * sum(ln(n_tokens_cum)), 0) AS beta
+        FROM curve WHERE n_tokens_cum > 0 AND vocab_cum > 0
+    )
+    SELECT bucket, n_docs_cum, n_tokens_cum, vocab_cum,
+           round(fit.beta, 6) AS heaps_beta
+    FROM curve CROSS JOIN fit
+    """,
+)
+def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emission_project_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    db = docs.select(
+        "doc_id",
+        F.ntile(10).over(Window.orderBy("doc_id")).alias("bucket"),
+        F.size(tokens(F.lower(F.col("text")))).alias("n_toks"),
+    ).localCheckpoint(eager=False)  # doc-sized; read by 2 consumers
+    firsts = (
+        docs.select(
+            "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("tok")
+        )
+        .groupBy("tok")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    newt = (
+        firsts.join(db, firsts["first_doc"] == db["doc_id"])
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("new_types"))
+        .withColumnRenamed("bucket", "nb")
+    )
+    per_bucket = db.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_toks").alias("toks")
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    curve = (
+        per_bucket.join(newt, per_bucket["bucket"] == newt["nb"], "left")
+        .select(
+            "bucket",
+            F.sum("n_docs").over(w).cast("long").alias("n_docs_cum"),
+            F.sum("toks").over(w).cast("long").alias("n_tokens_cum"),
+            F.sum(F.coalesce("new_types", F.lit(0)))
+            .over(w)
+            .cast("long")
+            .alias("vocab_cum"),
+        )
+        .localCheckpoint(eager=False)  # 10 rows; read by the fit + output
+    )
+    lx, ly = F.log("n_tokens_cum"), F.log("vocab_cum")
+    # positive checkpoints only (Spark ln(0)=NULL vs DuckDB -inf — the
+    # KM trap class); try_divide guards the constant-curve denominator
+    fit = curve.filter(
+        (F.col("n_tokens_cum") > 0) & (F.col("vocab_cum") > 0)
+    ).agg(
+        F.try_divide(
+            F.count(F.lit(1)) * F.sum(lx * ly) - F.sum(lx) * F.sum(ly),
+            F.count(F.lit(1)) * F.sum(lx * lx) - F.sum(lx) * F.sum(lx),
+        ).alias("beta")
+    )
+    return curve.crossJoin(F.broadcast(fit)).select(
+        "bucket",
+        "n_docs_cum",
+        "n_tokens_cum",
+        "vocab_cum",
+        F.round("beta", 6).alias("heaps_beta"),
+    )
+
+
+# --- pHash (aHash) closest candidate pairs over the deterministic
+# stub decoder — the multimodal dedup surface promoted from
+# pytest-only to the driver ledger. The Spark side runs the REAL kit
+# end-to-end (attach_payload → Arrow mapInPandas perceptual_hash →
+# banded pigeonhole candidate-gen, extensions/multimodal.py); the
+# readout is the 25 CLOSEST candidates by (hamming, doc_a, doc_b)
+# with the ≤3-bit near-dup verdict as a flag — informative at every
+# SF where a bare threshold filter would return zero rows. The oracle
+# replays the stub's arithmetic in SQL: grid[i] = byte[(i·n)//64] of
+# the payload (documents.text is ASCII in this corpus, so byte ==
+# char and ascii(substring(...)) IS the byte), bit i set iff
+# grid[i] > mean (mean = Σ/64.0 is exact — /64 is a power of two),
+# signed-64 wrap, 4×16-bit bands, same-band-value buckets capped at
+# 256, exact bit_count(xor) on candidates only. Swapping gray8x8_fake
+# for the PIL path changes ONLY the grid function — the plan shape is
+# identical.
+@register(
+    "multimodal_phash_pairs",
+    oracle="""
+    WITH pay AS (SELECT doc_id, text, length(text) AS n FROM documents),
+    grid AS (
+        SELECT doc_id, i.i,
+               ascii(substring(text, CAST((i.i * n) // 64 AS INT) + 1, 1)) AS v
+        FROM pay CROSS JOIN (SELECT unnest(range(0, 64)) AS i) i
+    ),
+    mean_g AS (SELECT doc_id, sum(v) / 64.0 AS mn FROM grid GROUP BY 1),
+    h AS (
+        SELECT g.doc_id,
+               sum(CASE WHEN g.v > m.mn
+                        THEN CAST(1 AS HUGEINT) << g.i ELSE 0 END) AS hu
+        FROM grid g JOIN mean_g m ON m.doc_id = g.doc_id
+        GROUP BY 1
+    ),
+    ph AS (
+        SELECT doc_id, hu,
+               CAST(CASE WHEN hu >= CAST(1 AS HUGEINT) << 63
+                         THEN hu - (CAST(1 AS HUGEINT) << 64)
+                         ELSE hu END AS BIGINT) AS phash
+        FROM h
+    ),
+    banded AS (
+        SELECT doc_id, phash, b.b AS band,
+               CAST((hu >> (16 * b.b)) & 65535 AS INT) AS val
+        FROM ph CROSS JOIN (SELECT unnest(range(0, 4)) AS b) b
+    ),
+    buckets AS (
+        SELECT band, val, count(*) AS sz FROM banded GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b,
+               bit_count(xor(a.phash, c.phash)) AS hamming
+        FROM banded a
+        JOIN banded c ON c.band = a.band AND c.val = a.val
+                      AND c.doc_id > a.doc_id
+        JOIN buckets k ON k.band = a.band AND k.val = a.val
+        WHERE k.sz BETWEEN 2 AND 256
+    )
+    SELECT doc_a, doc_b, CAST(hamming AS INT) AS hamming,
+           (hamming <= 3) AS near_dup
+    FROM pairs
+    ORDER BY hamming, doc_a, doc_b
+    LIMIT 25
+    """,
+)
+def multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emission_project_spark.extensions.multimodal import (
+        attach_payload,
+        gray8x8_fake,
+        perceptual_hash,
+        phash_candidate_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    hashes = perceptual_hash(attach_payload(docs), grid_fn=gray8x8_fake)
+    pairs = phash_candidate_pairs(hashes, bands=4, max_bucket=256)
+    return (
+        pairs.select(
+            "doc_a",
+            "doc_b",
+            F.col("hamming").cast("int").alias("hamming"),
+            (F.col("hamming") <= 3).alias("near_dup"),
+        )
+        .orderBy("hamming", "doc_a", "doc_b")
+        .limit(25)
+    )
+
+
+# --- batch twin of streaming/stateful.py::last_touch_attribution —
+# the sixth streaming/batch pairing on the driver ledger (alongside
+# user totals, dedup, interval join, sessionize, PSI). The streaming
+# operator's per-purchase emissions, grouped by channel, equal exactly
+# this aggregate over ordered bounded input
+# (tests/test_streaming.py pins the micro-batch path against it); the
+# plan is the same one window pass as events_attribution_last_touch.
+@register(
+    "stream_attribution_batch",
+    oracle="""
+    WITH t AS (
+        SELECT event_type, value,
+               last_value(CASE WHEN event_type IN ('click', 'view', 'signup')
+                               THEN event_type END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+        FROM events
+    )
+    SELECT coalesce(touch, 'direct') AS channel,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           round(sum(value), 4) AS attributed_value
+    FROM t WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+)
+def stream_attribution_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emission_project_spark.plans.affinity_ops import (
+        events_attribution_last_touch,
+    )
+
+    return events_attribution_last_touch(spark, sf_dir)

@@ -36,73 +36,19 @@ def register(name: str, oracle: str | None = None):
 
 
 # The driver's correctness artifact covers the first 50 registered
-# queries. Window policy (round 7): (a) slots 1-12 are the twelve
-# queries that have never had a driver row — the round-6 overflow
-# (centroid confusion, streaming-PSI batch twin, AMS F2, langid
-# confusion, DSIR ESS, LSH banding quality, the two privacy gates)
-# plus the four session-3 builds (domain cap, hourly ACF, CUSUM
-# changepoint, classifier calibration); (b) round-7 new builds
-# follow, marked below — never driver-verified by construction;
-# (c) the remaining slots refresh the oldest driver rows: the
-# r3-verified tail in the refresh order round 6 laid out (winnow
-# pair first, then dedup/similarity families, text gates, events,
-# skew/relational core). After round 7 every query's latest driver
-# row should be ≤3 rounds old or queued at the head of round 8's
-# rotation. (tests/test_queries_smoke.py pins name resolution.)
+# queries. Window policy (round 8, per the round-7 verdict): (a) the
+# 29 queries whose latest driver row is r3 — 4 rounds stale, the
+# oldest in the ledger — head the window (text gates first, then the
+# events/asof family, skew handling, and the relational core);
+# (b) the three round-7 queries fixed in round 8 for boundary
+# divergences re-verify next — `stats_benford_first_digit` also
+# CHANGED SCHEMA (n_excluded added) so its old row is void; (c) new
+# round-8 builds follow as they land; (d) any remaining slots refresh
+# the oldest surviving rows (the r4 relational/projection family).
+# After round 8 no query's latest driver row should be older than r5.
+# (tests/test_queries_smoke.py pins name resolution.)
 _PRIORITY: list[str] = [
-    # -- (a) never driver-verified: round-6 overflow + session-3 builds ----
-    "similarity_centroid_confusion",
-    "stream_psi_drift_batch",
-    "sketch_f2_selfjoin_events",
-    "text_langid_confusion",
-    "curation_dsir_ess",
-    "dedup_lsh_quality",
-    "privacy_k_anonymity_customers",
-    "privacy_l_diversity_customers",
-    "curation_domain_cap",
-    "events_hourly_acf",
-    "events_cusum_changepoint",
-    "stats_classifier_calibration",
-    # -- (b) round-7 new builds (insert here as they land) -----------------
-    "graph_triangle_stats",
-    "graph_adamic_adar_top",
-    "dedup_jaccard_prefix_join",
-    "text_pmi_collocations",
-    "text_vocab_oov_rate",
-    "events_attribution_last_touch",
-    "stats_benford_first_digit",
-    "similarity_range_search",
-    "graph_kcore_peel",
-    "stats_gini_concentration",
-    "stats_mutual_info_priority_segment",
-    "events_rfm_segments",
-    "events_kaplan_meier",
-    "stats_poisson_bootstrap_ci",
-    "events_path_topk",
-    "similarity_mmr_rerank",
-    "stats_cramers_v_priority_segment",
-    "text_rake_keywords",
-    "text_hash_feature_buckets",
-    # -- (c) r3-row refresh tail -------------------------------------------
-    "text_winnow_fingerprints",
-    "dedup_winnow_pairs",
-    "approx_aggregates_events",
-    "dedup_semantic_pairs",
-    "fk_orphan_check",
-    "stream_dedup_watermark_batch",
-    "winnow_oversized_report",
-    "curation_cluster_quality_join",
-    "similarity_ivf_kmeans_topk",
-    "embedding_cluster_quality",
-    "embedding_kmeans_lloyd",
-    "dedup_embedding_cosine_lsh",
-    "dedup_bucket_cap_report",
-    "dedup_minhash_lsh",
-    "dedup_minhash_signatures",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_exact_documents",
-    "similarity_bruteforce_topk",
+    # -- (a) r3-stale refresh head (29) ------------------------------------
     "text_token_count",
     "text_quality_score",
     "text_langid",
@@ -132,6 +78,45 @@ _PRIORITY: list[str] = [
     "window_running_total",
     "rollup_grouping_sets",
     "rollup_cube_status_priority",
+    # -- (b) round-8 boundary-fix re-verification (3) ----------------------
+    "graph_triangle_stats",
+    "stats_benford_first_digit",
+    "events_path_topk",
+    # -- (c) round-8 new builds (insert here as they land) -----------------
+    "similarity_recall_at_k",
+    "similarity_ndcg_at_k",
+    "embedding_pca_project",
+    "stats_roc_auc",
+    "stats_spearman_corr",
+    "stats_cohens_kappa",
+    "stats_jensen_shannon",
+    "stats_lorenz_deciles",
+    "stats_theil_index",
+    "events_interarrival_burstiness",
+    "text_heaps_law",
+    "multimodal_phash_pairs",
+    "stream_attribution_batch",
+    # -- (d) r4-row refresh tail fills any remaining slots (overflow
+    # past slot 50 is the declared head of round 9's rotation) -------------
+    "count_probe",
+    "projection_rename",
+    "filter_predicate",
+    "derived_measure",
+    "cast_and_dateparts",
+    "date_id_smart_key",
+    "date_dim_generate",
+    "dim_fk_resolve",
+    "union_distinct_nations",
+    "sql_gateway_rollup",
+    "dedup_exact_documents",
+    "dedup_minhash_lsh",
+    "similarity_bruteforce_topk",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "embedding_kmeans_lloyd",
+    "dedup_semantic_pairs",
+    "dedup_minhash_signatures",
+    "fk_orphan_check",
 ]
 
 
@@ -163,5 +148,6 @@ def load_all() -> None:
     from emission_project_spark.plans import affinity_ops  # noqa: F401
     from emission_project_spark.plans import cohort_stats  # noqa: F401
     from emission_project_spark.plans import keyword_ops  # noqa: F401
+    from emission_project_spark.plans import eval_metrics  # noqa: F401
 
     _reorder()

@@ -1,0 +1,369 @@
+"""Hand-computed pins for the round-8 eval/agreement/concentration
+batch (plans/eval_metrics.py). The five boundary suites replay every
+one of these queries for ORACLE PARITY on crafted corpora; these tests
+pin the VALUES against closed-form hand computations so a
+both-engines-wrong bug can't hide behind a green hash."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+import os
+import sys
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+
+
+def _write_events(d, rows):
+    cols = list(zip(*rows))
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(cols[0], type=pa.int64()),
+                "ts": pa.array(cols[1], type=pa.timestamp("us")),
+                "user_id": pa.array(cols[2], type=pa.int64()),
+                "event_type": pa.array(cols[3], type=pa.string()),
+                "value": pa.array(cols[4], type=pa.float64()),
+                "props": pa.array([r[5] for r in rows], type=pa.string()),
+            }
+        ),
+        os.path.join(d, "events.parquet"),
+    )
+
+
+def _write_embeddings(d, vecs):
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([v[0] for v in vecs], type=pa.int64()),
+                "embedding": pa.array(
+                    [v[1] for v in vecs], type=pa.list_(pa.float32())
+                ),
+                "label": pa.array(
+                    [v[2] if len(v) > 2 else 0 for v in vecs], type=pa.int32()
+                ),
+            }
+        ),
+        os.path.join(d, "embeddings.parquet"),
+    )
+
+
+def _write_docs(d, rows):
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+                "text": pa.array([r[1] for r in rows], type=pa.string()),
+                "lang": pa.array([r[2] for r in rows], type=pa.string()),
+                "source": pa.array(
+                    [r[3] if len(r) > 3 else "src0" for r in rows],
+                    type=pa.string(),
+                ),
+                "n_chars": pa.array(
+                    [len(r[1]) for r in rows], type=pa.int64()
+                ),
+            }
+        ),
+        os.path.join(d, "documents.parquet"),
+    )
+
+
+def _q(name):
+    import __spark_entry__ as entrymod
+
+    return entrymod.queries()[name]
+
+
+_T0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+
+
+def _ts(minutes=0, seconds=0):
+    return _T0 + dt.timedelta(minutes=minutes, seconds=seconds)
+
+
+def test_roc_auc_perfect_and_chance(spark, tmp_path_factory):
+    """All purchase values above all non-purchase values -> AUC 1;
+    fully tied scores -> AUC exactly 0.5 via mid-ranks."""
+    d = str(tmp_path_factory.mktemp("auc1"))
+    rows = [
+        (1, _ts(0), 1, "click", 1.0, "{}"),
+        (2, _ts(1), 1, "view", 2.0, "{}"),
+        (3, _ts(2), 2, "purchase", 5.0, "{}"),
+        (4, _ts(3), 2, "purchase", 6.0, "{}"),
+    ]
+    _write_events(d, rows)
+    r = _q("stats_roc_auc")(spark, d).collect()[0]
+    assert (r["n_pos"], r["n_neg"]) == (2, 2)
+    assert r["auc"] == 1.0
+
+    d2 = str(tmp_path_factory.mktemp("auc2"))
+    rows = [
+        (1, _ts(0), 1, "click", 3.0, "{}"),
+        (2, _ts(1), 1, "view", 3.0, "{}"),
+        (3, _ts(2), 2, "purchase", 3.0, "{}"),
+        (4, _ts(3), 2, "purchase", 3.0, "{}"),
+    ]
+    _write_events(d2, rows)
+    assert _q("stats_roc_auc")(spark, d2).collect()[0]["auc"] == 0.5
+
+
+def test_spearman_perfect_monotone(spark, tmp_path_factory):
+    """quantity and price perfectly co-monotone -> rho = 1 (any
+    monotone transform — Spearman is rank-based, unlike Pearson)."""
+    d = str(tmp_path_factory.mktemp("spear"))
+    qty = [1.0, 2.0, 3.0, 4.0, 5.0]
+    price = [q * q * 10 for q in qty]  # nonlinear but monotone
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array(range(5), type=pa.int64()),
+                "l_partkey": pa.array([1] * 5, type=pa.int64()),
+                "l_suppkey": pa.array([1] * 5, type=pa.int64()),
+                "l_linenumber": pa.array([1] * 5, type=pa.int32()),
+                "l_quantity": pa.array(qty, type=pa.float64()),
+                "l_extendedprice": pa.array(price, type=pa.float64()),
+                "l_discount": pa.array([0.0] * 5, type=pa.float64()),
+                "l_tax": pa.array([0.0] * 5, type=pa.float64()),
+                "l_returnflag": pa.array(["N"] * 5, type=pa.string()),
+                "l_linestatus": pa.array(["O"] * 5, type=pa.string()),
+                "l_shipdate": pa.array([_ts()] * 5, type=pa.timestamp("us")),
+            }
+        ),
+        os.path.join(d, "lineitem.parquet"),
+    )
+    r = _q("stats_spearman_corr")(spark, d).collect()[0]
+    assert r["n_rows"] == 5
+    assert r["spearman_rho"] == 1.0
+
+
+def test_cohens_kappa_perfect_agreement(spark, tmp_path_factory):
+    """Truth equals the heuristic's prediction on marker-pure docs ->
+    po = 1 and kappa = 1 (pe < 1 because two classes appear)."""
+    d = str(tmp_path_factory.mktemp("kappa"))
+    docs = [
+        (0, "the and of to is", "en"),
+        (1, "the and of to is", "en"),
+        (2, "el la de que y", "es"),
+        (3, "el la de que y", "es"),
+    ]
+    _write_docs(d, docs)
+    r = _q("stats_cohens_kappa")(spark, d).collect()[0]
+    assert r["n_docs"] == 4
+    assert r["p_observed"] == 1.0
+    assert r["p_expected"] == 0.5
+    assert r["kappa"] == 1.0
+
+
+def test_jensen_shannon_identical_and_disjoint(spark, tmp_path_factory):
+    """Identical click/view distributions -> JSD 0; fully disjoint
+    bins -> JSD = ln 2 (the upper bound)."""
+    d = str(tmp_path_factory.mktemp("js1"))
+    rows = [
+        (1, _ts(0), 1, "click", 10.0, "{}"),
+        (2, _ts(1), 1, "view", 10.0, "{}"),
+        (3, _ts(2), 2, "click", 60.0, "{}"),
+        (4, _ts(3), 2, "view", 60.0, "{}"),
+    ]
+    _write_events(d, rows)
+    assert _q("stats_jensen_shannon")(spark, d).collect()[0][
+        "js_divergence"
+    ] == 0.0
+
+    d2 = str(tmp_path_factory.mktemp("js2"))
+    rows = [
+        (1, _ts(0), 1, "click", 10.0, "{}"),
+        (2, _ts(1), 1, "view", 60.0, "{}"),
+    ]
+    _write_events(d2, rows)
+    assert _q("stats_jensen_shannon")(spark, d2).collect()[0][
+        "js_divergence"
+    ] == round(math.log(2.0), 6)
+
+
+def test_lorenz_uniform_revenue(spark, tmp_path_factory):
+    """10 customers with equal revenue -> every decile share is
+    exactly 0.1 and the cumulative share climbs the diagonal."""
+    d = str(tmp_path_factory.mktemp("lorenz"))
+    n = 10
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array(range(n), type=pa.int64()),
+                "c_name": pa.array([f"c{i}" for i in range(n)]),
+                "c_nationkey": pa.array([0] * n, type=pa.int64()),
+                "c_acctbal": pa.array([0.0] * n, type=pa.float64()),
+                "c_mktsegment": pa.array(["BUILDING"] * n),
+            }
+        ),
+        os.path.join(d, "customer.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array(range(n), type=pa.int64()),
+                "o_custkey": pa.array(range(n), type=pa.int64()),
+                "o_orderstatus": pa.array(["O"] * n),
+                "o_totalprice": pa.array([100.0] * n, type=pa.float64()),
+                "o_orderdate": pa.array([_ts()] * n, type=pa.timestamp("us")),
+                "o_orderpriority": pa.array(["1-URGENT"] * n),
+            }
+        ),
+        os.path.join(d, "orders.parquet"),
+    )
+    rows = sorted(
+        _q("stats_lorenz_deciles")(spark, d).collect(),
+        key=lambda r: r["decile"],
+    )
+    assert len(rows) == 10
+    for i, r in enumerate(rows, start=1):
+        assert r["revenue_share"] == 0.1
+        assert r["cum_revenue_share"] == round(i / 10.0, 6)
+
+    # equal revenues -> Theil index exactly 0 on the same corpus
+    t = _q("stats_theil_index")(spark, d).collect()[0]
+    assert (t["n_customers"], t["n_excluded"], t["theil_t"]) == (10, 0, 0.0)
+
+
+def test_burstiness_metronome(spark, tmp_path_factory):
+    """Perfectly periodic arrivals: sd = 0, so CV = 0 and the
+    Goh-Barabási B = (0-mu)/(0+mu) = -1 exactly."""
+    d = str(tmp_path_factory.mktemp("burst"))
+    rows = [
+        (i, _ts(minutes=5 * i), 1, "click", 1.0, "{}") for i in range(5)
+    ]
+    _write_events(d, rows)
+    r = _q("events_interarrival_burstiness")(spark, d).collect()[0]
+    assert r["n_gaps"] == 4
+    assert r["mean_gap_s"] == 300.0
+    assert r["cv"] == 0.0
+    assert r["burstiness"] == -1.0
+
+
+def test_heaps_flat_after_first_bucket(spark, tmp_path_factory):
+    """10 identical docs: the whole vocabulary appears in bucket 1 and
+    the curve is flat afterwards — the 're-crawling the same page'
+    signature the readout exists to expose (beta near 0)."""
+    d = str(tmp_path_factory.mktemp("heaps"))
+    _write_docs(d, [(i, "alpha beta gamma", "en") for i in range(10)])
+    rows = sorted(
+        _q("text_heaps_law")(spark, d).collect(), key=lambda r: r["bucket"]
+    )
+    assert [r["vocab_cum"] for r in rows] == [3] * 10
+    assert [r["n_tokens_cum"] for r in rows] == [3 * i for i in range(1, 11)]
+    assert rows[0]["heaps_beta"] == 0.0
+
+
+def test_recall_and_ndcg_truncation_blind_spot(spark, tmp_path_factory):
+    """Vectors that agree on the first 16 dims but differ beyond them:
+    the truncated ranking cannot tell them apart (ties broken by id)
+    while the exact ranking can — recall@k drops below 1 exactly when
+    the id-order tie-break disagrees with the full-dim order, and NDCG
+    stays below 1 for the same queries."""
+    d = str(tmp_path_factory.mktemp("recallk"))
+    head = [1.0] + [0.0] * 15
+    # query 0; vecs 1..3 share the query's 16-dim prefix, tails differ
+    vecs = [
+        (0, head + [1.0] + [0.0] * 47),
+        (1, head + [0.9] + [0.0] * 47),   # closest in full space
+        (2, head + [-0.9] + [0.0] * 47),  # farthest in full space
+        (3, head + [0.5] + [0.0] * 47),
+    ]
+    _write_embeddings(d, vecs)
+    rec = {
+        r["query_id"]: r
+        for r in _q("similarity_recall_at_k")(spark, d).collect()
+    }
+    # k=10 > corpus, so every candidate appears in both lists: recall
+    # is 3/10 with n_hits counting the shared pool, not a rank match
+    assert rec[0]["n_hits"] == 3
+    ndcg = {
+        r["query_id"]: r
+        for r in _q("similarity_ndcg_at_k")(spark, d).collect()
+    }
+    # truncated list orders (1,2,3) by id-tie; exact orders (1,3,2) —
+    # misranking 2 above 3 costs NDCG
+    assert ndcg[0]["ndcg"] < 1.0
+    assert ndcg[0]["idcg"] >= ndcg[0]["dcg"]
+
+
+def test_pca_project_hand_dot(spark, tmp_path_factory):
+    """A one-hot embedding picks out single loading-matrix entries:
+    e_i . w = w[i], hand-checkable against the module constants."""
+    from emission_project_spark.plans.eval_metrics import _PC1, _PC2
+
+    d = str(tmp_path_factory.mktemp("pca"))
+    onehot = [0.0] * 64
+    onehot[10] = 1.0
+    _write_embeddings(d, [(0, onehot, 7)])
+    r = _q("embedding_pca_project")(spark, d).collect()[0]
+    assert r["label"] == 7
+    assert r["pc1"] == round(_PC1[10], 6) + 0.0
+    assert r["pc2"] == round(_PC2[10], 6) + 0.0
+
+
+def test_phash_identical_docs_zero_hamming(spark, tmp_path_factory):
+    """Two byte-identical docs have identical stub grids, identical
+    aHashes, share every band, and surface as a hamming-0 near-dup."""
+    d = str(tmp_path_factory.mktemp("phash"))
+    text = "The quick brown fox jumps over the lazy dog 0123456789" * 3
+    _write_docs(
+        d, [(0, text, "en"), (1, text, "en"), (2, "x" * 64, "en")]
+    )
+    rows = _q("multimodal_phash_pairs")(spark, d).collect()
+    top = {(r["doc_a"], r["doc_b"]): r for r in rows}
+    assert top[(0, 1)]["hamming"] == 0
+    assert top[(0, 1)]["near_dup"] is True
+
+
+def test_stream_attribution_batch_matches_window_twin(spark, tmp_path_factory):
+    """The registered alias is plan-identical to
+    events_attribution_last_touch — same rows, same channel totals."""
+    d = str(tmp_path_factory.mktemp("attr"))
+    rows = [
+        (1, _ts(0), 1, "click", 0.0, "{}"),
+        (2, _ts(5), 1, "purchase", 10.0, "{}"),
+        (3, _ts(9), 2, "purchase", 7.0, "{}"),  # no touch -> direct
+    ]
+    _write_events(d, rows)
+    a = sorted(
+        _q("stream_attribution_batch")(spark, d).collect(),
+        key=lambda r: r["channel"],
+    )
+    b = sorted(
+        _q("events_attribution_last_touch")(spark, d).collect(),
+        key=lambda r: r["channel"],
+    )
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    assert {r["channel"]: r["attributed_value"] for r in a} == {
+        "click": 10.0,
+        "direct": 7.0,
+    }
+
+
+def test_theil_excludes_nonpositive_observably(spark, tmp_path_factory):
+    """A zero-revenue customer is excluded from the index but counted
+    in n_excluded — the truncation-observable rule."""
+    d = str(tmp_path_factory.mktemp("theil"))
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([0, 1, 2], type=pa.int64()),
+                "o_custkey": pa.array([0, 1, 2], type=pa.int64()),
+                "o_orderstatus": pa.array(["O"] * 3),
+                "o_totalprice": pa.array(
+                    [100.0, 100.0, 0.0], type=pa.float64()
+                ),
+                "o_orderdate": pa.array([_ts()] * 3, type=pa.timestamp("us")),
+                "o_orderpriority": pa.array(["1-URGENT"] * 3),
+            }
+        ),
+        os.path.join(d, "orders.parquet"),
+    )
+    r = _q("stats_theil_index")(spark, d).collect()[0]
+    assert (r["n_customers"], r["n_excluded"]) == (2, 1)
+    assert r["theil_t"] == 0.0  # the two included revenues are equal

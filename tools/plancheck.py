@@ -71,6 +71,11 @@ SCALAR_CROSS_OK = {
     "stats_cramers_v_priority_segment",  # 1-row contingency grand total
     "stats_chi2_segment_priority",      # 1-row contingency grand total
     "text_hash_feature_buckets",        # 1-row corpus token total
+    "stats_cohens_kappa",               # 1-row totals × 1-row marginal mass (cells ≤25 rows)
+    "stats_jensen_shannon",             # 1-row (n_click, n_view) totals over ≤11 bins
+    "stats_lorenz_deciles",             # 1-row grand-total revenue scalar
+    "stats_theil_index",                # 1-row (n, Σx) + 1-row excluded-count scalars
+    "text_heaps_law",                   # 1-row Heaps-β fit over the 10-row curve
 }
 
 
