@@ -139,6 +139,27 @@ R7_EXTRA = [
     "text_hash_feature_buckets",
 ]
 
+# Round-8 additions: retrieval-eval + agreement/concentration families.
+R8_EXTRA = [
+    "similarity_recall_at_k",
+    "similarity_ndcg_at_k",
+    "embedding_pca_project",
+    "stats_roc_auc",
+    "stats_spearman_corr",
+    "stats_cohens_kappa",
+    "stats_jensen_shannon",
+    "stats_lorenz_deciles",
+    "stats_theil_index",
+    "events_interarrival_burstiness",
+    "text_heaps_law",
+    "multimodal_phash_pairs",
+    "stream_attribution_batch",
+    "stats_permutation_pvalue",
+    "events_mann_kendall_trend",
+    "embedding_centroid_distances",
+    "text_source_diversity",
+]
+
 # The heaviest operators, re-run at the 10x dataset for the scale
 # proof (near-linear = caps/blocking hold an order of magnitude up).
 SF1_HEAVY = [
@@ -182,6 +203,16 @@ SF1_HEAVY = [
     "graph_triangle_stats",
     "dedup_jaccard_prefix_join",
     "stats_poisson_bootstrap_ci",
+    # round-8 additions: the three new shapes with a scaling question —
+    # the global-rank Spearman (its window is the serial bottleneck the
+    # docstring's binned variant exists for; the decade measures how
+    # fast that wall approaches), the pHash banding join (candidate
+    # mass rides the band-value collision distribution), and the Heaps
+    # curve (token-level first-occurrence aggregate over the exploded
+    # stream).
+    "stats_spearman_corr",
+    "multimodal_phash_pairs",
+    "text_heaps_law",
 ]
 
 # Second decade (100x rows), opt-in via BENCH_SF10=1: the steepest
@@ -201,8 +232,17 @@ SF10_HEAVY = [
 
 
 def _cal_loop() -> None:
-    """The single-thread 512² matmul loop shared by both calibration
-    probes (kept at module level so forked workers can target it)."""
+    """LEGACY calibration loop (numpy 512² matmul) — kept verbatim so
+    `cpu_calibration_s` stays unit-comparable with every committed
+    bench record back to r4. KNOWN DEFECT (found in round 8): numpy's
+    OpenBLAS threads this matmul across ALL cores, so (a) the
+    "single-thread" number actually measures ambient whole-machine
+    availability, and (b) 32 forked workers oversubscribe 32×32 BLAS
+    threads and report ~7× the solo time ON AN IDLE HOST — the r6/r7
+    "contention index ≈ 7" was this artifact, not co-tenant theft
+    (measured: pinning OPENBLAS_NUM_THREADS=1 gives mt/single = 1.06
+    on the same box minutes later). The *_py_s probes below are the
+    trustworthy replacements; this stays for record continuity only."""
     import numpy as np
 
     a = np.ones((512, 512))
@@ -210,9 +250,32 @@ def _cal_loop() -> None:
         a = a @ a % 7 + 1.0
 
 
+def _cal_loop_py() -> None:
+    """Pure-Python single-thread probe: GIL-bound by construction, no
+    BLAS, no hidden threading — one core, period. Forked twins of this
+    loop are genuinely independent interpreters, so mt/single from the
+    _py pair is a real core-availability index (1.0x idle; inflates
+    only when cores are actually stolen)."""
+    acc = 0
+    for i in range(2_000_000):
+        acc = (acc * 1103515245 + i) % 2147483647
+
+
+def cpu_calibration_py() -> float:
+    t0 = time.perf_counter()
+    _cal_loop_py()
+    return round(time.perf_counter() - t0, 4)
+
+
 def _cal_worker(q) -> None:
     t0 = time.perf_counter()
     _cal_loop()
+    q.put(time.perf_counter() - t0)
+
+
+def _cal_worker_py(q) -> None:
+    t0 = time.perf_counter()
+    _cal_loop_py()
     q.put(time.perf_counter() - t0)
 
 
@@ -232,6 +295,27 @@ def cpu_calibration_mt(n_workers: int = 32) -> float:
     ctx = mp.get_context("fork")
     q = ctx.Queue()
     procs = [ctx.Process(target=_cal_worker, args=(q,)) for _ in range(n_workers)]
+    for p in procs:
+        p.start()
+    times = sorted(q.get() for _ in procs)
+    for p in procs:
+        p.join()
+    return round(times[len(times) // 2], 4)
+
+
+def cpu_calibration_py_mt(n_workers: int = 32) -> float:
+    """Pure-Python all-cores probe (see _cal_loop_py): the TRUSTWORTHY
+    contention index is cpu_calibration_py_mt_s / cpu_calibration_py_s
+    — ≈1.0 idle, inflates only under real core theft. The legacy numpy
+    pair stays in the record for continuity but its mt/single ratio is
+    a BLAS-oversubscription artifact (≈7 on an idle 32-core host)."""
+    import multiprocessing as mp
+
+    ctx = mp.get_context("fork")
+    q = ctx.Queue()
+    procs = [
+        ctx.Process(target=_cal_worker_py, args=(q,)) for _ in range(n_workers)
+    ]
     for p in procs:
         p.start()
     times = sorted(q.get() for _ in procs)
@@ -279,6 +363,8 @@ def _sf10_child(cfg: dict) -> None:
         "stat": "single-run (±15% wobble)",
         "cpu_calibration_s": cal,
         "cpu_calibration_mt_s": cpu_calibration_mt(),
+        "cpu_calibration_py_s": cpu_calibration_py(),
+        "cpu_calibration_py_mt_s": cpu_calibration_py_mt(),
         "isolation": "fresh JVM (subprocess)",
         "scaling_vs_sf0.1": {
             name: round(timings[name] / base[name], 2)
@@ -358,6 +444,8 @@ def main() -> None:
         "sf": sf,
         "cpu_calibration_s": cpu_calibration(),
         "cpu_calibration_mt_s": cpu_calibration_mt(),
+        "cpu_calibration_py_s": cpu_calibration_py(),
+        "cpu_calibration_py_mt_s": cpu_calibration_py_mt(),
         "runs": runs,
     }
 
@@ -378,6 +466,12 @@ def main() -> None:
         out["r7_extras"] = {
             "queries": extras7,
             "value": round(sum(extras7.values()), 3),
+        }
+    extras8 = {name: timed(name, sf_dir, runs) for name in R8_EXTRA if name in qs}
+    if extras8:
+        out["r8_extras"] = {
+            "queries": extras8,
+            "value": round(sum(extras8.values()), 3),
         }
 
     # Scale proof: if the deterministic 10x dataset exists (generated by
@@ -421,6 +515,7 @@ def main() -> None:
             # machine-speed number at BOTH ends of a scaling ratio, not
             # just at headline time (noise is episodic on this host)
             "cpu_calibration_s": cpu_calibration(),
+            "cpu_calibration_py_s": cpu_calibration_py(),
             "scaling_vs_sf0.1": {
                 name: round(sf1_timings[name] / base[name], 2)
                 for name in SF1_HEAVY

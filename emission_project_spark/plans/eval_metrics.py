@@ -298,6 +298,12 @@ def stats_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 2·minrank + ties − 1) and every moment folds as decimal(38,0) /
 # HUGEINT, so both engines divide the SAME exact integers — zero
 # float-order hazard even at sf1 where Σ(2r)² overflows a bigint.
+# The two global rank windows are the audited-baseline cost (the Gini
+# precedent: single-partition sort); at 100 TB rank via the
+# distinct-value histogram instead — min-rank(v) = 1 + Σ_{u<v} cnt(u)
+# folds from a groupBy(value) count plus a window over DISTINCT
+# values, turning the serial window into a vocab-sized one. SF1_HEAVY
+# re-measures this query every round to watch that wall.
 @register(
     "stats_spearman_corr",
     oracle="""
@@ -969,3 +975,372 @@ def stream_attribution_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return events_attribution_last_touch(spark, sf_dir)
+
+
+# --- randomization (permutation-style) test for the click-vs-view
+# mean-value difference: B=199 md5-seeded Bernoulli relabelings (the
+# Poisson-bootstrap recipe at cohort_stats.py:330 — deterministic,
+# mergeable, map-side ×B expansion, NO data-sized resampling pass) and
+# the rank of |observed| among |replicate| diffs. Every mean is a
+# ratio of EXACT decimal(18,2)/sum integers, so the >= comparisons
+# that decide the p-value are bit-identical across engines — a float-
+# order hazard would corrupt exactly the boundary replicates that
+# decide significance. Replicates with an empty side drop observably
+# via HAVING (P ≈ 0 at any real size).
+@register(
+    "stats_permutation_pvalue",
+    oracle="""
+    WITH rows_ AS (
+        SELECT event_id, event_type, CAST(value AS DECIMAL(18,2)) AS v
+        FROM events WHERE event_type IN ('click', 'view')
+    ),
+    obs AS (
+        SELECT CAST(sum(v) FILTER (WHERE event_type = 'click') AS DOUBLE)
+                 / count(*) FILTER (WHERE event_type = 'click')
+               - CAST(sum(v) FILTER (WHERE event_type = 'view') AS DOUBLE)
+                 / count(*) FILTER (WHERE event_type = 'view') AS d_obs,
+               CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_click,
+               CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS n_view
+        FROM rows_
+    ),
+    reps AS (
+        SELECT b.b, r.v,
+               ('0x' || substring(md5(CAST(r.event_id AS VARCHAR) || '-' ||
+                                      CAST(b.b AS VARCHAR)), 1, 7))::BIGINT % 2 AS g
+        FROM rows_ r
+        CROSS JOIN (SELECT unnest(generate_series(0, 198)) AS b) b
+    ),
+    rmeans AS (
+        SELECT b,
+               CAST(sum(v) FILTER (WHERE g = 0) AS DOUBLE)
+                 / count(*) FILTER (WHERE g = 0)
+               - CAST(sum(v) FILTER (WHERE g = 1) AS DOUBLE)
+                 / count(*) FILTER (WHERE g = 1) AS d
+        FROM reps GROUP BY b
+        HAVING count(*) FILTER (WHERE g = 0) > 0
+           AND count(*) FILTER (WHERE g = 1) > 0
+    )
+    SELECT o.n_click, o.n_view,
+           round(o.d_obs, 6) AS observed_diff,
+           CAST(count(*) AS BIGINT) AS n_replicates,
+           round((1.0 + sum(CASE WHEN abs(r.d) >= abs(o.d_obs) THEN 1 ELSE 0 END))
+                 / (count(*) + 1.0), 6) AS p_value
+    FROM rmeans r CROSS JOIN obs o
+    GROUP BY o.n_click, o.n_view, o.d_obs
+    """,
+)
+def stats_permutation_pvalue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n_reps = 199
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "view"))
+        .select(
+            "event_id",
+            "event_type",
+            F.col("value").cast("decimal(18,2)").alias("v"),
+        )
+        .localCheckpoint(eager=False)  # read by obs + the ×B expansion
+    )
+    is_c = F.col("event_type") == "click"
+    obs = ev.agg(
+        (
+            F.sum(F.when(is_c, F.col("v"))).cast("double")
+            / F.count(F.when(is_c, 1))
+            - F.sum(F.when(~is_c, F.col("v"))).cast("double")
+            / F.count(F.when(~is_c, 1))
+        ).alias("d_obs"),
+        F.count(F.when(is_c, 1)).cast("long").alias("n_click"),
+        F.count(F.when(~is_c, 1)).cast("long").alias("n_view"),
+    )
+    reps = ev.select(
+        "v",
+        F.explode(F.sequence(F.lit(0), F.lit(n_reps - 1))).alias("b"),
+        "event_id",
+    ).select(
+        "b",
+        "v",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "-",
+                            F.col("event_id").cast("string"),
+                            F.col("b").cast("string"),
+                        )
+                    ),
+                    1,
+                    7,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 2
+        ).alias("g"),
+    )
+    g0, g1 = F.col("g") == 0, F.col("g") == 1
+    rmeans = (
+        reps.groupBy("b")
+        .agg(
+            F.sum(F.when(g0, F.col("v"))).alias("s0"),
+            F.count(F.when(g0, 1)).alias("c0"),
+            F.sum(F.when(g1, F.col("v"))).alias("s1"),
+            F.count(F.when(g1, 1)).alias("c1"),
+        )
+        .filter((F.col("c0") > 0) & (F.col("c1") > 0))
+        .select(
+            (
+                F.col("s0").cast("double") / F.col("c0")
+                - F.col("s1").cast("double") / F.col("c1")
+            ).alias("d")
+        )
+    )
+    return (
+        rmeans.crossJoin(F.broadcast(obs))
+        .groupBy("n_click", "n_view", "d_obs")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_replicates"),
+            F.round(
+                (
+                    1.0
+                    + F.sum(
+                        F.when(
+                            F.abs(F.col("d")) >= F.abs(F.col("d_obs")), 1
+                        ).otherwise(0)
+                    )
+                )
+                / (F.count(F.lit(1)) + 1.0),
+                6,
+            ).alias("p_value"),
+        )
+        .select(
+            "n_click",
+            "n_view",
+            F.round("d_obs", 6).alias("observed_diff"),
+            "n_replicates",
+            "p_value",
+        )
+    )
+
+
+# --- Mann-Kendall trend test + Kendall's tau over the hourly event
+# count series — the nonparametric "is traffic trending" readout
+# (monotone trend, no distribution assumed; the CUSUM changepoint's
+# complement). S = Σ_{i<j} sign(n_j − n_i) over hour pairs: the pair
+# relation is TIME-GRAIN-sized (hours², not events²) so it stays
+# bounded at any event volume — the same move as events_hourly_acf.
+# Tie-corrected variance and the continuity-corrected z are pure
+# integer arithmetic until the final ratios.
+@register(
+    "events_mann_kendall_trend",
+    oracle="""
+    WITH hourly AS (
+        SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+               count(*) AS n
+        FROM events GROUP BY 1
+    ),
+    s AS (
+        SELECT CAST(sum(CASE WHEN b.n > a.n THEN 1
+                             WHEN b.n < a.n THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+        FROM hourly a JOIN hourly b ON b.h > a.h
+    ),
+    nn AS (SELECT count(*) AS n FROM hourly),
+    ties AS (
+        SELECT coalesce(sum(t * (t - 1) * (2 * t + 5)), 0) AS tie_corr
+        FROM (SELECT count(*) AS t FROM hourly GROUP BY n) WHERE t > 1
+    )
+    SELECT CAST(nn.n AS BIGINT) AS n_hours,
+           s.s_stat,
+           round((nn.n * (nn.n - 1) * (2 * nn.n + 5) - ties.tie_corr) / 18.0, 6) AS var_s,
+           round(CAST(s.s_stat AS DOUBLE) / NULLIF(nn.n * (nn.n - 1) / 2.0, 0), 6) AS kendall_tau,
+           round((s.s_stat - CASE WHEN s.s_stat > 0 THEN 1
+                                  WHEN s.s_stat < 0 THEN -1 ELSE 0 END)
+                 / NULLIF(sqrt((nn.n * (nn.n - 1) * (2 * nn.n + 5) - ties.tie_corr) / 18.0), 0),
+                 6) AS z_score
+    FROM s CROSS JOIN nn CROSS JOIN ties
+    """,
+)
+def events_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("h"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)  # hour-sized; read by 3 consumers
+    )
+    a = hourly.select(F.col("h").alias("ha"), F.col("n").alias("na"))
+    b = hourly.select(F.col("h").alias("hb"), F.col("n").alias("nb"))
+    s = (
+        a.join(b, F.col("hb") > F.col("ha"))
+        .agg(
+            F.sum(
+                F.when(F.col("nb") > F.col("na"), 1)
+                .when(F.col("nb") < F.col("na"), -1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("s_stat")
+        )
+    )
+    nn = hourly.agg(F.count(F.lit(1)).alias("n"))
+    ties = (
+        hourly.groupBy("n")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .filter(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)),
+                F.lit(0),
+            ).alias("tie_corr")
+        )
+    )
+    n = F.col("n")
+    var_s = (n * (n - 1) * (2 * n + 5) - F.col("tie_corr")) / 18.0
+    sgn = (
+        F.when(F.col("s_stat") > 0, 1)
+        .when(F.col("s_stat") < 0, -1)
+        .otherwise(0)
+    )
+    return (
+        s.crossJoin(F.broadcast(nn))
+        .crossJoin(F.broadcast(ties))
+        .select(
+            n.cast("long").alias("n_hours"),
+            "s_stat",
+            F.round(var_s, 6).alias("var_s"),
+            # try_divide twins the oracle's NULLIF: a 0/1-hour series
+            # has no pairs; an all-tied series has zero variance
+            F.round(
+                F.try_divide(
+                    F.col("s_stat").cast("double"), n * (n - 1) / 2.0
+                ),
+                6,
+            ).alias("kendall_tau"),
+            F.round(
+                F.try_divide(F.col("s_stat") - sgn, F.sqrt(var_s)), 6
+            ).alias("z_score"),
+        )
+    )
+
+
+# --- pairwise distances between per-label embedding centroids — the
+# "are my classes separating" readout behind the centroid-confusion
+# matrix (labels whose centroids sit close are the ones kNN confuses).
+# Centroids fold map-side per (label, dim) and are ROUNDED to the 1e-6
+# grid BEFORE the distance arithmetic, so the cross-engine float-order
+# noise of the per-dim means can't leak into the pairwise numbers
+# (the round-before-rank discipline applied to round-before-distance).
+# The pair relation is labels²×dims — bounded at any corpus size.
+@register(
+    "embedding_centroid_distances",
+    oracle="""
+    WITH dims AS (
+        SELECT label, i.i AS dim,
+               round(avg((embedding::DOUBLE[])[i.i]), 6) AS mu
+        FROM embeddings
+        CROSS JOIN (SELECT unnest(range(1, 65)) AS i) i
+        GROUP BY label, i.i
+    )
+    SELECT a.label AS label_a, b.label AS label_b,
+           round(sqrt(sum((a.mu - b.mu) * (a.mu - b.mu))), 6) AS centroid_dist,
+           round(sum(a.mu * b.mu)
+                 / NULLIF(sqrt(sum(a.mu * a.mu)) * sqrt(sum(b.mu * b.mu)), 0),
+                 6) AS centroid_cosine
+    FROM dims a JOIN dims b ON b.dim = a.dim AND b.label > a.label
+    GROUP BY a.label, b.label
+    """,
+)
+def embedding_centroid_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = (
+        emb.select(
+            "label", F.posexplode(F.col("embedding").cast("array<double>"))
+        )
+        .select("label", (F.col("pos") + 1).alias("dim"), F.col("col").alias("x"))
+        .groupBy("label", "dim")
+        .agg(F.round(F.avg("x"), 6).alias("mu"))
+        .localCheckpoint(eager=False)  # labels×dims; joined to itself
+    )
+    a = dims.select(
+        F.col("label").alias("label_a"), "dim", F.col("mu").alias("mua")
+    )
+    b = dims.select(
+        F.col("label").alias("label_b"),
+        F.col("dim").alias("dimb"),
+        F.col("mu").alias("mub"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("dimb") == F.col("dim"))
+            & (F.col("label_b") > F.col("label_a")),
+        )
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.round(
+                F.sqrt(
+                    F.sum(
+                        (F.col("mua") - F.col("mub"))
+                        * (F.col("mua") - F.col("mub"))
+                    )
+                ),
+                6,
+            ).alias("centroid_dist"),
+            F.round(
+                F.try_divide(
+                    F.sum(F.col("mua") * F.col("mub")),
+                    F.sqrt(F.sum(F.col("mua") * F.col("mua")))
+                    * F.sqrt(F.sum(F.col("mub") * F.col("mub"))),
+                ),
+                6,
+            ).alias("centroid_cosine"),
+        )
+    )
+
+
+# --- source-mixture diversity: Simpson's D, Shannon entropy, and
+# Pielou evenness over the documents-per-source distribution — the
+# one-row corpus-governance readout next to curation_domain_cap ("is
+# the corpus one source wearing twenty hats"). Pure integer counts
+# into closed-form ratios; ln(k)=0 single-source corpus yields NULL
+# evenness via try_divide/NULLIF.
+@register(
+    "text_source_diversity",
+    oracle="""
+    WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+    t AS (SELECT sum(n) AS nn, count(*) AS k FROM c)
+    SELECT CAST(t.k AS BIGINT) AS n_sources,
+           CAST(t.nn AS BIGINT) AS n_docs,
+           round(1.0 - sum((CAST(c.n AS DOUBLE) / t.nn) * (CAST(c.n AS DOUBLE) / t.nn)), 6) AS simpson_d,
+           round(-sum((CAST(c.n AS DOUBLE) / t.nn) * ln(CAST(c.n AS DOUBLE) / t.nn)), 6) AS shannon_h,
+           round(-sum((CAST(c.n AS DOUBLE) / t.nn) * ln(CAST(c.n AS DOUBLE) / t.nn))
+                 / NULLIF(ln(CAST(t.k AS DOUBLE)), 0), 6) AS evenness
+    FROM c CROSS JOIN t
+    GROUP BY t.k, t.nn
+    """,
+)
+def text_source_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    t = c.agg(F.sum("n").alias("nn"), F.count(F.lit(1)).alias("k"))
+    p = F.col("n").cast("double") / F.col("nn")
+    return (
+        c.crossJoin(F.broadcast(t))
+        .groupBy("k", "nn")
+        .agg(
+            F.round(1.0 - F.sum(p * p), 6).alias("simpson_d"),
+            F.round(-F.sum(p * F.log(p)), 6).alias("shannon_h"),
+            F.round(
+                F.try_divide(
+                    -F.sum(p * F.log(p)), F.log(F.col("k").cast("double"))
+                ),
+                6,
+            ).alias("evenness"),
+        )
+        .select(
+            F.col("k").cast("long").alias("n_sources"),
+            F.col("nn").cast("long").alias("n_docs"),
+            "simpson_d",
+            "shannon_h",
+            "evenness",
+        )
+    )

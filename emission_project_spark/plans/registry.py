@@ -96,6 +96,10 @@ _PRIORITY: list[str] = [
     "text_heaps_law",
     "multimodal_phash_pairs",
     "stream_attribution_batch",
+    "stats_permutation_pvalue",
+    "events_mann_kendall_trend",
+    "embedding_centroid_distances",
+    "text_source_diversity",
     # -- (d) r4-row refresh tail fills any remaining slots (overflow
     # past slot 50 is the declared head of round 9's rotation) -------------
     "count_probe",

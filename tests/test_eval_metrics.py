@@ -367,3 +367,64 @@ def test_theil_excludes_nonpositive_observably(spark, tmp_path_factory):
     r = _q("stats_theil_index")(spark, d).collect()[0]
     assert (r["n_customers"], r["n_excluded"]) == (2, 1)
     assert r["theil_t"] == 0.0  # the two included revenues are equal
+
+
+def test_permutation_pvalue_null_is_one(spark, tmp_path_factory):
+    """Identical click/view value multisets -> observed diff 0, every
+    replicate |d| >= 0, so p = (1+B)/(B+1) = 1.0 exactly."""
+    d = str(tmp_path_factory.mktemp("perm"))
+    rows = []
+    for i in range(8):
+        rows.append((2 * i, _ts(minutes=i), 1, "click", float(i), "{}"))
+        rows.append((2 * i + 1, _ts(minutes=i), 2, "view", float(i), "{}"))
+    _write_events(d, rows)
+    r = _q("stats_permutation_pvalue")(spark, d).collect()[0]
+    assert (r["n_click"], r["n_view"]) == (8, 8)
+    assert r["observed_diff"] == 0.0
+    assert r["p_value"] == 1.0
+
+
+def test_mann_kendall_strict_trend(spark, tmp_path_factory):
+    """Strictly increasing hourly counts: S = n(n-1)/2 and tau = 1."""
+    d = str(tmp_path_factory.mktemp("mk"))
+    rows = []
+    eid = 0
+    for h in range(5):
+        for k in range(h + 1):  # hour h gets h+1 events
+            rows.append((eid, _ts(minutes=60 * h, seconds=k), 1, "click", 1.0, "{}"))
+            eid += 1
+    _write_events(d, rows)
+    r = _q("events_mann_kendall_trend")(spark, d).collect()[0]
+    assert r["n_hours"] == 5
+    assert r["s_stat"] == 10  # all 10 pairs increasing
+    assert r["kendall_tau"] == 1.0
+    assert r["z_score"] > 0
+
+
+def test_centroid_distances_hand_case(spark, tmp_path_factory):
+    """Two labels, centroids at e1 and e2 (unit axes): distance
+    sqrt(2), cosine 0."""
+    d = str(tmp_path_factory.mktemp("cdist"))
+    e1 = [1.0] + [0.0] * 63
+    e2 = [0.0, 1.0] + [0.0] * 62
+    _write_embeddings(d, [(0, e1, 0), (1, e1, 0), (2, e2, 1), (3, e2, 1)])
+    r = _q("embedding_centroid_distances")(spark, d).collect()
+    assert len(r) == 1
+    row = r[0]
+    assert (row["label_a"], row["label_b"]) == (0, 1)
+    assert row["centroid_dist"] == round(math.sqrt(2.0), 6)
+    assert row["centroid_cosine"] == 0.0
+
+
+def test_source_diversity_uniform(spark, tmp_path_factory):
+    """4 sources x 2 docs each: Simpson = 1 - 1/4, evenness = 1."""
+    d = str(tmp_path_factory.mktemp("divers"))
+    docs = [
+        (i, f"doc text {i}", "en", f"src{i % 4}") for i in range(8)
+    ]
+    _write_docs(d, docs)
+    r = _q("text_source_diversity")(spark, d).collect()[0]
+    assert (r["n_sources"], r["n_docs"]) == (4, 8)
+    assert r["simpson_d"] == 0.75
+    assert r["shannon_h"] == round(math.log(4.0), 6)
+    assert r["evenness"] == 1.0

@@ -56,12 +56,20 @@ def main() -> int:
 
     def all_queries(rec: dict) -> dict[str, float]:
         out = dict(rec.get("queries", {}))
-        for block in ("r5_extras", "r6_extras"):
+        for block in ("r5_extras", "r6_extras", "r7_extras", "r8_extras"):
             out.update(rec.get(block, {}).get("queries", {}))
         return out
 
     qa, qb = all_queries(a), all_queries(b)
-    ca, cb = a.get("cpu_calibration_s"), b.get("cpu_calibration_s")
+    # prefer the pure-Python probe when BOTH records carry it: the
+    # legacy numpy probe is BLAS-threaded, so its "single-thread" time
+    # measures ambient whole-machine availability and normalizing by
+    # it is unreliable (round-8 finding; see bench.py::_cal_loop)
+    if a.get("cpu_calibration_py_s") and b.get("cpu_calibration_py_s"):
+        ca, cb = a["cpu_calibration_py_s"], b["cpu_calibration_py_s"]
+        print("calibration source: pure-python probe")
+    else:
+        ca, cb = a.get("cpu_calibration_s"), b.get("cpu_calibration_s")
     scale = (ca and cb) and (cb / ca) or None
     if scale:
         print(
@@ -104,8 +112,20 @@ def main() -> int:
     # trusted — report INCONCLUSIVE (exit 3) instead of failing hard,
     # and point at the clean-export A/B as the adjudication.
     def contention_index(rec: dict) -> float | None:
-        st, mt = rec.get("cpu_calibration_s"), rec.get("cpu_calibration_mt_s")
-        return (mt / st) if (st and mt) else None
+        # the pure-python pair is the real index; the legacy numpy
+        # pair reads ~7 on an IDLE 32-core host (BLAS oversubscription
+        # artifact, round-8 finding) so it can only be trusted when
+        # nothing better exists AND is interpreted against that floor
+        st, mt = (
+            rec.get("cpu_calibration_py_s"),
+            rec.get("cpu_calibration_py_mt_s"),
+        )
+        if st and mt:
+            return mt / st
+        # legacy numpy pair only: its index reads ~7 on an IDLE
+        # 32-core host, so it cannot distinguish quiet from contended
+        # — treated as unknown rather than fudged
+        return None
 
     ia, ib = contention_index(a), contention_index(b)
     for label, idx in (("old", ia), ("new", ib)):

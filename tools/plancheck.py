@@ -76,6 +76,9 @@ SCALAR_CROSS_OK = {
     "stats_lorenz_deciles",             # 1-row grand-total revenue scalar
     "stats_theil_index",                # 1-row (n, Σx) + 1-row excluded-count scalars
     "text_heaps_law",                   # 1-row Heaps-β fit over the 10-row curve
+    "stats_permutation_pvalue",         # 1-row observed-diff scalar vs 199 replicate rows
+    "events_mann_kendall_trend",        # 1-row S × 1-row n × 1-row tie-correction scalars
+    "text_source_diversity",            # 1-row (n_docs, k) totals over the source counts
 }
 
 
