@@ -158,6 +158,11 @@ R8_EXTRA = [
     "events_mann_kendall_trend",
     "embedding_centroid_distances",
     "text_source_diversity",
+    "text_kneser_ney_bigrams",
+    "embedding_hubness_stats",
+    "privacy_t_closeness_customers",
+    "stats_brown_forsythe",
+    "events_dau_mau_stickiness",
 ]
 
 # The heaviest operators, re-run at the 10x dataset for the scale

@@ -1344,3 +1344,451 @@ def text_source_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "evenness",
         )
     )
+
+
+# --- interpolated Kneser-Ney bigram probabilities (Kneser & Ney 1995,
+# Chen & Goodman 1999 — the smoothing every n-gram quality filter
+# actually ships): P(w2|w1) = max(c12−d, 0)/c1 + (d·N1+(w1·)/c1) ·
+# N1+(·w2)/T, d = 0.75. The continuation count N1+(·w2) is what makes
+# KN right where ML/add-k are wrong ("francisco" is frequent but only
+# ever follows "san"). All four count relations fold from ONE bigram
+# pass (vocab²-bounded, same cardinality story as the bigram
+# perplexity's count-cutoff); probabilities are integer ratios plus
+# the binary-exact 0.75 discount — identical doubles on both engines.
+_KN_D = 0.75
+
+
+@register(
+    "text_kneser_ney_bigrams",
+    oracle=f"""
+    WITH d AS (SELECT regexp_extract_all(lower(text), '\\w+') AS toks FROM documents),
+    bg AS (
+        SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+                                     i -> toks[i])) AS w1,
+               unnest(list_transform(generate_series(1, len(toks) - 1),
+                                     i -> toks[i + 1])) AS w2
+        FROM d WHERE len(toks) >= 2
+    ),
+    c12 AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY 1, 2),
+    c1 AS (SELECT w1, sum(c) AS n, count(*) AS fwd FROM c12 GROUP BY 1),
+    bwd AS (SELECT w2, count(*) AS bk FROM c12 GROUP BY 1),
+    t AS (SELECT count(*) AS tt FROM c12)
+    SELECT b.w1, b.w2,
+           CAST(b.c AS BIGINT) AS c12,
+           round(CAST(b.c AS DOUBLE) / c1.n, 6) AS p_ml,
+           round((greatest(b.c - {_KN_D}, 0) + {_KN_D} * c1.fwd
+                  * (CAST(bwd.bk AS DOUBLE) / t.tt)) / c1.n, 6) AS p_kn
+    FROM c12 b
+    JOIN c1 ON c1.w1 = b.w1
+    JOIN bwd ON bwd.w2 = b.w2
+    CROSS JOIN t
+    ORDER BY b.c DESC, b.w1 ASC, b.w2 ASC
+    LIMIT 20
+    """,
+)
+def text_kneser_ney_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emission_project_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select(tokens(F.lower(F.col("text"))).alias("toks")).filter(
+        F.size("toks") >= 2
+    )
+    bg = toked.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 1),
+                lambda i: F.struct(
+                    F.element_at(F.col("toks"), i).alias("w1"),
+                    F.element_at(F.col("toks"), i + 1).alias("w2"),
+                ),
+            )
+        ).alias("b")
+    ).select("b.w1", "b.w2")
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    c12 = c12.localCheckpoint(eager=False)  # feeds 3 count relations
+    c1 = c12.groupBy("w1").agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("fwd")
+    ).withColumnRenamed("w1", "cw1")
+    bwd = c12.groupBy("w2").agg(F.count(F.lit(1)).alias("bk")).withColumnRenamed(
+        "w2", "bw2"
+    )
+    t = c12.agg(F.count(F.lit(1)).alias("tt"))
+    return (
+        c12.join(c1, F.col("cw1") == F.col("w1"))
+        .join(bwd, F.col("bw2") == F.col("w2"))
+        .crossJoin(F.broadcast(t))
+        .select(
+            "w1",
+            "w2",
+            F.col("c").cast("long").alias("c12"),
+            F.round(F.col("c").cast("double") / F.col("n"), 6).alias("p_ml"),
+            F.round(
+                (
+                    F.greatest(F.col("c") - _KN_D, F.lit(0.0))
+                    + _KN_D
+                    * F.col("fwd")
+                    * (F.col("bk").cast("double") / F.col("tt"))
+                )
+                / F.col("n"),
+                6,
+            ).alias("p_kn"),
+        )
+        .orderBy(F.col("c12").desc(), F.col("w1").asc(), F.col("w2").asc())
+        .limit(20)
+    )
+
+
+# --- kNN-graph hubness profile: the in-degree distribution of the
+# k=5 cosine nearest-neighbor graph plus its skewness — THE embedding
+# pathology readout (Radovanović et al. 2010: in high dimensions a few
+# "hub" points show up in everyone's neighbor list and poison both
+# dedup and retrieval; skewness of the in-degree distribution is the
+# standard hubness measure). Corpus×corpus scoring is the audited
+# baseline exactly like similarity_bruteforce_topk (swap in IVF for
+# the 100 TB path — the degree layer is source-agnostic); in-degree
+# counts are integers and the skewness folds from exact integer
+# moment sums (mean in-degree is exactly k by construction).
+@register(
+    "embedding_hubness_stats",
+    oracle="""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    scored AS (
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+               CASE WHEN list_dot_product(a.e, a.e) > 0
+                         AND list_dot_product(b.e, b.e) > 0
+                    THEN round(list_cosine_similarity(a.e, b.e), 6)
+               END AS s
+        FROM v a JOIN v b ON b.vec_id <> a.vec_id
+    ),
+    knn AS (
+        SELECT src, dst,
+               row_number() OVER (PARTITION BY src ORDER BY s DESC, dst) AS r
+        FROM scored QUALIFY r <= 5
+    ),
+    indeg AS (
+        SELECT v.vec_id, CAST(count(k.src) AS BIGINT) AS d
+        FROM v LEFT JOIN knn k ON k.dst = v.vec_id
+        GROUP BY v.vec_id
+    ),
+    m AS (
+        SELECT count(*) AS n, sum(d) AS s1,
+               sum(CAST(d AS HUGEINT) * d) AS s2,
+               sum(CAST(d AS HUGEINT) * d * d) AS s3
+        FROM indeg
+    ),
+    sk AS (
+        SELECT round(
+            (CAST(s3 AS DOUBLE) / n
+             - 3.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s2 AS DOUBLE) / n)
+             + 2.0 * power(CAST(s1 AS DOUBLE) / n, 3))
+            / NULLIF(power(CAST(s2 AS DOUBLE) / n
+                           - power(CAST(s1 AS DOUBLE) / n, 2), 1.5), 0),
+            6) AS skew
+        FROM m
+    )
+    SELECT i.d AS in_degree,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           round(count(*) / (SELECT CAST(n AS DOUBLE) FROM m), 6) AS share,
+           sk.skew AS hub_skewness
+    FROM indeg i CROSS JOIN sk
+    GROUP BY i.d, sk.skew
+    """,
+)
+def embedding_hubness_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("src"), F.col("embedding").alias("_a"))
+    b = emb.select(F.col("vec_id").alias("dst"), F.col("embedding").alias("_b"))
+    scored = (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("dst") != F.col("src"))
+        .select(
+            "src",
+            "dst",
+            F.round(cosine_similarity("_a", "_b"), 6).alias("s"),
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.col("s").desc(), F.col("dst").asc())
+    knn = (
+        scored.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= 5)
+        .select("src", "dst")
+    )
+    indeg = (
+        emb.select("vec_id")
+        .join(knn, knn["dst"] == F.col("vec_id"), "left")
+        .groupBy("vec_id")
+        .agg(F.count("src").cast("long").alias("d"))
+        .localCheckpoint(eager=False)  # vector-sized; moments + histogram
+    )
+    m = indeg.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("d").alias("s1"),
+        F.sum(F.col("d").cast("decimal(18,0)") * F.col("d").cast("decimal(18,0)")).alias("s2"),
+        F.sum(
+            F.col("d").cast("decimal(12,0)")
+            * F.col("d").cast("decimal(12,0)")
+            * F.col("d").cast("decimal(12,0)")
+        ).alias("s3"),
+    )
+    n = F.col("n").cast("double")
+    mu1 = F.col("s1").cast("double") / n
+    mu2 = F.col("s2").cast("double") / n
+    mu3 = F.col("s3").cast("double") / n
+    skew = F.round(
+        F.try_divide(
+            mu3 - 3.0 * mu1 * mu2 + 2.0 * F.pow(mu1, 3),
+            F.pow(mu2 - mu1 * mu1, F.lit(1.5)),
+        ),
+        6,
+    )
+    sk = m.select(skew.alias("hub_skewness"), n.alias("nn"))
+    return (
+        indeg.crossJoin(F.broadcast(sk))
+        .groupBy("d", "hub_skewness", "nn")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .select(
+            F.col("d").alias("in_degree"),
+            F.col("n_vectors").cast("long").alias("n_vectors"),
+            F.round(F.col("n_vectors") / F.col("nn"), 6).alias("share"),
+            "hub_skewness",
+        )
+    )
+
+
+# --- t-closeness (Li et al. 2007) — the third gate of the privacy
+# triad (k-anonymity bounds group SIZE, l-diversity bounds distinct
+# sensitive VALUES, t-closeness bounds the sensitive DISTRIBUTION's
+# distance from the global one; a group can pass both and still leak
+# "everyone here is AUTOMOBILE"). Categorical EMD = total variation =
+# ½Σ|p_g − p|; segments ABSENT from a group contribute their full
+# global share, folded without a 5-way outer join via
+# ½(Σ_present|p_gs − p_s| + (1 − Σ_present p_s)). Same QI as the
+# sibling gates: (nation, $1000 balance bucket); integer-count ratios
+# only.
+@register(
+    "privacy_t_closeness_customers",
+    oracle="""
+    WITH gseg AS (
+        SELECT c_mktsegment AS seg, count(*) AS ns FROM customer GROUP BY 1
+    ),
+    tot AS (SELECT sum(ns) AS n FROM gseg),
+    cells AS (
+        SELECT c_nationkey,
+               CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_bucket,
+               c_mktsegment AS seg, count(*) AS n
+        FROM customer GROUP BY 1, 2, 3
+    ),
+    g AS (
+        SELECT c_nationkey, bal_bucket, sum(n) AS gn FROM cells GROUP BY 1, 2
+    ),
+    tvals AS (
+        SELECT g.c_nationkey, g.bal_bucket, g.gn,
+               0.5 * (sum(abs(CAST(c.n AS DOUBLE) / g.gn
+                              - CAST(gl.ns AS DOUBLE) / tot.n))
+                      + (1.0 - sum(CAST(gl.ns AS DOUBLE) / tot.n))) AS t
+        FROM g
+        JOIN cells c ON c.c_nationkey = g.c_nationkey
+                    AND c.bal_bucket = g.bal_bucket
+        JOIN gseg gl ON gl.seg = c.seg
+        CROSS JOIN tot
+        GROUP BY g.c_nationkey, g.bal_bucket, g.gn, tot.n
+    )
+    SELECT c_nationkey,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           round(max(t), 6) AS max_t,
+           CAST(sum(CASE WHEN t > 0.3 THEN 1 ELSE 0 END) AS BIGINT) AS n_far_groups,
+           CAST(sum(CASE WHEN t > 0.3 THEN gn ELSE 0 END) AS BIGINT) AS n_exposed_rows
+    FROM tvals GROUP BY c_nationkey
+    """,
+)
+def privacy_t_closeness_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    glob = c.groupBy(F.col("c_mktsegment").alias("seg")).agg(
+        F.count(F.lit(1)).alias("ns")
+    )
+    tot = glob.agg(F.sum("ns").alias("n"))
+    cells = c.groupBy(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("bal_bucket"),
+        F.col("c_mktsegment").alias("seg"),
+    ).agg(F.count(F.lit(1)).alias("n")).localCheckpoint(eager=False)
+    g = cells.groupBy(
+        F.col("c_nationkey").alias("gk"), F.col("bal_bucket").alias("gb")
+    ).agg(F.sum("n").alias("gn"))
+    p_gs = F.col("n").cast("double") / F.col("gn")
+    p_s = F.col("ns").cast("double") / F.col("tn")
+    tvals = (
+        g.join(
+            cells,
+            (F.col("c_nationkey") == F.col("gk"))
+            & (F.col("bal_bucket") == F.col("gb")),
+        )
+        .join(F.broadcast(glob), "seg")
+        .crossJoin(F.broadcast(tot.select(F.col("n").alias("tn"))))
+        .groupBy("gk", "gb", "gn")
+        .agg(
+            (
+                0.5
+                * (
+                    F.sum(F.abs(p_gs - p_s))
+                    + (1.0 - F.sum(p_s))
+                )
+            ).alias("t")
+        )
+    )
+    far = F.col("t") > 0.3
+    return tvals.groupBy(F.col("gk").alias("c_nationkey")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.round(F.max("t"), 6).alias("max_t"),
+        F.sum(F.when(far, 1).otherwise(0)).cast("long").alias("n_far_groups"),
+        F.sum(F.when(far, F.col("gn")).otherwise(0))
+        .cast("long")
+        .alias("n_exposed_rows"),
+    )
+
+
+# --- Brown-Forsythe test (Levene with group MEDIANS): are the value
+# variances equal across event types — the assumption check that
+# decides whether Welch (unequal-variance, already shipped) or pooled
+# t is the right A/B readout, robust to the non-normal heavy-tailed
+# values real traffic has. z = |x − median_g| rounded to the 1e-6
+# grid and summed as decimal(18,6)/(38,12) EXACT integers (the
+# Spearman discipline), so the F statistic's inputs are bit-identical
+# across engines; the within-group sum of squares folds via the
+# moment identity, never a second pass.
+@register(
+    "stats_brown_forsythe",
+    oracle="""
+    WITH med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS m
+        FROM events GROUP BY 1
+    ),
+    z AS (
+        SELECT e.event_type,
+               CAST(round(abs(e.value - med.m), 6) AS DECIMAL(18,6)) AS z
+        FROM events e JOIN med ON med.event_type = e.event_type
+    ),
+    gm AS (
+        SELECT event_type, count(*) AS n, sum(z) AS sz,
+               sum(CAST(z AS DECIMAL(18,6)) * z) AS szz
+        FROM z GROUP BY 1
+    ),
+    tot AS (SELECT sum(n) AS nn, sum(sz) AS tsz, count(*) AS k FROM gm),
+    parts AS (
+        SELECT tot.k, tot.nn,
+               sum(gm.n * power(CAST(gm.sz AS DOUBLE) / gm.n
+                                - CAST(tot.tsz AS DOUBLE) / tot.nn, 2)) AS between_ss,
+               sum(CAST(gm.szz AS DOUBLE)
+                   - CAST(gm.sz AS DOUBLE) * CAST(gm.sz AS DOUBLE) / gm.n) AS within_ss
+        FROM gm CROSS JOIN tot GROUP BY tot.k, tot.nn
+    )
+    SELECT CAST(k AS BIGINT) AS n_groups,
+           CAST(nn AS BIGINT) AS n_rows,
+           round((between_ss / (k - 1)) / NULLIF(within_ss / (nn - k), 0), 6) AS f_stat
+    FROM parts
+    """,
+)
+def stats_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("m")
+    )
+    z = ev.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        F.round(F.abs(F.col("value") - F.col("m")), 6)
+        .cast("decimal(18,6)")
+        .alias("z"),
+    )
+    gm = z.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("z").alias("sz"),
+        F.sum(F.col("z") * F.col("z")).alias("szz"),
+    )
+    tot = gm.agg(
+        F.sum("n").alias("nn"),
+        F.sum("sz").alias("tsz"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    gmean = F.col("sz").cast("double") / F.col("n")
+    tmean = F.col("tsz").cast("double") / F.col("nn")
+    parts = (
+        gm.crossJoin(F.broadcast(tot))
+        .groupBy("k", "nn")
+        .agg(
+            F.sum(F.col("n") * F.pow(gmean - tmean, 2)).alias("between_ss"),
+            F.sum(
+                F.col("szz").cast("double")
+                - F.col("sz").cast("double")
+                * F.col("sz").cast("double")
+                / F.col("n")
+            ).alias("within_ss"),
+        )
+    )
+    return parts.select(
+        F.col("k").cast("long").alias("n_groups"),
+        F.col("nn").cast("long").alias("n_rows"),
+        F.round(
+            F.try_divide(
+                F.col("between_ss") / (F.col("k") - 1),
+                F.col("within_ss") / (F.col("nn") - F.col("k")),
+            ),
+            6,
+        ).alias("f_stat"),
+    )
+
+
+# --- DAU/MAU stickiness per day: distinct daily actives over the
+# trailing-30-day distinct actives — the engagement ratio every
+# product dashboard leads with. The user-day relation is deduped
+# FIRST (one exchange), then the trailing window is a day-grid ×
+# user-day range join — the day grid is TIME-GRAIN bounded (30 rows
+# per month regardless of event volume), so the "window" never
+# rescans events; same bounded-grain move as the Mann-Kendall pair
+# relation. Ratios of distinct counts — pure integers.
+@register(
+    "events_dau_mau_stickiness",
+    oracle="""
+    WITH ud AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+    ),
+    dau AS (SELECT d, count(*) AS dau FROM ud GROUP BY 1),
+    grid AS (SELECT DISTINCT d FROM ud),
+    mau AS (
+        SELECT g.d, count(DISTINCT u.user_id) AS mau
+        FROM grid g JOIN ud u
+          ON u.d BETWEEN g.d - 29 AND g.d
+        GROUP BY g.d
+    )
+    SELECT dau.d AS day,
+           CAST(dau.dau AS BIGINT) AS dau,
+           CAST(mau.mau AS BIGINT) AS mau,
+           round(CAST(dau.dau AS DOUBLE) / mau.mau, 6) AS stickiness
+    FROM dau JOIN mau ON mau.d = dau.d
+    """,
+)
+def events_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ud = (
+        ev.select(F.to_date("ts").alias("d"), "user_id")
+        .distinct()
+        .localCheckpoint(eager=False)  # user-day grain; read 3×
+    )
+    dau = ud.groupBy("d").agg(F.count(F.lit(1)).alias("dau"))
+    grid = ud.select(F.col("d").alias("gd")).distinct()
+    mau = (
+        grid.join(
+            ud,
+            (F.col("d") >= F.date_sub(F.col("gd"), 29))
+            & (F.col("d") <= F.col("gd")),
+        )
+        .groupBy("gd")
+        .agg(F.countDistinct("user_id").alias("mau"))
+    )
+    return dau.join(mau, dau["d"] == mau["gd"]).select(
+        F.col("d").alias("day"),
+        F.col("dau").cast("long").alias("dau"),
+        F.col("mau").cast("long").alias("mau"),
+        F.round(F.col("dau").cast("double") / F.col("mau"), 6).alias(
+            "stickiness"
+        ),
+    )

@@ -100,6 +100,11 @@ _PRIORITY: list[str] = [
     "events_mann_kendall_trend",
     "embedding_centroid_distances",
     "text_source_diversity",
+    "text_kneser_ney_bigrams",
+    "embedding_hubness_stats",
+    "privacy_t_closeness_customers",
+    "stats_brown_forsythe",
+    "events_dau_mau_stickiness",
     # -- (d) r4-row refresh tail fills any remaining slots (overflow
     # past slot 50 is the declared head of round 9's rotation) -------------
     "count_probe",

@@ -428,3 +428,108 @@ def test_source_diversity_uniform(spark, tmp_path_factory):
     assert r["simpson_d"] == 0.75
     assert r["shannon_h"] == round(math.log(4.0), 6)
     assert r["evenness"] == 1.0
+
+
+def test_kneser_ney_probabilities_sum_to_one(spark, tmp_path_factory):
+    """Corpus 'a b','a b','a c': P_KN(b|a) = (1.25 + 0.75*2*0.5)/3 =
+    2/3 and P_KN(c|a) = (0.25 + 0.75)/3 = 1/3 — the KN discount mass
+    redistributes so the conditional sums to exactly 1."""
+    d = str(tmp_path_factory.mktemp("kn"))
+    _write_docs(d, [(0, "a b", "en"), (1, "a b", "en"), (2, "a c", "en")])
+    rows = {
+        (r["w1"], r["w2"]): r
+        for r in _q("text_kneser_ney_bigrams")(spark, d).collect()
+    }
+    assert rows[("a", "b")]["c12"] == 2
+    assert rows[("a", "b")]["p_kn"] == round(2.0 / 3.0, 6)
+    assert rows[("a", "c")]["p_kn"] == round(1.0 / 3.0, 6)
+    assert rows[("a", "b")]["p_ml"] == round(2.0 / 3.0, 6)
+
+
+def test_hubness_degree_mass_conservation(spark, tmp_path_factory):
+    """Every vector votes for exactly k=5 neighbors, so the in-degree
+    histogram's mass sum d*n_vectors equals 5*n (corpus > k)."""
+    d = str(tmp_path_factory.mktemp("hub"))
+    import math as _m
+
+    vecs = []
+    for i in range(8):
+        ang = i * 0.3
+        vecs.append((i, [_m.cos(ang), _m.sin(ang)] + [0.0] * 62, 0))
+    _write_embeddings(d, vecs)
+    rows = _q("embedding_hubness_stats")(spark, d).collect()
+    assert sum(r["in_degree"] * r["n_vectors"] for r in rows) == 5 * 8
+    assert sum(r["n_vectors"] for r in rows) == 8
+
+
+def test_t_closeness_skewed_group(spark, tmp_path_factory):
+    """Nations 0/1 mirror the global mix apart from its own skew;
+    nation 2 is single-segment: t = 1/6 for the mixed nations and
+    1/3 for the pure one (hand-computed total-variation)."""
+    d = str(tmp_path_factory.mktemp("tclose"))
+    segs = (
+        ["AUTOMOBILE", "AUTOMOBILE", "BUILDING", "BUILDING"] * 2
+        + ["AUTOMOBILE"] * 4
+    )
+    nations = [0] * 4 + [1] * 4 + [2] * 4
+    n = len(segs)
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array(range(n), type=pa.int64()),
+                "c_name": pa.array([f"c{i}" for i in range(n)]),
+                "c_nationkey": pa.array(nations, type=pa.int64()),
+                "c_acctbal": pa.array([500.0] * n, type=pa.float64()),
+                "c_mktsegment": pa.array(segs),
+            }
+        ),
+        os.path.join(d, "customer.parquet"),
+    )
+    rows = {
+        r["c_nationkey"]: r
+        for r in _q("privacy_t_closeness_customers")(spark, d).collect()
+    }
+    assert rows[0]["max_t"] == round(1.0 / 6.0, 6)
+    assert rows[1]["max_t"] == round(1.0 / 6.0, 6)
+    assert rows[2]["max_t"] == round(1.0 / 3.0, 6)
+    assert rows[2]["n_far_groups"] == 1
+    assert rows[2]["n_exposed_rows"] == 4
+
+
+def test_brown_forsythe_hand_f(spark, tmp_path_factory):
+    """click z=[2,0,5], view z=[1,0,1]: between=25/6, within=40/3,
+    F = (25/6) / (40/12) = 1.25 exactly."""
+    d = str(tmp_path_factory.mktemp("bf"))
+    rows = [
+        (1, _ts(0), 1, "click", 1.0, "{}"),
+        (2, _ts(1), 1, "click", 3.0, "{}"),
+        (3, _ts(2), 1, "click", 8.0, "{}"),
+        (4, _ts(3), 2, "view", 10.0, "{}"),
+        (5, _ts(4), 2, "view", 11.0, "{}"),
+        (6, _ts(5), 2, "view", 12.0, "{}"),
+    ]
+    _write_events(d, rows)
+    r = _q("stats_brown_forsythe")(spark, d).collect()[0]
+    assert (r["n_groups"], r["n_rows"]) == (2, 6)
+    assert r["f_stat"] == 1.25
+
+
+def test_dau_mau_stickiness_two_days(spark, tmp_path_factory):
+    """Day 1 actives {1,2}, day 2 actives {2,3}: DAU 2/2, trailing
+    MAU 2/3, stickiness 1.0 and 2/3."""
+    d = str(tmp_path_factory.mktemp("daumau"))
+    rows = [
+        (1, _ts(0), 1, "click", 1.0, "{}"),
+        (2, _ts(1), 2, "click", 1.0, "{}"),
+        (3, dt.datetime(2024, 1, 2, 10, 0, 0), 2, "click", 1.0, "{}"),
+        (4, dt.datetime(2024, 1, 2, 11, 0, 0), 3, "click", 1.0, "{}"),
+    ]
+    _write_events(d, rows)
+    rows_out = {
+        str(r["day"]): r
+        for r in _q("events_dau_mau_stickiness")(spark, d).collect()
+    }
+    assert rows_out["2024-01-01"]["stickiness"] == 1.0
+    assert rows_out["2024-01-02"]["dau"] == 2
+    assert rows_out["2024-01-02"]["mau"] == 3
+    assert rows_out["2024-01-02"]["stickiness"] == round(2.0 / 3.0, 6)

@@ -79,6 +79,11 @@ SCALAR_CROSS_OK = {
     "stats_permutation_pvalue",         # 1-row observed-diff scalar vs 199 replicate rows
     "events_mann_kendall_trend",        # 1-row S × 1-row n × 1-row tie-correction scalars
     "text_source_diversity",            # 1-row (n_docs, k) totals over the source counts
+    "text_kneser_ney_bigrams",          # 1-row bigram-type total T
+    "embedding_hubness_stats",          # corpus × corpus kNN baseline (IVF is the scale path) + 1-row skew
+    "stats_brown_forsythe",             # 1-row (N, ΣZ, k) totals scalar
+    "events_dau_mau_stickiness",        # day-grid × user-day trailing-window range join (time-grain bounded)
+    "privacy_t_closeness_customers",    # 1-row global-count scalar (the sibling gates' shape)
 }
 
 
