@@ -333,3 +333,132 @@ def last_touch_attribution(events: DataFrame, ts_col: str = "ts") -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+RATE_LIMIT_SCHEMA = (
+    "user_id bigint, event_id bigint, accepted boolean, tokens_after double"
+)
+_RATE_STATE_SCHEMA = "tokens double, last_us bigint"
+
+
+def rate_limit_token_bucket(
+    events: DataFrame,
+    capacity: float = 3.0,
+    refill_per_sec: float = 1.0,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-user token-bucket rate limiter: every event is emitted with
+    an ``accepted`` verdict; a user starts with a full bucket, each
+    accepted event spends one token, and tokens refill continuously at
+    ``refill_per_sec`` up to ``capacity`` — the standard ingestion
+    guard against scrapers/bots ahead of an expensive enrichment
+    stage, expressed as a stream transform rather than an edge proxy.
+
+    State per user is O(1) FOREVER: (tokens, last-event-µs) — 16
+    bytes, which is why it runs at clickstream scale. The refill
+    recurrence tokens' = min(cap, tokens + Δt·rate) is inherently
+    sequential per user (not window-expressible in SQL — no oracle
+    form; the pytest pins replay the recurrence by hand). Same
+    ORDERING CONTRACT as last_touch_attribution: rows are processed
+    in (ts, event_id) order within a batch and the verdicts match the
+    single-pass replay only for event-time-ordered arrival across
+    batches.
+    """
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        tokens, last_us = state.get if state.exists else (capacity, -1)
+        out: list[list] = []
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows["_us"] = pd.to_datetime(rows[ts_col]).astype("int64") // 1000
+        rows = rows.sort_values(["_us", "event_id"], kind="mergesort")
+        for _, r in rows.iterrows():
+            us = int(r["_us"])
+            if last_us >= 0 and us > last_us:
+                tokens = min(
+                    capacity, tokens + (us - last_us) / 1e6 * refill_per_sec
+                )
+            last_us = max(last_us, us)
+            accepted = tokens >= 1.0
+            if accepted:
+                tokens -= 1.0
+            out.append([key[0], int(r["event_id"]), accepted, tokens])
+        state.update((tokens, last_us))
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=["user_id", "event_id", "accepted", "tokens_after"],
+            )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=RATE_LIMIT_SCHEMA,
+        stateStructType=_RATE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+EWMA_SCHEMA = (
+    "key string, event_id bigint, value double, ewma double, "
+    "zscore double, anomaly boolean"
+)
+_EWMA_STATE_SCHEMA = "mean double, var double, n bigint"
+
+
+def ewma_anomaly_monitor(
+    events: DataFrame,
+    key_col: str = "event_type",
+    alpha: float = 0.3,
+    z_threshold: float = 3.0,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-key exponentially-weighted mean/variance with an online
+    z-score per event — the streaming twin of the batch anomaly
+    queries (events_anomaly_zscore / _mad) for when "is this value
+    weird" must be answered AT ARRIVAL, not in tomorrow's batch.
+
+    Each event is scored against the state BEFORE it updates the
+    state (an outlier must not vouch for itself); the first event of
+    a key has no baseline and scores NULL/non-anomalous. EWMA update:
+    mean' = mean + α·δ, var' = (1−α)·(var + α·δ²) (West 1979) — O(1)
+    state per key, sequential per key by construction (no SQL oracle
+    form; pytest replays the recurrence). Ordering contract as
+    last_touch_attribution.
+    """
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        mean, var, n = state.get if state.exists else (0.0, 0.0, 0)
+        out: list[list] = []
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows["_us"] = pd.to_datetime(rows[ts_col]).astype("int64") // 1000
+        rows = rows.sort_values(["_us", "event_id"], kind="mergesort")
+        for _, r in rows.iterrows():
+            v = float(r["value"])
+            if n == 0:
+                z, anom = None, False
+            else:
+                z = (v - mean) / (var**0.5) if var > 0 else None
+                anom = z is not None and abs(z) > z_threshold
+            delta = v - mean
+            mean = mean + alpha * delta
+            var = (1.0 - alpha) * (var + alpha * delta * delta)
+            n += 1
+            out.append([key[0], int(r["event_id"]), v, mean, z, anom])
+        state.update((mean, var, n))
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=["key", "event_id", "value", "ewma", "zscore", "anomaly"],
+            )
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=EWMA_SCHEMA,
+        stateStructType=_EWMA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -533,3 +533,24 @@ def test_dau_mau_stickiness_two_days(spark, tmp_path_factory):
     assert rows_out["2024-01-02"]["dau"] == 2
     assert rows_out["2024-01-02"]["mau"] == 3
     assert rows_out["2024-01-02"]["stickiness"] == round(2.0 / 3.0, 6)
+
+
+def test_phash_oracle_ascii_precondition():
+    """The multimodal_phash_pairs oracle replays the stub's BYTE
+    arithmetic via ascii(substring(text, ...)), which equals the byte
+    only while documents.text is pure ASCII. DuckDB has no blob byte
+    extraction, so if a corpus regeneration ever introduces multi-byte
+    text this must fail HERE, loudly, not as a silent driver-hash
+    mismatch."""
+    import duckdb
+
+    con = duckdb.connect()
+    for sf in ("0.001", "0.01", "0.1"):
+        path = f"/root/testdata/sf{sf}/documents.parquet"
+        if not os.path.exists(path):
+            continue
+        n = con.sql(
+            f"SELECT count(*) FROM '{path}' "
+            "WHERE octet_length(encode(text)) <> length(text)"
+        ).fetchone()[0]
+        assert n == 0, f"non-ASCII documents at sf{sf}: {n}"

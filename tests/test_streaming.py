@@ -833,3 +833,99 @@ def test_streaming_last_touch_attribution(spark, tmp_path):
     for ch, v in got.values():
         agg_v[ch] += v
     assert twin == {ch: (agg_n[ch], round(agg_v[ch], 4)) for ch in agg_n}
+
+
+def test_rate_limit_token_bucket_across_batches(spark, tmp_path):
+    """Bucket capacity 2, refill 1/s: user 1 fires 3 events at t=0
+    (third rejected), then one at t=+1.5s in a SECOND micro-batch —
+    the state carried 0 tokens, refilled 1.5, so it is accepted and
+    leaves 0.5. Hand-replayed recurrence, cross-batch state proven by
+    maxFilesPerTrigger=1."""
+    from emission_project_spark.streaming.stateful import rate_limit_token_bucket
+
+    incoming = tmp_path / "incoming"
+    incoming.mkdir()
+    (incoming / "a.csv").write_text(
+        "ts,event_id,user_id\n"
+        "2024-01-01 00:00:00.000,1,1\n"
+        "2024-01-01 00:00:00.100,2,1\n"
+        "2024-01-01 00:00:00.200,3,1\n"
+    )
+    (incoming / "b.csv").write_text(
+        "ts,event_id,user_id\n2024-01-01 00:00:01.700,4,1\n"
+    )
+    stream = (
+        spark.readStream.format("csv")
+        .schema("ts timestamp, event_id bigint, user_id bigint")
+        .option("header", "true")
+        .option("maxFilesPerTrigger", "1")
+        .load(str(incoming))
+    )
+    q = (
+        rate_limit_token_bucket(stream, capacity=2.0, refill_per_sec=1.0)
+        .writeStream.format("memory")
+        .queryName("rate_limit_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        r.event_id: r for r in spark.sql("SELECT * FROM rate_limit_out").collect()
+    }
+    # t=0: full bucket 2.0 -> accept, 1.0 left
+    assert rows[1].accepted and abs(rows[1].tokens_after - 1.0) < 1e-9
+    # e2 at +0.1s: 1.0 + 0.1 refill = 1.1 -> accept -> 0.1
+    assert rows[2].accepted and abs(rows[2].tokens_after - 0.1) < 1e-9
+    # e3 at +0.2s: 0.1 + 0.1 refill = 0.2 < 1 -> REJECTED
+    assert not rows[3].accepted
+    # e4 in batch 2 at +1.5s after e3: 0.2 + 1.5 = 1.7 -> accept -> 0.7
+    assert rows[4].accepted
+    assert abs(rows[4].tokens_after - 0.7) < 1e-9
+
+
+def test_ewma_anomaly_monitor_scores_before_update(spark, tmp_path):
+    """A stable series then a spike: the spike is scored against the
+    PRE-spike baseline (anomaly), and the first event has no baseline
+    (NULL z, not anomalous). Cross-batch state via two files."""
+    from emission_project_spark.streaming.stateful import ewma_anomaly_monitor
+
+    incoming = tmp_path / "incoming"
+    incoming.mkdir()
+    (incoming / "a.csv").write_text(
+        "ts,event_id,event_type,value\n"
+        "2024-01-01 00:00:00,1,click,10.0\n"
+        "2024-01-01 00:00:01,2,click,11.0\n"
+        "2024-01-01 00:00:02,3,click,10.0\n"
+        "2024-01-01 00:00:03,4,click,11.0\n"
+    )
+    (incoming / "b.csv").write_text(
+        "ts,event_id,event_type,value\n2024-01-01 00:00:04,5,click,1000.0\n"
+    )
+    stream = (
+        spark.readStream.format("csv")
+        .schema("ts timestamp, event_id bigint, event_type string, value double")
+        .option("header", "true")
+        .option("maxFilesPerTrigger", "1")
+        .load(str(incoming))
+    )
+    q = (
+        ewma_anomaly_monitor(stream, alpha=0.3, z_threshold=3.0)
+        .writeStream.format("memory")
+        .queryName("ewma_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {r.event_id: r for r in spark.sql("SELECT * FROM ewma_out").collect()}
+    assert rows[1].zscore is None and not rows[1].anomaly
+    assert not rows[2].anomaly and not rows[3].anomaly and not rows[4].anomaly
+    # the spike arrives in a LATER batch and is judged by carried state
+    assert rows[5].anomaly and rows[5].zscore > 3.0
+    # hand-replay of the EWMA recurrence (alpha=0.3) for event 2:
+    # after e1: mean=3.0+... mean1 = 0 + .3*10 = 3.0? NO: first event
+    # initializes via the same update from (0,0): mean = 0.3*10 = 3.0
+    assert abs(rows[2].ewma - (3.0 + 0.3 * (11.0 - 3.0))) < 1e-9
