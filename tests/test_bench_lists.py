@@ -15,6 +15,7 @@ def test_bench_lists_resolve():
         bench.R5_EXTRA,
         bench.R6_EXTRA,
         bench.R7_EXTRA,
+        bench.R8_EXTRA,
         bench.SF1_HEAVY,
         bench.SF10_HEAVY,
     ):
@@ -25,12 +26,18 @@ def test_bench_lists_resolve():
 def test_bench_lists_disjoint_headline_extra():
     # HEADLINE is the round-over-round comparable — extras must not
     # double-time its members under a different block
-    assert not set(bench.HEADLINE) & set(bench.R5_EXTRA)
-    assert not set(bench.HEADLINE) & set(bench.R6_EXTRA)
-    assert not set(bench.HEADLINE) & set(bench.R7_EXTRA)
-    assert not set(bench.R5_EXTRA) & set(bench.R6_EXTRA)
-    assert not set(bench.R5_EXTRA) & set(bench.R7_EXTRA)
-    assert not set(bench.R6_EXTRA) & set(bench.R7_EXTRA)
+    blocks = {
+        "HEADLINE": bench.HEADLINE,
+        "R5": bench.R5_EXTRA,
+        "R6": bench.R6_EXTRA,
+        "R7": bench.R7_EXTRA,
+        "R8": bench.R8_EXTRA,
+    }
+    names = list(blocks)
+    for i, a in enumerate(names):
+        for b in names[i + 1 :]:
+            overlap = set(blocks[a]) & set(blocks[b])
+            assert not overlap, (a, b, overlap)
 
 
 def test_mt_calibration_probe_runs_and_bounds():
@@ -44,3 +51,15 @@ def test_mt_calibration_probe_runs_and_bounds():
     mt = bench.cpu_calibration_mt(n_workers=4)
     assert 0 < single < 30 and 0 < mt < 60
     assert time.perf_counter() - t0 < 90
+
+
+def test_py_calibration_probe_is_gil_bound():
+    """The pure-python probe pair must exist and a 2-worker fork run
+    must land within 2x of a single worker on any non-saturated host —
+    the property the BLAS-threaded legacy probe lacks (it reads ~7x on
+    an idle 32-core box, the round-8 finding)."""
+    import bench
+
+    single = bench.cpu_calibration_py()
+    mt = bench.cpu_calibration_py_mt(n_workers=2)
+    assert 0 < single < 10 and 0 < mt < 20

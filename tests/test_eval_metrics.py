@@ -554,3 +554,40 @@ def test_phash_oracle_ascii_precondition():
             "WHERE octet_length(encode(text)) <> length(text)"
         ).fetchone()[0]
         assert n == 0, f"non-ASCII documents at sf{sf}: {n}"
+
+
+def test_neighbor_jaccard_hand_case(spark, tmp_path_factory):
+    """Orders {A:(1,2)},{B:(1,3)},{C:(2,3)},{D:(1,2)} build a strong
+    triangle 1-2 (support 2); weak pairs keep parts 3's edges out of
+    the support-2 graph, so no non-adjacent candidate pairs survive on
+    this corpus — the query returns rows only when wedges exist in
+    the STRONG graph (contract check via the testdata run instead)."""
+    import __spark_entry__ as entrymod
+
+    # contract on real testdata: jaccard in (0, 1], n_common >= 1,
+    # pairs non-adjacent in the strong graph by construction
+    rows = entrymod.queries()["graph_neighbor_jaccard_top"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows, "expected candidates on the generated corpus"
+    for r in rows:
+        assert 0.0 < r["jaccard"] <= 1.0
+        assert r["n_common"] >= 1
+        assert r["node_a"] < r["node_b"]
+
+
+def test_bot_score_metronome_flag(spark, tmp_path_factory):
+    """A metronome user (CV 0) is flagged; a human-jittered user with
+    the same volume is not."""
+    d = str(tmp_path_factory.mktemp("bot"))
+    rows = []
+    eid = 0
+    for i in range(6):  # bot: exactly every 60 s
+        rows.append((eid, _ts(minutes=i), 1, "click", 1.0, "{}")); eid += 1
+    human_offsets = [0, 70, 200, 420, 900, 1500]  # irregular seconds
+    for off in human_offsets:
+        rows.append((eid, _ts(seconds=off), 2, "click", 1.0, "{}")); eid += 1
+    _write_events(d, rows)
+    out = {r["user_id"]: r for r in _q("events_bot_score")(spark, d).collect()}
+    assert out[1]["bot_flag"] is True and out[1]["gap_cv"] == 0.0
+    assert out[2]["bot_flag"] is False and out[2]["gap_cv"] > 0.1
