@@ -46,6 +46,14 @@ def register(name: str, oracle: str | None = None):
 # round-8 builds follow as they land; (d) any remaining slots refresh
 # the oldest surviving rows (the r4 relational/projection family).
 # After round 8 no query's latest driver row should be older than r5.
+# OVERFLOW (the r6→r7 precedent): 29+3 mandatory slots leave 18 for
+# the 24 round-8 builds, so the last six of section (c) —
+# embedding_hubness_stats, privacy_t_closeness_customers,
+# stats_brown_forsythe, events_dau_mau_stickiness,
+# graph_neighbor_jaccard_top, events_bot_score — plus section (d)
+# fall outside this round's window and are the DECLARED HEAD of
+# round 9's rotation; all are three-SF green in COMPARE_r08.txt and
+# boundary-suite replayed meanwhile.
 # (tests/test_queries_smoke.py pins name resolution.)
 _PRIORITY: list[str] = [
     # -- (a) r3-stale refresh head (29) ------------------------------------
