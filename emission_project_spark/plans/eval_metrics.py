@@ -998,6 +998,12 @@ def stream_attribution_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 # order hazard would corrupt exactly the boundary replicates that
 # decide significance. Replicates with an empty side drop observably
 # via HAVING (P ≈ 0 at any real size).
+# Perf (measured): the first build hashed md5 once per (row, b) —
+# 199 full hashes per row, 9.9 s at sf0.1. The flip bits are just
+# bits, so TWO md5s per row supply all 199: replicate b reads bit
+# (b mod 128) of hash (b div 128) — hex nibble b//4, bit b%4 —
+# and the ×B expansion carries only a 1-hex-char conv. Same
+# statistical contract, ~99% fewer hash invocations.
 @register(
     "stats_permutation_pvalue",
     oracle="""
@@ -1014,11 +1020,18 @@ def stream_attribution_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS n_view
         FROM rows_
     ),
+    hashed AS (
+        SELECT v,
+               md5(CAST(event_id AS VARCHAR) || '-p0') AS h0,
+               md5(CAST(event_id AS VARCHAR) || '-p1') AS h1
+        FROM rows_
+    ),
     reps AS (
-        SELECT b.b, r.v,
-               ('0x' || substring(md5(CAST(r.event_id AS VARCHAR) || '-' ||
-                                      CAST(b.b AS VARCHAR)), 1, 7))::BIGINT % 2 AS g
-        FROM rows_ r
+        SELECT b.b, hashed.v,
+               (('0x' || substring(CASE WHEN b.b < 128 THEN h0 ELSE h1 END,
+                                   CAST((b.b % 128) // 4 AS INT) + 1, 1))::INT
+                >> CAST(b.b % 4 AS INT)) & 1 AS g
+        FROM hashed
         CROSS JOIN (SELECT unnest(generate_series(0, 198)) AS b) b
     ),
     rmeans AS (
@@ -1063,32 +1076,38 @@ def stats_permutation_pvalue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(is_c, 1)).cast("long").alias("n_click"),
         F.count(F.when(~is_c, 1)).cast("long").alias("n_view"),
     )
-    reps = ev.select(
+    hashed = ev.select(
         "v",
-        F.explode(F.sequence(F.lit(0), F.lit(n_reps - 1))).alias("b"),
-        "event_id",
-    ).select(
-        "b",
-        "v",
-        (
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat_ws(
-                            "-",
-                            F.col("event_id").cast("string"),
-                            F.col("b").cast("string"),
-                        )
-                    ),
-                    1,
-                    7,
-                ),
-                16,
-                10,
-            ).cast("bigint")
-            % 2
-        ).alias("g"),
+        F.md5(F.concat(F.col("event_id").cast("string"), F.lit("-p0"))).alias(
+            "h0"
+        ),
+        F.md5(F.concat(F.col("event_id").cast("string"), F.lit("-p1"))).alias(
+            "h1"
+        ),
     )
+    j = F.col("b") % 128
+    nib = F.conv(
+        F.substring(
+            F.when(F.col("b") < 128, F.col("h0")).otherwise(F.col("h1")),
+            (F.floor(j / 4) + 1).cast("int"),
+            1,
+        ),
+        16,
+        10,
+    ).cast("int")
+    jm = F.col("b") % 4
+    bit = (
+        F.when(jm == 0, nib.bitwiseAND(F.lit(1)))
+        .when(jm == 1, F.shiftright(nib, 1).bitwiseAND(F.lit(1)))
+        .when(jm == 2, F.shiftright(nib, 2).bitwiseAND(F.lit(1)))
+        .otherwise(F.shiftright(nib, 3).bitwiseAND(F.lit(1)))
+    )
+    reps = hashed.select(
+        "v",
+        "h0",
+        "h1",
+        F.explode(F.sequence(F.lit(0), F.lit(n_reps - 1))).alias("b"),
+    ).select("b", "v", bit.alias("g"))
     g0, g1 = F.col("g") == 0, F.col("g") == 1
     rmeans = (
         reps.groupBy("b")
