@@ -332,17 +332,20 @@ def cpu_calibration_py_mt(n_workers: int = 32) -> float:
 
 
 def _sf10_child(cfg: dict) -> None:
-    """Run ONLY the sf10 decade block, in this (fresh) process.
+    """Run ONE sf10 query in this (fresh) process.
 
     Invoked by the parent bench via subprocess with BENCH_SF10_CHILD
-    carrying {sf10_dir, base}. A same-JVM session restart is NOT
-    enough isolation: after ~80 timed queries plus the sf1 block the
-    old context's localCheckpoint/cache blocks keep enough of an 8 GB
-    heap pinned that the 100x graph rank OOMs (reproduced twice on a
-    quiet host), while the identical block is green in a fresh JVM.
-    Production shape, same conclusion: a 100 TB graph rank is a
-    dedicated job submission, not query #61 of one long-lived driver.
-    Prints one JSON line (the sf10 block) on success."""
+    carrying {sf10_dir, query}. Isolation history: round 6 found that
+    a same-JVM session restart is NOT enough (after ~80 timed queries
+    the old context's localCheckpoint/cache blocks keep enough heap
+    pinned that the 100x graph rank OOMs) and moved the whole block to
+    one fresh child JVM; round 8 found the failure one level deeper —
+    the SIX-query child itself accumulates enough lazy-checkpoint
+    state that query #6 (the graph rank, green standalone at 289 s)
+    OOMs after the five dedup/LM heavies. Production shape, same
+    conclusion again: a 100 TB job per OPERATOR is a dedicated
+    submission, so the child now runs exactly one query. Prints one
+    JSON line {name, seconds} on success."""
     from emission_project_spark.session import get_spark
     import __spark_entry__ as entrymod
 
@@ -350,37 +353,14 @@ def _sf10_child(cfg: dict) -> None:
         "bench-sf10", extra_conf={"spark.ui.showConsoleProgress": "false"}
     )
     spark.sparkContext.setLogLevel("ERROR")
-    qs = entrymod.queries()
-    base = cfg["base"]
-    timings: dict[str, float] = {}
-    for name in SF10_HEAVY:
-        t0 = time.perf_counter()
-        qs[name](spark, cfg["sf10_dir"]).write.format("noop").mode(
-            "overwrite"
-        ).save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    name = cfg["query"]
     t0 = time.perf_counter()
-    _cal_loop()
-    cal = round(time.perf_counter() - t0, 4)
-    block = {
-        "queries": timings,
-        "value": round(sum(timings.values()), 3),
-        "rows_vs_sf0.1": 100,
-        "runs": 1,
-        "stat": "single-run (±15% wobble)",
-        "cpu_calibration_s": cal,
-        "cpu_calibration_mt_s": cpu_calibration_mt(),
-        "cpu_calibration_py_s": cpu_calibration_py(),
-        "cpu_calibration_py_mt_s": cpu_calibration_py_mt(),
-        "isolation": "fresh JVM (subprocess)",
-        "scaling_vs_sf0.1": {
-            name: round(timings[name] / base[name], 2)
-            for name in SF10_HEAVY
-            if base.get(name, 0) > 0
-        },
-    }
+    entrymod.queries()[name](spark, cfg["sf10_dir"]).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    elapsed = round(time.perf_counter() - t0, 3)
     spark.stop()
-    print(json.dumps(block))
+    print(json.dumps({"name": name, "seconds": elapsed}))
 
 
 def main() -> None:
@@ -552,34 +532,55 @@ def main() -> None:
         for name in SF10_HEAVY:
             if name not in base:
                 base[name] = timed(name, sf_dir, 2)
-        # …but the decade itself runs in a SUBPROCESS: a same-JVM
-        # session restart leaves enough of the 80-query history pinned
-        # (localCheckpoint/cache blocks reachable from Python-side
-        # DataFrame refs) that the 100x graph rank OOMs an 8 GB heap —
-        # reproduced twice on a quiet host, while the identical block
-        # is green in a fresh JVM (_sf10_child's docstring).
+        # …but the decade itself runs ONE SUBPROCESS PER QUERY: round
+        # 6 established that the long-lived bench JVM can't host the
+        # 100x block (pinned checkpoint blocks OOM the graph rank);
+        # round 8 found the six-query child accumulates the same state
+        # internally — query #6 OOMed after five heavies while green
+        # standalone. A 100 TB job per operator is a dedicated
+        # submission (_sf10_child's docstring).
         import subprocess
 
         spark.stop()
-        env = dict(os.environ)
-        env["BENCH_SF10_CHILD"] = json.dumps(
-            {"sf10_dir": sf10_dir, "base": base}
-        )
-        env.pop("BENCH_OUT", None)
-        r = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            env=env, capture_output=True, text=True, timeout=3600,
-        )
-        for line in reversed(r.stdout.splitlines()):
-            line = line.strip()
-            if line.startswith("{"):
-                out["sf10"] = json.loads(line)
-                break
-        else:
-            out["sf10"] = {
-                "error": f"child rc={r.returncode}",
-                "stderr_tail": r.stderr[-500:],
-            }
+        timings: dict[str, float] = {}
+        errors: dict[str, str] = {}
+        for name in SF10_HEAVY:
+            env = dict(os.environ)
+            env["BENCH_SF10_CHILD"] = json.dumps(
+                {"sf10_dir": sf10_dir, "query": name}
+            )
+            env.pop("BENCH_OUT", None)
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, capture_output=True, text=True, timeout=1800,
+            )
+            got = None
+            for line in reversed(r.stdout.splitlines()):
+                line = line.strip()
+                if line.startswith("{"):
+                    got = json.loads(line)
+                    break
+            if got:
+                timings[name] = got["seconds"]
+            else:
+                errors[name] = f"child rc={r.returncode}: {r.stderr[-300:]}"
+        out["sf10"] = {
+            "queries": timings,
+            "value": round(sum(timings.values()), 3),
+            "rows_vs_sf0.1": 100,
+            "runs": 1,
+            "stat": "single-run (±15% wobble)",
+            "cpu_calibration_py_s": cpu_calibration_py(),
+            "cpu_calibration_py_mt_s": cpu_calibration_py_mt(),
+            "isolation": "fresh JVM per query (subprocess)",
+            "scaling_vs_sf0.1": {
+                name: round(timings[name] / base[name], 2)
+                for name in timings
+                if base.get(name, 0) > 0
+            },
+        }
+        if errors:
+            out["sf10"]["errors"] = errors
 
     blob = json.dumps(out)
     print(blob)
