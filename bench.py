@@ -165,6 +165,8 @@ R8_EXTRA = [
     "events_dau_mau_stickiness",
     "graph_neighbor_jaccard_top",
     "events_bot_score",
+    "stats_cliffs_delta",
+    "events_conversion_delay_percentiles",
 ]
 
 # The heaviest operators, re-run at the 10x dataset for the scale

@@ -2045,3 +2045,142 @@ def events_bot_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (F.coalesce(rate, F.lit(0.0)) > 60.0)
         ).alias("bot_flag"),
     )
+
+
+# --- Cliff's delta effect size for click-vs-view values — the
+# scale-free companion the Mann-Whitney U test (stats_mannwhitney_u)
+# and the permutation p-value both need next to them: significance
+# says "not chance", delta says "how big". δ = 2·AUC − 1 via the same
+# mid-rank identity as stats_roc_auc (never the O(n²) dominance
+# join); |δ| banded into the standard Romano et al. magnitude labels.
+# Pure integer-grid arithmetic until the final ratio.
+@register(
+    "stats_cliffs_delta",
+    oracle="""
+    WITH r AS (
+        SELECT CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS y,
+               rank() OVER (ORDER BY value) AS rmin,
+               count(*) OVER (PARTITION BY value) AS ties
+        FROM events WHERE event_type IN ('click', 'view')
+    ),
+    a AS (
+        SELECT sum(y) AS nc, sum(1 - y) AS nv,
+               sum(CASE WHEN y = 1 THEN rmin + (ties - 1) / 2.0 ELSE 0 END) AS rc
+        FROM r
+    ),
+    d AS (
+        SELECT CAST(nc AS BIGINT) AS n_click, CAST(nv AS BIGINT) AS n_view,
+               2.0 * (rc - nc * (nc + 1) / 2.0) / NULLIF(nc * nv, 0) - 1.0 AS delta
+        FROM a
+    )
+    SELECT n_click, n_view,
+           round(delta, 6) AS cliffs_delta,
+           CASE WHEN abs(delta) < 0.147 THEN 'negligible'
+                WHEN abs(delta) < 0.33  THEN 'small'
+                WHEN abs(delta) < 0.474 THEN 'medium'
+                ELSE 'large' END AS magnitude
+    FROM d
+    """,
+)
+def stats_cliffs_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    y = F.when(F.col("event_type") == "click", 1).otherwise(0)
+    r = ev.select(
+        y.alias("y"),
+        F.rank().over(Window.orderBy("value")).alias("rmin"),
+        F.count(F.lit(1)).over(Window.partitionBy("value")).alias("ties"),
+    )
+    a = r.agg(
+        F.sum("y").alias("nc"),
+        F.sum(1 - F.col("y")).alias("nv"),
+        F.sum(
+            F.when(
+                F.col("y") == 1, F.col("rmin") + (F.col("ties") - 1) / 2.0
+            ).otherwise(F.lit(0.0))
+        ).alias("rc"),
+    )
+    delta = (
+        2.0
+        * F.try_divide(
+            F.col("rc") - F.col("nc") * (F.col("nc") + 1) / 2.0,
+            F.col("nc") * F.col("nv"),
+        )
+        - 1.0
+    )
+    return a.select(
+        F.col("nc").cast("long").alias("n_click"),
+        F.col("nv").cast("long").alias("n_view"),
+        F.round(delta, 6).alias("cliffs_delta"),
+        F.when(F.abs(delta) < 0.147, "negligible")
+        .when(F.abs(delta) < 0.33, "small")
+        .when(F.abs(delta) < 0.474, "medium")
+        .otherwise("large")
+        .alias("magnitude"),
+    )
+
+
+# --- signup→first-purchase delay percentiles: the scalar summary of
+# the Kaplan-Meier curve for the CONVERTED population (KM carries the
+# censored mass; this is the "how fast do converters convert" number
+# product teams quote). Exact-µs delays (the events_dwell_times
+# precedent), exact interpolated percentiles (Spark `percentile` ==
+# ANSI percentile_cont == DuckDB quantile_cont bit-for-bit on doubles
+# — the percentile_exact_prices pairing). One user-grain aggregate.
+@register(
+    "events_conversion_delay_percentiles",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, min(ts) AS signup_ts FROM events
+        WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    conv AS (
+        SELECT s.user_id,
+               (min(epoch_us(e.ts)) - epoch_us(s.signup_ts)) / 1e6 AS delay_s
+        FROM s JOIN events e
+          ON e.user_id = s.user_id AND e.event_type = 'purchase'
+         AND e.ts >= s.signup_ts
+        GROUP BY s.user_id, s.signup_ts
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_converted,
+           round(quantile_cont(delay_s, 0.25), 4) AS p25_s,
+           round(quantile_cont(delay_s, 0.50), 4) AS p50_s,
+           round(quantile_cont(delay_s, 0.75), 4) AS p75_s,
+           round(quantile_cont(delay_s, 0.90), 4) AS p90_s
+    FROM conv
+    """,
+)
+def events_conversion_delay_percentiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("ts").alias("pts")
+    )
+    conv = (
+        s.join(
+            p,
+            (F.col("pu") == F.col("user_id"))
+            & (F.col("pts") >= F.col("signup_ts")),
+        )
+        .groupBy("user_id", "signup_ts")
+        .agg(
+            (
+                (F.min(F.unix_micros("pts")) - F.unix_micros("signup_ts"))
+                / 1e6
+            ).alias("delay_s")
+        )
+    )
+    return conv.agg(
+        F.count(F.lit(1)).cast("long").alias("n_converted"),
+        F.round(F.percentile("delay_s", F.lit(0.25)), 4).alias("p25_s"),
+        F.round(F.percentile("delay_s", F.lit(0.50)), 4).alias("p50_s"),
+        F.round(F.percentile("delay_s", F.lit(0.75)), 4).alias("p75_s"),
+        F.round(F.percentile("delay_s", F.lit(0.90)), 4).alias("p90_s"),
+    )

@@ -115,6 +115,8 @@ _PRIORITY: list[str] = [
     "events_dau_mau_stickiness",
     "graph_neighbor_jaccard_top",
     "events_bot_score",
+    "stats_cliffs_delta",
+    "events_conversion_delay_percentiles",
     # -- (d) r4-row refresh tail fills any remaining slots (overflow
     # past slot 50 is the declared head of round 9's rotation) -------------
     "count_probe",

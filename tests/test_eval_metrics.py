@@ -591,3 +591,48 @@ def test_bot_score_metronome_flag(spark, tmp_path_factory):
     out = {r["user_id"]: r for r in _q("events_bot_score")(spark, d).collect()}
     assert out[1]["bot_flag"] is True and out[1]["gap_cv"] == 0.0
     assert out[2]["bot_flag"] is False and out[2]["gap_cv"] > 0.1
+
+
+def test_cliffs_delta_full_dominance(spark, tmp_path_factory):
+    """All click values above all view values: delta = 1, 'large';
+    identical multisets: delta = 0, 'negligible'."""
+    d = str(tmp_path_factory.mktemp("cliff1"))
+    rows = [
+        (1, _ts(0), 1, "click", 10.0, "{}"),
+        (2, _ts(1), 1, "click", 11.0, "{}"),
+        (3, _ts(2), 2, "view", 1.0, "{}"),
+        (4, _ts(3), 2, "view", 2.0, "{}"),
+    ]
+    _write_events(d, rows)
+    r = _q("stats_cliffs_delta")(spark, d).collect()[0]
+    assert r["cliffs_delta"] == 1.0 and r["magnitude"] == "large"
+
+    d2 = str(tmp_path_factory.mktemp("cliff2"))
+    rows = [
+        (1, _ts(0), 1, "click", 5.0, "{}"),
+        (2, _ts(1), 1, "view", 5.0, "{}"),
+    ]
+    _write_events(d2, rows)
+    r2 = _q("stats_cliffs_delta")(spark, d2).collect()[0]
+    assert r2["cliffs_delta"] == 0.0 and r2["magnitude"] == "negligible"
+
+
+def test_conversion_delay_percentiles_hand(spark, tmp_path_factory):
+    """Three converters with delays 100/200/400 s: p50 = 200, p25 =
+    interpolated 150, and a pre-signup purchase never counts."""
+    d = str(tmp_path_factory.mktemp("convdelay"))
+    rows = [
+        (1, _ts(0), 1, "signup", 0.0, "{}"),
+        (2, _ts(0, 100), 1, "purchase", 1.0, "{}"),
+        (3, _ts(0, 500), 1, "purchase", 1.0, "{}"),  # later, ignored (min)
+        (4, _ts(0), 2, "signup", 0.0, "{}"),
+        (5, _ts(0, 200), 2, "purchase", 1.0, "{}"),
+        (6, _ts(10), 3, "signup", 0.0, "{}"),
+        (7, _ts(9), 3, "purchase", 1.0, "{}"),   # BEFORE signup: excluded
+        (8, _ts(10, 400), 3, "purchase", 1.0, "{}"),
+    ]
+    _write_events(d, rows)
+    r = _q("events_conversion_delay_percentiles")(spark, d).collect()[0]
+    assert r["n_converted"] == 3
+    assert r["p50_s"] == 200.0
+    assert r["p25_s"] == 150.0
