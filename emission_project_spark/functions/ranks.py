@@ -1,0 +1,144 @@
+"""Distributed exact ranking without a data-sized single-partition sort.
+
+The classic ``rank() OVER (ORDER BY value)`` funnels the whole relation
+through ONE task — fine at sf0.1, a serial wall at 100 TB (the round-8
+verdict's only remaining plan-shape defect class). This module is the
+scale path the KS/MWU cell-table queries (plans/drift_stats.py:91,171)
+already hinted at, generalized:
+
+    min-rank(v) = 1 + Σ_{u < v} cnt(u)
+
+computed as a two-level prefix sum:
+
+1. range-bucket the values with ``width_bucket`` over the global
+   [min, max] (one 1-row bounds aggregate, broadcast);
+2. per-bucket totals → a ≤ ``n_buckets``+2-row relation whose running
+   prefix is the ONLY partition-less window, bounded by construction;
+3. within-bucket running counts via ``Window.partitionBy(bucket)`` —
+   parallel across buckets, each task sorts ~1/n_buckets of the data.
+
+Rank correctness does NOT depend on bucket balance (skewed buckets are
+a latency, never a wrongness), and ties are safe by construction: a
+bucket is a deterministic function of the value, so tied values always
+share a bucket and fold into one cell / adjacent window rows.
+
+Used by the exact-rank statistics family (Spearman, ROC-AUC, Cliff's
+delta, Gini, Lorenz, RFM, Heaps) — each keeps its audited oracle SQL
+(DuckDB runs the textbook global window; tiny data) while the Spark
+plan carries no data-sized single-partition WindowExec.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["cell_minrank", "row_position", "ntile_from_position"]
+
+
+def _with_bucket(
+    df: DataFrame, bucket_on: Column, n_buckets: int
+) -> DataFrame:
+    """Attach ``__b`` ∈ [1, n_buckets+1]: the width_bucket range bucket
+    of ``bucket_on`` over its global [min, max] (values equal to max
+    land in bucket n_buckets+1 — just one more bucket id). The bounds
+    are a 1-row broadcast scalar; a constant column degenerates to one
+    bucket, which is exactly the single-sort baseline."""
+    b = bucket_on.cast("double")
+    bounds = df.select(
+        F.min(b).alias("__lo"), F.max(b).alias("__hi")
+    )
+    return (
+        df.crossJoin(F.broadcast(bounds))
+        .withColumn(
+            "__b",
+            F.when(
+                F.col("__hi") > F.col("__lo"),
+                F.width_bucket(b, F.col("__lo"), F.col("__hi"), F.lit(n_buckets)),
+            ).otherwise(F.lit(1)),
+        )
+        .drop("__lo", "__hi")
+    )
+
+
+def _bucket_offsets(bucketed: DataFrame, cnt: Column) -> DataFrame:
+    """(bucket → rows-before-bucket) from per-bucket totals: the only
+    partition-less window, over ≤ n_buckets+2 rows by construction."""
+    bt = bucketed.groupBy("__b").agg(F.sum(cnt).alias("__bt"))
+    woff = Window.orderBy("__b").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    return bt.select(
+        "__b",
+        F.coalesce(F.sum("__bt").over(woff), F.lit(0)).alias("__off"),
+    )
+
+
+def cell_minrank(
+    cells: DataFrame,
+    value_col: str,
+    cnt_col: str,
+    out_col: str = "minrank",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Exact ``rank() OVER (ORDER BY value)`` min-rank for a histogram
+    cell table (one row per distinct value, with its count). Returns
+    the input columns plus ``out_col`` (long). All heavy windows are
+    bucket-partitioned; the global prefix runs over the ≤n_buckets+2-row
+    bucket-total relation only."""
+    cnt = F.col(cnt_col).cast("long")
+    bucketed = _with_bucket(cells, F.col(value_col), n_buckets)
+    offs = _bucket_offsets(bucketed, cnt)
+    win = Window.partitionBy("__b").orderBy(value_col).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        bucketed.join(F.broadcast(offs), "__b")
+        .withColumn(
+            out_col,
+            (F.col("__off") + F.sum(cnt).over(win) - cnt + 1).cast("long"),
+        )
+        .drop("__b", "__off")
+    )
+
+
+def row_position(
+    df: DataFrame,
+    order_cols: list[Column | str],
+    bucket_on: Column,
+    out_col: str = "i",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Exact ``row_number() OVER (ORDER BY order_cols)`` when the
+    composite ordering key is UNIQUE per row (the caller's contract —
+    e.g. a tie-broken (metric, primary-key) pair). ``bucket_on`` must
+    be a numeric expression monotone non-decreasing along the ordering
+    (the first order column, or its negation for a descending sort).
+    Same two-level prefix-sum machinery as cell_minrank with cnt ≡ 1."""
+    bucketed = _with_bucket(df, bucket_on, n_buckets)
+    offs = _bucket_offsets(bucketed, F.lit(1))
+    win = Window.partitionBy("__b").orderBy(*order_cols)
+    return (
+        bucketed.join(F.broadcast(offs), "__b")
+        .withColumn(
+            out_col,
+            (F.col("__off") + F.row_number().over(win)).cast("long"),
+        )
+        .drop("__b", "__off")
+    )
+
+
+def ntile_from_position(i: Column, n: Column, buckets: int) -> Column:
+    """``ntile(buckets)`` recovered from a 1-based position ``i`` out
+    of ``n`` rows — the standard SQL tiling both Spark and DuckDB
+    implement: the first ``n % buckets`` tiles carry ``n/buckets + 1``
+    rows, the rest ``n/buckets``. Lets a distributed row_position
+    replace a single-partition ntile window bit-for-bit."""
+    q = F.floor(n / buckets)
+    r = n % buckets
+    big = r * (q + 1)  # rows living in the (q+1)-sized leading tiles
+    return (
+        F.when(i <= big, F.floor((i - 1) / (q + 1)) + 1)
+        .otherwise(r + F.floor((i - big - 1) / q) + 1)
+        .cast("int")
+    )

@@ -1,0 +1,124 @@
+"""functions/ranks.py — distributed exact rank vs the single-partition
+window ground truth (the thing it replaces at scale)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import Row, Window
+from pyspark.sql import functions as F
+
+from emission_project_spark.functions.ranks import (
+    cell_minrank,
+    ntile_from_position,
+    row_position,
+)
+
+
+def _cells(spark, values):
+    from collections import Counter
+
+    c = Counter(values)
+    return spark.createDataFrame(
+        [Row(value=float(v), cnt=int(n)) for v, n in c.items()]
+    )
+
+
+@pytest.mark.parametrize("n_buckets", [1, 3, 64])
+def test_cell_minrank_matches_global_window(spark, n_buckets):
+    rng = random.Random(7)
+    values = [rng.choice([1.0, 2.5, 2.5, 3.0, 7.5, 9.0, 9.0, 42.0]) for _ in range(200)]
+    cells = _cells(spark, values)
+    got = {
+        r["value"]: r["minrank"]
+        for r in cell_minrank(cells, "value", "cnt", n_buckets=n_buckets).collect()
+    }
+    # ground truth: rank() over the exploded rows == 1 + Σ_{u<v} cnt(u)
+    rows = spark.createDataFrame([Row(value=float(v)) for v in values])
+    truth = {
+        r["value"]: r["rk"]
+        for r in rows.select(
+            "value", F.rank().over(Window.orderBy("value")).alias("rk")
+        )
+        .distinct()
+        .collect()
+    }
+    assert got == truth
+
+
+def test_cell_minrank_constant_column(spark):
+    cells = _cells(spark, [5.0] * 30)
+    [r] = cell_minrank(cells, "value", "cnt").collect()
+    assert r["minrank"] == 1 and r["cnt"] == 30
+
+
+@pytest.mark.parametrize("n,n_buckets", [(1, 64), (7, 64), (500, 8)])
+def test_row_position_unique_keys(spark, n, n_buckets):
+    rng = random.Random(13)
+    rows = [Row(k=i, x=rng.choice([1.0, 2.0, 3.0, 9.0])) for i in range(n)]
+    df = spark.createDataFrame(rows)
+    got = row_position(
+        df, [F.col("x").asc(), F.col("k").asc()], F.col("x"), n_buckets=n_buckets
+    )
+    truth = df.select(
+        "k", F.row_number().over(Window.orderBy("x", "k")).alias("i")
+    )
+    g = {r["k"]: r["i"] for r in got.collect()}
+    t = {r["k"]: r["i"] for r in truth.collect()}
+    assert g == t
+
+
+def test_row_position_descending(spark):
+    rng = random.Random(29)
+    rows = [Row(k=i, x=float(rng.randint(0, 5))) for i in range(100)]
+    df = spark.createDataFrame(rows)
+    got = row_position(
+        df,
+        [F.col("x").desc(), F.col("k").asc()],
+        -F.col("x"),  # bucket key must be monotone along the ordering
+        n_buckets=4,
+    )
+    truth = df.select(
+        "k",
+        F.row_number().over(Window.orderBy(F.col("x").desc(), F.col("k"))).alias("i"),
+    )
+    assert {r["k"]: r["i"] for r in got.collect()} == {
+        r["k"]: r["i"] for r in truth.collect()
+    }
+
+
+@pytest.mark.parametrize("n,buckets", [(10, 4), (37, 10), (100, 4), (4, 4)])
+def test_ntile_formula_matches_window_ntile(spark, n, buckets):
+    df = spark.createDataFrame([Row(k=i) for i in range(n)])
+    pos = df.select(
+        "k", F.row_number().over(Window.orderBy("k")).alias("i")
+    ).crossJoin(F.broadcast(df.agg(F.count("*").alias("n"))))
+    got = pos.select(
+        "k", ntile_from_position(F.col("i"), F.col("n"), buckets).alias("t")
+    )
+    truth = df.select(
+        "k", F.ntile(buckets).over(Window.orderBy("k")).alias("t")
+    )
+    assert {r["k"]: r["t"] for r in got.collect()} == {
+        r["k"]: r["t"] for r in truth.collect()
+    }
+
+
+def test_no_datasized_global_window_in_plan(spark):
+    """The point of the module: the only partition-less Window in the
+    physical plan must be the bucket-offset prefix (input = the
+    bucket-total aggregate), never the data-sized relation."""
+    df = spark.range(1000).select(
+        (F.col("id") % 97).cast("double").alias("value")
+    )
+    cells = df.groupBy("value").agg(F.count("*").alias("cnt"))
+    plan = cell_minrank(
+        cells, "value", "cnt"
+    )._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    for m in re.finditer(r"Window \[([^\]]*)\], \[([^\]]*)\](?:, \[([^\]]*)\])?", plan):
+        groups = [g for g in m.groups() if g is not None]
+        if len(groups) == 2:  # spec = [exprs], [order] → partition-less
+            assert "__bt" in m.group(0) or "__b" in m.group(0)
