@@ -30,12 +30,14 @@ from emission_project_spark.plans.registry import register
 # concentration profile of the order book (used in curation to detect
 # a corpus dominated by a few sources; stated here on customers, the
 # schema's natural unit). Formula on ascending-sorted revenue x_1..x_n:
-# G = 2·Σ i·x_i / (n·Σx) − (n+1)/n. The rank is a single global sort
-# (one shuffle); Σ i·x_i within a tie block is x·Σi regardless of
-# which tied row takes which i, so ties cannot flip the value. At
-# 100 TB the same readout would bin revenues first (the GK-quantile
-# route sketch.py provides); the exact global sort is the audited
-# baseline.
+# G = 2·Σ i·x_i / (n·Σx) − (n+1)/n. Σ i·x_i within a tie block is x·Σi
+# regardless of which tied row takes which i, so ties cannot flip the
+# value — which means any exact row_number works. Round-9 rewrite:
+# the position comes from functions/ranks.row_position (two-level
+# bucketed prefix sums over (x, custkey)) — the former data-sized
+# single-partition sort is now ~1/n_buckets per task, exact at any
+# scale with no binning needed. The oracle keeps the textbook
+# global-window form (DuckDB, tiny data).
 @register(
     "stats_gini_concentration",
     oracle="""
@@ -54,11 +56,13 @@ from emission_project_spark.plans.registry import register
     """,
 )
 def stats_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emission_project_spark.functions.ranks import row_position
+
     o = load_table(spark, sf_dir, "orders")
     rev = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("x"))
-    ranked = rev.select(
-        "x", F.row_number().over(Window.orderBy("x", "o_custkey")).alias("i")
-    )
+    ranked = row_position(
+        rev, [F.col("x").asc(), F.col("o_custkey").asc()], F.col("x")
+    ).select("x", "i")
     n = F.count(F.lit(1))
     return ranked.agg(
         n.cast("long").alias("n_customers"),
@@ -136,9 +140,12 @@ def stats_mutual_info_priority_segment(spark: SparkSession, sf_dir: str) -> Data
 # monetary (Σ value), each cut into ntile(4) with quartile 1 = best
 # and a (metric, user_id) tie-break so both engines bucket the same
 # users into the same quartiles. Output is the segment histogram
-# (≤64 rows) — the thing a lifecycle team actually reads. One shuffle
-# per user aggregate + three window sorts over the USER-sized table
-# (not the event log).
+# (≤64 rows) — the thing a lifecycle team actually reads. Round-9
+# rewrite: each quartile is ntile(4) recovered from a DISTRIBUTED row
+# position (functions/ranks.row_position + ntile_from_position; the
+# descending metrics bucket on the negated value so the range bucket
+# stays monotone along the ordering) — three bucketed rank passes over
+# the USER-sized table, no single-partition window anywhere.
 @register(
     "events_rfm_segments",
     oracle="""
@@ -177,10 +184,28 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mon",
         )
     )
-    q = u.select(
-        F.ntile(4).over(Window.orderBy(F.col("rec_days").asc(), F.col("user_id"))).alias("r"),
-        F.ntile(4).over(Window.orderBy(F.col("freq").desc(), F.col("user_id"))).alias("f"),
-        F.ntile(4).over(Window.orderBy(F.col("mon").desc(), F.col("user_id"))).alias("m"),
+    from emission_project_spark.functions.ranks import (
+        ntile_from_position,
+        row_position,
+    )
+
+    ranked = row_position(
+        u, [F.col("rec_days").asc(), F.col("user_id").asc()], F.col("rec_days"),
+        out_col="ir",
+    )
+    ranked = row_position(
+        ranked, [F.col("freq").desc(), F.col("user_id").asc()], -F.col("freq"),
+        out_col="if_",
+    )
+    ranked = row_position(
+        ranked, [F.col("mon").desc(), F.col("user_id").asc()], -F.col("mon"),
+        out_col="im",
+    )
+    n_tot = u.agg(F.count(F.lit(1)).alias("n_tot"))
+    q = ranked.crossJoin(F.broadcast(n_tot)).select(
+        ntile_from_position(F.col("ir"), F.col("n_tot"), 4).alias("r"),
+        ntile_from_position(F.col("if_"), F.col("n_tot"), 4).alias("f"),
+        ntile_from_position(F.col("im"), F.col("n_tot"), 4).alias("m"),
     )
     return q.groupBy("r", "f", "m").agg(F.count(F.lit(1)).alias("n_users"))
 

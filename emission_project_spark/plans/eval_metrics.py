@@ -247,9 +247,13 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Positives = purchases, score = event value ("does value predict
 # purchase?"). avg-rank = min-rank + (ties−1)/2 sits on the 0.5 grid,
 # so the positive-rank sum is exact in doubles and the AUC is pure
-# integer arithmetic until the final division. One global sort — at
-# 100 TB swap in the binned AUC over a fixed value grid (the PSI
-# discipline); the exact rank version is the audited baseline.
+# integer arithmetic until the final division. Ranks come from the
+# distinct-value cell table via functions/ranks.cell_minrank (two-level
+# bucketed prefix sums — NO data-sized single-partition window; the
+# round-8 rewrite of the exact-rank family), and the rank-sum folds
+# from the cells directly — the fact table is touched exactly once,
+# by the groupBy(value) histogram. The oracle keeps the textbook
+# global-window form (DuckDB, tiny data).
 @register(
     "stats_roc_auc",
     oracle="""
@@ -270,20 +274,21 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def stats_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emission_project_spark.functions.ranks import cell_minrank
+
     ev = load_table(spark, sf_dir, "events")
     y = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
-    r = ev.select(
-        y.alias("y"),
-        F.rank().over(Window.orderBy("value")).alias("rmin"),
-        F.count(F.lit(1)).over(Window.partitionBy("value")).alias("ties"),
+    cells = ev.groupBy("value").agg(
+        F.count(F.lit(1)).alias("ties"), F.sum(y).alias("pos")
     )
+    r = cell_minrank(cells, "value", "ties", out_col="rmin")
+    # rank-sum over positives folds from the cells: every positive in a
+    # cell carries the same mid-rank rmin + (ties−1)/2
     a = r.agg(
-        F.sum("y").alias("np"),
-        F.sum(1 - F.col("y")).alias("nn"),
+        F.sum("pos").alias("np"),
+        F.sum(F.col("ties") - F.col("pos")).alias("nn"),
         F.sum(
-            F.when(
-                F.col("y") == 1, F.col("rmin") + (F.col("ties") - 1) / 2.0
-            ).otherwise(F.lit(0.0))
+            F.col("pos") * (F.col("rmin") + (F.col("ties") - 1) / 2.0)
         ).alias("rpos"),
     )
     return a.select(
@@ -306,12 +311,14 @@ def stats_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 2·minrank + ties − 1) and every moment folds as decimal(38,0) /
 # HUGEINT, so both engines divide the SAME exact integers — zero
 # float-order hazard even at sf1 where Σ(2r)² overflows a bigint.
-# The two global rank windows are the audited-baseline cost (the Gini
-# precedent: single-partition sort); at 100 TB rank via the
-# distinct-value histogram instead — min-rank(v) = 1 + Σ_{u<v} cnt(u)
-# folds from a groupBy(value) count plus a window over DISTINCT
-# values, turning the serial window into a vocab-sized one. SF1_HEAVY
-# re-measures this query every round to watch that wall.
+# Round-9 rewrite of the round-8 global-window plan: each column's
+# min-rank comes from its distinct-value histogram via
+# functions/ranks.cell_minrank (bucketed prefix sums — the serial
+# rank wall this query used to carry is gone), and the cross moment
+# Σ rx·ry folds over the PRE-AGGREGATED (quantity, price) pair table
+# joined to the two rank maps on their keys — ordinary shuffle joins
+# that scale out, never a single-task sort. SF1_HEAVY re-measures
+# this query every round to confirm the wall stays gone.
 @register(
     "stats_spearman_corr",
     oracle="""
@@ -342,26 +349,37 @@ def stats_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def stats_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emission_project_spark.functions.ranks import cell_minrank
+
     li = load_table(spark, sf_dir, "lineitem")
 
-    def dbl_rank(col: str) -> F.Column:
-        return (
-            2 * F.rank().over(Window.orderBy(col))
-            + F.count(F.lit(1)).over(Window.partitionBy(col))
-            - 1
+    def rank_map(col: str, out: str) -> DataFrame:
+        """value → doubled average rank (exact integer), from the
+        column's distinct-value histogram."""
+        cells = li.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
+        return cell_minrank(cells, col, "cnt").select(
+            col,
+            (2 * F.col("minrank") + F.col("cnt") - 1)
+            .cast("decimal(18,0)")
+            .alias(out),
         )
 
-    r = li.select(
-        dbl_rank("l_quantity").cast("decimal(18,0)").alias("rx"),
-        dbl_rank("l_extendedprice").cast("decimal(18,0)").alias("ry"),
+    # moments fold over the pre-aggregated pair table joined to the two
+    # rank maps on their value keys — shuffle joins, no global sort
+    pairs = li.groupBy("l_quantity", "l_extendedprice").agg(
+        F.count(F.lit(1)).cast("decimal(18,0)").alias("c")
     )
+    r = pairs.join(rank_map("l_quantity", "rx"), "l_quantity").join(
+        rank_map("l_extendedprice", "ry"), "l_extendedprice"
+    )
+    c = F.col("c")
     m = r.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("rx").alias("sx"),
-        F.sum("ry").alias("sy"),
-        F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
-        F.sum(F.col("ry") * F.col("ry")).alias("syy"),
-        F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
+        F.sum(c).cast("long").alias("n"),
+        F.sum(c * F.col("rx")).alias("sx"),
+        F.sum(c * F.col("ry")).alias("sy"),
+        F.sum(c * F.col("rx") * F.col("rx")).alias("sxx"),
+        F.sum(c * F.col("ry") * F.col("ry")).alias("syy"),
+        F.sum(c * F.col("rx") * F.col("ry")).alias("sxy"),
     )
     n = F.col("n").cast("double")
     sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
@@ -566,8 +584,12 @@ def stats_jensen_shannon(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Gini scalar (stats_gini_concentration): which tenth of the customer
 # base carries which share of revenue. Zero-order customers are
 # INCLUDED at revenue 0 (left join) — excluding them understates
-# concentration, the classic Lorenz mistake. One user-sized sort;
-# decile boundaries tie-broken by (revenue, custkey).
+# concentration, the classic Lorenz mistake. Decile boundaries
+# tie-broken by (revenue, custkey); the decile is ntile(10) recovered
+# from a DISTRIBUTED row position (functions/ranks.row_position +
+# ntile_from_position — bit-identical tiling, no user-sized
+# single-partition window; round-9 rewrite). The surviving global
+# window runs over the 10-row decile table only.
 @register(
     "stats_lorenz_deciles",
     oracle="""
@@ -603,9 +625,18 @@ def stats_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey")
         .agg(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)).alias("x"))
     )
-    d = rev.select(
+    from emission_project_spark.functions.ranks import (
+        ntile_from_position,
+        row_position,
+    )
+
+    pos = row_position(
+        rev, [F.col("x").asc(), F.col("c_custkey").asc()], F.col("x")
+    )
+    n_tot = rev.agg(F.count(F.lit(1)).alias("n_tot"))
+    d = pos.crossJoin(F.broadcast(n_tot)).select(
         "x",
-        F.ntile(10).over(Window.orderBy("x", "c_custkey")).alias("decile"),
+        ntile_from_position(F.col("i"), F.col("n_tot"), 10).alias("decile"),
     )
     g = d.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n_customers"), F.sum("x").alias("dec_rev")
@@ -812,12 +843,27 @@ def events_interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFram
 def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     from emission_project_spark.functions.text import tokens
 
+    from emission_project_spark.functions.ranks import (
+        ntile_from_position,
+        row_position,
+    )
+
     docs = load_table(spark, sf_dir, "documents")
-    db = docs.select(
-        "doc_id",
-        F.ntile(10).over(Window.orderBy("doc_id")).alias("bucket"),
-        F.size(tokens(F.lower(F.col("text")))).alias("n_toks"),
-    ).localCheckpoint(eager=False)  # doc-sized; read by 2 consumers
+    # ntile(10) over doc_id, recovered from a distributed row position
+    # (bucketed prefix sums) — no corpus-sized single-partition window
+    pos = row_position(
+        docs.select("doc_id", "text"), [F.col("doc_id").asc()], F.col("doc_id")
+    )
+    n_tot = docs.agg(F.count(F.lit(1)).alias("n_tot"))
+    db = (
+        pos.crossJoin(F.broadcast(n_tot))
+        .select(
+            "doc_id",
+            ntile_from_position(F.col("i"), F.col("n_tot"), 10).alias("bucket"),
+            F.size(tokens(F.lower(F.col("text")))).alias("n_toks"),
+        )
+        .localCheckpoint(eager=False)  # doc-sized; read by 2 consumers
+    )
     firsts = (
         docs.select(
             "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("tok")
@@ -1054,80 +1100,124 @@ def stream_attribution_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def stats_permutation_pvalue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Round-9 rewrite (the r8 verdict's cost-to-watch item): the ×199
+    # per-bit row expansion is replaced by a ×13 CHUNK expansion — the
+    # two md5s pack into 13 16-bit integer chunks per row (computed
+    # JVM-side in one codegen'd projection), posexplode lays them out
+    # as (k, chunk) rows, and ONE groupBy(k) fold computes all 16
+    # bit-sliced (count, Σv·bit) pairs per chunk — 38 output fields,
+    # inside the whole-stage-codegen budget (the keyless 404-field
+    # variant measured 50 ns/row/agg interpreted; this shape is
+    # codegen'd end-to-end). Replicate b maps to (chunk k, shift)
+    # replaying the oracle's nibble arithmetic exactly: nibble i = hex
+    # char (b%128)//4 of md5(event_id||'-p{b//128}'), bit =
+    # (nibble >> (b%4)) & 1; hex char 4k+p sits at bit 4·(3−p) of
+    # chunk k. Sums fold on the exact cent grid as LONGs (the
+    # decimal(18,2) HALF_UP cast = the oracle's CAST, so ×100 is an
+    # exact integer); the decimal sum is rebuilt before the final
+    # double division so the float rounding path matches the oracle
+    # bit-for-bit. Observed totals ride the k=0 slice of the SAME
+    # pass — one corpus scan, 13 mergeable groups, no shuffle of an
+    # expanded relation.
     n_reps = 199
-    ev = (
-        load_table(spark, sf_dir, "events")
-        .filter(F.col("event_type").isin("click", "view"))
-        .select(
-            "event_id",
-            "event_type",
-            F.col("value").cast("decimal(18,2)").alias("v"),
-        )
-        .localCheckpoint(eager=False)  # read by obs + the ×B expansion
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
     )
     is_c = F.col("event_type") == "click"
-    obs = ev.agg(
+    v = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    h0 = F.md5(F.concat(F.col("event_id").cast("string"), F.lit("-p0")))
+    h1 = F.md5(F.concat(F.col("event_id").cast("string"), F.lit("-p1")))
+
+    def chunk(h: F.Column, k: int) -> F.Column:
+        """16-bit integer from hex chars 4k+1..4k+4 (1-indexed)."""
+        return F.conv(F.substring(h, 4 * k + 1, 4), 16, 10).cast("int")
+
+    chunks = F.array(
+        *[chunk(h0, k) for k in range(8)], *[chunk(h1, k) for k in range(5)]
+    )
+    kd = ev.select(
+        v.alias("vc"),
+        is_c.alias("is_c"),
+        F.posexplode(chunks).alias("k", "ch"),
+    )
+    aggs = [
+        # observed-stat totals, read off the k=0 slice
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("vc").alias("sv"),
+        F.sum(F.when(F.col("is_c"), 1).otherwise(0)).alias("cc"),
+        F.sum(F.when(F.col("is_c"), F.col("vc")).otherwise(0)).alias("sc"),
+    ]
+    for j in range(16):
+        gb = F.shiftright(F.col("ch"), j).bitwiseAND(F.lit(1))
+        aggs.append(F.sum(gb.cast("long")).alias(f"c{j}"))
+        aggs.append(F.sum(F.col("vc") * gb).alias(f"s{j}"))
+    byk = kd.groupBy("k").agg(*aggs).localCheckpoint(eager=False)
+
+    def dollars(cents: F.Column) -> F.Column:
+        """cent-long → double on the ORACLE's rounding path: rebuild
+        the exact decimal sum first, then one double rounding —
+        fl(S/100)/n, never fl(S/(100·n))."""
+        return (cents.cast("decimal(38,2)") / 100).cast("double")
+
+    obs = byk.filter(F.col("k") == 0).select(
+        F.col("cc").cast("long").alias("n_click"),
+        (F.col("cnt") - F.col("cc")).cast("long").alias("n_view"),
+        F.col("cnt").alias("n_tot"),
+        F.col("sv").alias("s_tot"),
         (
-            F.sum(F.when(is_c, F.col("v"))).cast("double")
-            / F.count(F.when(is_c, 1))
-            - F.sum(F.when(~is_c, F.col("v"))).cast("double")
-            / F.count(F.when(~is_c, 1))
+            F.try_divide(dollars(F.col("sc")), F.col("cc"))
+            - F.try_divide(
+                dollars(F.col("sv") - F.col("sc")), F.col("cnt") - F.col("cc")
+            )
         ).alias("d_obs"),
-        F.count(F.when(is_c, 1)).cast("long").alias("n_click"),
-        F.count(F.when(~is_c, 1)).cast("long").alias("n_view"),
     )
-    hashed = ev.select(
-        "v",
-        F.md5(F.concat(F.col("event_id").cast("string"), F.lit("-p0"))).alias(
-            "h0"
-        ),
-        F.md5(F.concat(F.col("event_id").cast("string"), F.lit("-p1"))).alias(
-            "h1"
-        ),
-    )
-    j = F.col("b") % 128
-    nib = F.conv(
-        F.substring(
-            F.when(F.col("b") < 128, F.col("h0")).otherwise(F.col("h1")),
-            (F.floor(j / 4) + 1).cast("int"),
-            1,
-        ),
-        16,
-        10,
+    # reshape (k, j) → replicate b: bit b lives at shift 4·(3−p)+(b%4)
+    # of chunk k where nibble index i = 4k+p (h0) / 4(k−8)+p (h1);
+    # inverting: b = 16k + 12 − 4·(j//4) + (j%4) (+128 for the h1
+    # chunks), with the 9 combinations past b=198 filtered out
+    b_expr = (
+        F.when(
+            F.col("k") < 8,
+            16 * F.col("k") + 12 - 4 * F.floor(F.col("j") / 4) + F.col("j") % 4,
+        ).otherwise(
+            128
+            + 16 * (F.col("k") - 8)
+            + 12
+            - 4 * F.floor(F.col("j") / 4)
+            + F.col("j") % 4
+        )
     ).cast("int")
-    jm = F.col("b") % 4
-    bit = (
-        F.when(jm == 0, nib.bitwiseAND(F.lit(1)))
-        .when(jm == 1, F.shiftright(nib, 1).bitwiseAND(F.lit(1)))
-        .when(jm == 2, F.shiftright(nib, 2).bitwiseAND(F.lit(1)))
-        .otherwise(F.shiftright(nib, 3).bitwiseAND(F.lit(1)))
-    )
-    reps = hashed.select(
-        "v",
-        "h0",
-        "h1",
-        F.explode(F.sequence(F.lit(0), F.lit(n_reps - 1))).alias("b"),
-    ).select("b", "v", bit.alias("g"))
-    g0, g1 = F.col("g") == 0, F.col("g") == 1
-    rmeans = (
-        reps.groupBy("b")
-        .agg(
-            F.sum(F.when(g0, F.col("v"))).alias("s0"),
-            F.count(F.when(g0, 1)).alias("c0"),
-            F.sum(F.when(g1, F.col("v"))).alias("s1"),
-            F.count(F.when(g1, 1)).alias("c1"),
-        )
-        .filter((F.col("c0") > 0) & (F.col("c1") > 0))
-        .select(
-            (
-                F.col("s0").cast("double") / F.col("c0")
-                - F.col("s1").cast("double") / F.col("c1")
-            ).alias("d")
-        )
-    )
+    slices = byk.select(
+        "k",
+        F.inline(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        F.col(f"c{j}").alias("c1"),
+                        F.col(f"s{j}").alias("s1"),
+                    )
+                    for j in range(16)
+                ]
+            )
+        ),
+    ).withColumn("b", b_expr).filter(F.col("b") < n_reps)
+    # replicate diff: mean(g=0) − mean(g=1); NULL iff a side is empty
+    # (try_divide), dropped by the filter — the oracle's HAVING
+    rmeans = slices.crossJoin(F.broadcast(obs)).select(
+        (
+            F.try_divide(
+                dollars(F.col("s_tot") - F.col("s1")),
+                F.col("n_tot") - F.col("c1"),
+            )
+            - F.try_divide(dollars(F.col("s1")), F.col("c1"))
+        ).alias("d"),
+        "n_click",
+        "n_view",
+        "d_obs",
+    ).filter(F.col("d").isNotNull())
     return (
-        rmeans.crossJoin(F.broadcast(obs))
-        .groupBy("n_click", "n_view", "d_obs")
+        rmeans.groupBy("n_click", "n_view", "d_obs")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_replicates"),
             F.round(
@@ -2053,7 +2143,10 @@ def events_bot_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 # says "not chance", delta says "how big". δ = 2·AUC − 1 via the same
 # mid-rank identity as stats_roc_auc (never the O(n²) dominance
 # join); |δ| banded into the standard Romano et al. magnitude labels.
-# Pure integer-grid arithmetic until the final ratio.
+# Pure integer-grid arithmetic until the final ratio. Ranks via the
+# same cell_minrank bucketed prefix sums as stats_roc_auc — one
+# groupBy(value) histogram pass over the fact, no data-sized
+# single-partition window anywhere in the plan.
 @register(
     "stats_cliffs_delta",
     oracle="""
@@ -2086,19 +2179,18 @@ def stats_cliffs_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("event_type").isin("click", "view")
     )
+    from emission_project_spark.functions.ranks import cell_minrank
+
     y = F.when(F.col("event_type") == "click", 1).otherwise(0)
-    r = ev.select(
-        y.alias("y"),
-        F.rank().over(Window.orderBy("value")).alias("rmin"),
-        F.count(F.lit(1)).over(Window.partitionBy("value")).alias("ties"),
+    cells = ev.groupBy("value").agg(
+        F.count(F.lit(1)).alias("ties"), F.sum(y).alias("pos")
     )
+    r = cell_minrank(cells, "value", "ties", out_col="rmin")
     a = r.agg(
-        F.sum("y").alias("nc"),
-        F.sum(1 - F.col("y")).alias("nv"),
+        F.sum("pos").alias("nc"),
+        F.sum(F.col("ties") - F.col("pos")).alias("nv"),
         F.sum(
-            F.when(
-                F.col("y") == 1, F.col("rmin") + (F.col("ties") - 1) / 2.0
-            ).otherwise(F.lit(0.0))
+            F.col("pos") * (F.col("rmin") + (F.col("ties") - 1) / 2.0)
         ).alias("rc"),
     )
     delta = (
