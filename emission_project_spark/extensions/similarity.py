@@ -568,9 +568,10 @@ def mmr_rerank(
     bound, not a convention: the pool relation is fetched through
     ``limit(max_collect + 1)`` and the function raises if the limit is
     hit, so a caller passing a corpus-sized query set gets a loud
-    error instead of a silent driver-sized collect (driver memory is
-    bounded by ``max_collect`` rows by construction — the limit is in
-    the plan, not checked after the fact). All relevance/similarity values
+    error instead of a silent driver-sized collect. Driver memory is
+    bounded IN THE PLAN on both collects: ≤ ``max_collect`` pool rows
+    and ≤ ``max_collect·pool`` pairwise-sim rows (the sims relation is
+    inherently ~pool× the pool). All relevance/similarity values
     are rounded (ROUND) BEFORE the greedy walk, so the selection
     sequence is reproducible across engines bit-for-bit; ties break to
     the smaller vec_id.
@@ -612,8 +613,20 @@ def mmr_rerank(
     rels: dict = {}
     for r in pool_rows:
         rels.setdefault(r["query_id"], {})[r["vec_id"]] = r["rel"]
+    # the sims relation is ~pool× larger than the pool (≤ pool²
+    # pairwise sims per query ≤ max_collect·pool rows total) — same
+    # in-plan limit+raise discipline, with the proportionally larger
+    # bound stated explicitly
+    sims_cap = max_collect * pool
+    sims_rows = sims_df.limit(sims_cap + 1).collect()
+    if len(sims_rows) > sims_cap:
+        raise ValueError(
+            f"mmr_rerank pairwise-sims relation exceeds "
+            f"max_collect*pool={sims_cap} rows — shrink the query set, "
+            f"lower pool={pool}, or raise max_collect explicitly"
+        )
     sims: dict = {}
-    for r in sims_df.collect():
+    for r in sims_rows:
         sims.setdefault(r["query_id"], {})[(r["va"], r["vb"])] = r["sim"]
 
     out_rows = []

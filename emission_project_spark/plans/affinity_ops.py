@@ -628,14 +628,15 @@ def text_vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "source", F.explode(tokens(F.lower(F.col("text")))).alias("tok")
     )
+    # top-500 as orderBy+limit → TakeOrderedAndProject (per-partition
+    # top-k + driver merge of 500-row heads), never a vocab-sized
+    # single-partition rank window; (count desc, token asc) keeps the
+    # boundary deterministic
     vocab = (
         toks.groupBy("tok")
         .agg(F.count(F.lit(1)).alias("c"))
-        .withColumn(
-            "rk",
-            F.row_number().over(Window.orderBy(F.col("c").desc(), F.col("tok").asc())),
-        )
-        .filter(F.col("rk") <= 500)
+        .orderBy(F.col("c").desc(), F.col("tok").asc())
+        .limit(500)
         .select("tok", F.lit(True).alias("in_vocab"))
     )
     return (

@@ -36,79 +36,23 @@ def register(name: str, oracle: str | None = None):
 
 
 # The driver's correctness artifact covers the first 50 registered
-# queries. Window policy (round 8, per the round-7 verdict): (a) the
-# 29 queries whose latest driver row is r3 — 4 rounds stale, the
-# oldest in the ledger — head the window (text gates first, then the
-# events/asof family, skew handling, and the relational core);
-# (b) the three round-7 queries fixed in round 8 for boundary
-# divergences re-verify next — `stats_benford_first_digit` also
-# CHANGED SCHEMA (n_excluded added) so its old row is void; (c) new
-# round-8 builds follow as they land; (d) any remaining slots refresh
-# the oldest surviving rows (the r4 relational/projection family).
-# After round 8 no query's latest driver row should be older than r5.
-# OVERFLOW (the r6→r7 precedent): 29+3 mandatory slots leave 18 for
-# the 24 round-8 builds, so the last six of section (c) —
-# embedding_hubness_stats, privacy_t_closeness_customers,
-# stats_brown_forsythe, events_dau_mau_stickiness,
-# graph_neighbor_jaccard_top, events_bot_score — plus section (d)
-# fall outside this round's window and are the DECLARED HEAD of
-# round 9's rotation; all are three-SF green in COMPARE_r08.txt and
-# boundary-suite replayed meanwhile.
+# queries. Window policy (round 9, per the round-8 verdict):
+# (a) the 8 round-8 builds that landed past the 50-slot window and
+# have NO driver row yet — the r8 verdict's DECLARED HEAD — verify
+# first; (b) the queries whose PLANS were rewritten this round (the
+# exact-rank family now ranks via functions/ranks.py bucketed prefix
+# sums; permutation's ×13 chunk fold; the distributed surrogate-key
+# assigner; the top-k vocab / distributed zipf rank) re-verify on the
+# ledger even where an old row exists — a plan rewrite voids the old
+# row's evidentiary value even with an unchanged schema; (c) the two
+# round-9 builds (IVF full-corpus hubness, DAU/MAU HLL twin); (d) the
+# remaining 30 slots drain the r4-stale tail oldest-first (the
+# projection/date/probe §2 family, then the round-4 extension
+# family) — after this round the r4 tail is 19 (<20, the r8 verdict's
+# bar) and every §2-core row is r8+.
 # (tests/test_queries_smoke.py pins name resolution.)
 _PRIORITY: list[str] = [
-    # -- (a) r3-stale refresh head (29) ------------------------------------
-    "text_token_count",
-    "text_quality_score",
-    "text_langid",
-    "text_fingerprint",
-    "asof_join_clicks_purchases",
-    "events_sessionize",
-    "events_tumbling_hourly",
-    "events_sliding_30m15m",
-    "events_json_extract",
-    "skew_salted_rollup_events",
-    "role_playing_nation_join",
-    "skew_salted_join_mktsegment",
-    "dedup_subset_deterministic",
-    "anti_join_customers_without_orders",
-    "nullsafe_join_match",
-    "surrogate_keys_dense",
-    "incremental_insert_orders",
-    "upsert_customer_balances",
-    "set_ops_intersect_except",
-    "window_rank_top3_per_priority",
-    "regex_extract_long_words",
-    "array_higher_order_fns",
-    "rollup_pricing_summary",
-    "topk_orders_by_price",
-    "group_rollup_brand",
-    "group_rollup_supplier",
-    "window_running_total",
-    "rollup_grouping_sets",
-    "rollup_cube_status_priority",
-    # -- (b) round-8 boundary-fix re-verification (3) ----------------------
-    "graph_triangle_stats",
-    "stats_benford_first_digit",
-    "events_path_topk",
-    # -- (c) round-8 new builds (insert here as they land) -----------------
-    "similarity_recall_at_k",
-    "similarity_ndcg_at_k",
-    "embedding_pca_project",
-    "stats_roc_auc",
-    "stats_spearman_corr",
-    "stats_cohens_kappa",
-    "stats_jensen_shannon",
-    "stats_lorenz_deciles",
-    "stats_theil_index",
-    "events_interarrival_burstiness",
-    "text_heaps_law",
-    "multimodal_phash_pairs",
-    "stream_attribution_batch",
-    "stats_permutation_pvalue",
-    "events_mann_kendall_trend",
-    "embedding_centroid_distances",
-    "text_source_diversity",
-    "text_kneser_ney_bigrams",
+    # -- (a) r8 overflow: never driver-verified (8) ------------------------
     "embedding_hubness_stats",
     "privacy_t_closeness_customers",
     "stats_brown_forsythe",
@@ -117,27 +61,51 @@ _PRIORITY: list[str] = [
     "events_bot_score",
     "stats_cliffs_delta",
     "events_conversion_delay_percentiles",
-    # -- (d) r4-row refresh tail fills any remaining slots (overflow
-    # past slot 50 is the declared head of round 9's rotation) -------------
-    "count_probe",
+    # -- (b) round-9 plan rewrites re-verify (10) --------------------------
+    "stats_spearman_corr",
+    "stats_roc_auc",
+    "stats_gini_concentration",
+    "stats_lorenz_deciles",
+    "events_rfm_segments",
+    "text_heaps_law",
+    "stats_permutation_pvalue",
+    "surrogate_keys_dense",
+    "text_vocab_oov_rate",
+    "text_zipf_slope",
+    # -- (c) round-9 new builds (2) ----------------------------------------
+    "embedding_hubness_ivf",
+    "events_dau_mau_hll",
+    # -- (d) r4-stale tail, oldest §2 family first (30) --------------------
     "projection_rename",
     "filter_predicate",
     "derived_measure",
     "cast_and_dateparts",
     "date_id_smart_key",
     "date_dim_generate",
-    "dim_fk_resolve",
     "union_distinct_nations",
+    "count_probe",
+    "dim_fk_resolve",
+    "distinct_count_customers",
+    "range_join_signup_errors",
     "sql_gateway_rollup",
-    "dedup_exact_documents",
-    "dedup_minhash_lsh",
-    "similarity_bruteforce_topk",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "embedding_kmeans_lloyd",
-    "dedup_semantic_pairs",
-    "dedup_minhash_signatures",
-    "fk_orphan_check",
+    "window_moving_avg",
+    "window_ntile_quartiles",
+    "dedup_cluster_components",
+    "dedup_keep_canonical",
+    "curation_stratified_sample",
+    "curation_length_percentiles",
+    "curation_profile_documents",
+    "curation_tfidf_top_terms",
+    "curation_quality_filter",
+    "similarity_ivf_topk",
+    "dedup_embedding_cosine",
+    "embedding_stats",
+    "multimodal_binary_meta",
+    "multimodal_extract_features",
+    "multimodal_resize",
+    "multimodal_frame_sample",
+    "stream_user_totals_batch",
+    "text_repetition_metrics",
 ]
 
 

@@ -353,7 +353,12 @@ def role_playing_nation_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- §4.3.1: dense ordered surrogate keys (SERIAL semantics).
+# --- §4.3.1: dense ordered surrogate keys (SERIAL semantics). The
+# registered form runs the DISTRIBUTED id assigner (range-partitioned
+# local row_numbers + a partition-count-sized offset prefix — the
+# 100 TB path; operators/keys.py:45) — identical output to the
+# single-window add_surrogate_key for unique sort keys, which s_name
+# is; the equivalence is pinned in tests/test_operators.py.
 @register(
     "surrogate_keys_dense",
     oracle="""
@@ -363,8 +368,12 @@ def role_playing_nation_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def surrogate_keys_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emission_project_spark.operators.keys import (
+        add_surrogate_key_distributed,
+    )
+
     s = load_table(spark, sf_dir, "supplier").select("s_name")
-    return add_surrogate_key(s, "supplier_sk", order_by=["s_name"])
+    return add_surrogate_key_distributed(s, "supplier_sk", order_by=["s_name"])
 
 
 # --- J11/S5: incremental insert — batch minus already-loaded state
@@ -2579,6 +2588,8 @@ def stats_regression_price_on_qty(spark: SparkSession, sf_dir: str) -> DataFrame
     """,
 )
 def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emission_project_spark.functions.ranks import row_position
+
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         F.explode(
@@ -2586,8 +2597,13 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("tok")
     )
     freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("f"))
-    w = Window.orderBy(F.col("f").desc(), F.col("tok"))
-    ranked = freq.select("f", F.row_number().over(w).alias("r"))
+    # full-vocab rank via distributed bucketed prefix sums (bucket on
+    # −f: monotone along the (f desc, tok) ordering) — the regression
+    # needs EVERY rank, so top-k can't prune here, but the sort no
+    # longer funnels the vocabulary through one task
+    ranked = row_position(
+        freq, [F.col("f").desc(), F.col("tok").asc()], -F.col("f"), out_col="r"
+    ).select("f", "r")
     lf = F.log10(F.col("f").cast("double"))
     lr = F.log10(F.col("r").cast("double"))
     return ranked.agg(

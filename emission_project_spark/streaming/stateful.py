@@ -426,6 +426,17 @@ def ewma_anomaly_monitor(
     state per key, sequential per key by construction (no SQL oracle
     form; pytest replays the recurrence). Ordering contract as
     last_touch_attribution.
+
+    Warm-up contract (deliberate zero prior): state starts at
+    (mean=0, var=0) rather than seeding from the first observation,
+    so the emitted ``ewma`` column approaches the series level over
+    ~1/α events (a stable series at 10.0 first emits mean 3.0 at
+    α=0.3) and the inflated early variance SUPPRESSES anomaly flags
+    during warm-up — the conservative choice for an alerting stream:
+    no pages until a baseline exists. Callers needing an unbiased
+    level estimate from event 1 should divide by the standard
+    (1−(1−α)^n) bias correction downstream; the recurrence here is
+    pinned by tests/test_streaming_drift.py.
     """
 
     def update(

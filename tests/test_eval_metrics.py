@@ -562,8 +562,12 @@ def test_neighbor_jaccard_hand_case(spark, tmp_path_factory):
     the support-2 graph, so no non-adjacent candidate pairs survive on
     this corpus — the query returns rows only when wedges exist in
     the STRONG graph (contract check via the testdata run instead)."""
+    import os
+
     import __spark_entry__ as entrymod
 
+    if not os.path.exists("/root/testdata/sf0.001"):
+        pytest.skip("generated testdata not present on this checkout")
     # contract on real testdata: jaccard in (0, 1], n_common >= 1,
     # pairs non-adjacent in the strong graph by construction
     rows = entrymod.queries()["graph_neighbor_jaccard_top"](

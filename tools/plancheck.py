@@ -83,8 +83,99 @@ SCALAR_CROSS_OK = {
     "embedding_hubness_stats",          # corpus × corpus kNN baseline (IVF is the scale path) + 1-row skew
     "stats_brown_forsythe",             # 1-row (N, ΣZ, k) totals scalar
     "events_dau_mau_stickiness",        # day-grid × user-day trailing-window range join (time-grain bounded)
+    "events_dau_mau_hll",               # same day-grid range join, HLL register-merge MAU
     "privacy_t_closeness_customers",    # 1-row global-count scalar (the sibling gates' shape)
+    "embedding_hubness_ivf",            # 1-row sqrt(n) centroid-count scalar
+    "text_zipf_slope",                  # 1-row rank-bucket bounds scalar (functions/ranks)
+    "stats_roc_auc",                    # 1-row rank-bucket bounds scalar (functions/ranks)
+    "stats_cliffs_delta",               # 1-row rank-bucket bounds scalar (functions/ranks)
+    "stats_spearman_corr",              # 1-row rank-bucket bounds scalar ×2 (functions/ranks)
+    "stats_gini_concentration",         # 1-row rank-bucket bounds scalar (functions/ranks)
+    "events_rfm_segments",              # 1-row rank-bucket bounds ×3 + 1-row user count (functions/ranks)
 }
+
+# Queries whose physical plan may carry a PARTITION-LESS Window — the
+# 100 TB anti-pattern this tool exists to catch (a data-sized relation
+# funneling through one task). Every entry must justify why ITS global
+# window runs over a relation bounded by construction; anything not
+# listed here that plans a partition-less Window FAILS the check.
+# House patterns:
+#   cell table   — a groupBy(value-grain) aggregate output (KS/MWU
+#                  shape: distinct VALUES, not rows)
+#   bucket prefix— the ≤n_buckets+2-row bucket-total walk inside
+#                  functions/ranks.py (the exact-rank family)
+#   time grain   — hour/day-grain aggregate (bounded by the calendar)
+#   report grain — ≤dozens of rows by construction (deciles, digits,
+#                  lang pairs, k centroids, quantile grids)
+GLOBAL_WINDOW_OK: dict[str, str] = {
+    # --- functions/ranks bucket-prefix (≤n_buckets+2-row totals) -----
+    "stats_roc_auc": "bucket prefix",
+    "stats_cliffs_delta": "bucket prefix",
+    "stats_spearman_corr": "bucket prefix ×2",
+    "stats_gini_concentration": "bucket prefix",
+    "stats_lorenz_deciles": "bucket prefix + 10-row decile walk",
+    "events_rfm_segments": "bucket prefix ×3",
+    "text_heaps_law": "bucket prefix + 10-row curve walk",
+    "text_zipf_slope": "bucket prefix (full-vocab rank, ranks.py)",
+    "surrogate_keys_dense": "partition-size prefix (keys.py distributed)",
+    # --- value-grain cell tables / fixed grids (the KS/MWU shape) ----
+    "stats_ks_two_sample": "cell table (distinct event values)",
+    "stats_mannwhitney_u": "cell table (distinct event values)",
+    "stats_psi_value_drift": "fixed 11-bin value grid",
+    "stats_classifier_calibration": "fixed 10-bin reliability grid",
+    "curation_epoch_schedule": "epoch-grain schedule",
+    # --- time-grain relations (calendar-bounded) ---------------------
+    "events_hourly_acf": "hour-grain series",
+    "events_cusum_changepoint": "hour-grain series",
+    "events_cumulative_users": "hour-grain first-seen walk",
+    "events_gapfill_hourly": "hour-grain series",
+    "events_gapfill_ffill": "hour-grain series",
+    "events_kaplan_meier": "day-grain duration histogram",
+    "revenue_mom_change": "month-grain series",
+}
+
+
+def _toplevel_groups(s: str) -> list[str]:
+    """Split ``[a], [b], [c]`` into top-level bracket groups (brackets
+    nest inside window-spec expressions)."""
+    groups, depth, start = [], 0, None
+    for i, ch in enumerate(s):
+        if ch == "[":
+            if depth == 0:
+                start = i
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+            if depth == 0 and start is not None:
+                groups.append(s[start : i + 1])
+                start = None
+    return groups
+
+
+def global_windows(plan: str) -> list[str]:
+    """Partition-less Window operators in a formatted plan — a Window
+    whose Arguments carry only [exprs], [order] (or just [exprs]) has
+    an empty partition spec: the whole child relation sorts through
+    ONE task. Returns one truncated Arguments line per offender."""
+    hits, cur_op = [], ""
+    for line in plan.splitlines():
+        m = re.match(r"\(\d+\)\s+(\w+)", line.strip())
+        if m:
+            cur_op = m.group(1)
+            continue
+        ls = line.strip()
+        if cur_op == "Window" and ls.startswith("Arguments:"):
+            groups = _toplevel_groups(ls[len("Arguments:") :])
+            # shapes: [exprs],[part],[order] | [exprs],[part] |
+            # [exprs],[order] | [exprs] — a 2-group spec is
+            # partition-less only when its 2nd group is an ORDER spec
+            is_global = len(groups) == 1 or (
+                len(groups) == 2
+                and (" ASC" in groups[1] or " DESC" in groups[1])
+            )
+            if is_global:
+                hits.append(ls[:140])
+    return hits
 
 
 def main() -> None:
@@ -133,6 +224,13 @@ def main() -> None:
             failures.append(f"{name}: unexpected cartesian/nested-loop join")
         if shuffles > 6:
             flags.append(f"MANY_SHUFFLES({shuffles})")
+        gw = global_windows(plan)
+        if gw and name not in GLOBAL_WINDOW_OK:
+            flags.append(f"GLOBAL_WINDOW({len(gw)})")
+            failures.append(
+                f"{name}: partition-less Window not in GLOBAL_WINDOW_OK: "
+                + gw[0]
+            )
 
         join_str = ",".join(f"{k}×{v}" for k, v in joins.items()) or "-"
         flag_str = " ".join(flags)
@@ -142,6 +240,8 @@ def main() -> None:
     spark.stop()
     if failures:
         print(f"\n{len(failures)} FLAGGED")
+        for f in failures:
+            print(f"  - {f}")
         sys.exit(1)
     print("\nPLANS CLEAN")
 
