@@ -169,6 +169,12 @@ R8_EXTRA = [
     "events_conversion_delay_percentiles",
 ]
 
+# Round-9 additions: the scale-path twins.
+R9_EXTRA = [
+    "embedding_hubness_ivf",
+    "events_dau_mau_hll",
+]
+
 # The heaviest operators, re-run at the 10x dataset for the scale
 # proof (near-linear = caps/blocking hold an order of magnitude up).
 SF1_HEAVY = [
@@ -222,6 +228,12 @@ SF1_HEAVY = [
     "stats_spearman_corr",
     "multimodal_phash_pairs",
     "text_heaps_law",
+    # round-9 additions: the rewritten permutation test (×13 chunk fold
+    # — expected ~linear) and the IVF full-corpus hubness (flat-IVF
+    # n^1.5 law: √n centroids × √n-sized cells; the decade ratio
+    # documents that curve rather than asserting it).
+    "stats_permutation_pvalue",
+    "embedding_hubness_ivf",
 ]
 
 # Second decade (100x rows), opt-in via BENCH_SF10=1: the steepest
@@ -461,6 +473,12 @@ def main() -> None:
         out["r8_extras"] = {
             "queries": extras8,
             "value": round(sum(extras8.values()), 3),
+        }
+    extras9 = {name: timed(name, sf_dir, runs) for name in R9_EXTRA if name in qs}
+    if extras9:
+        out["r9_extras"] = {
+            "queries": extras9,
+            "value": round(sum(extras9.values()), 3),
         }
 
     # Scale proof: if the deterministic 10x dataset exists (generated by

@@ -10,17 +10,26 @@ out. This tool does that arithmetic once, consistently:
     python tools/benchdiff.py BENCH_LOCAL_r05.json BENCH_LOCAL_r06.json
 
 For each query present in both records it prints raw and
-calibration-normalized ratios, flags only normalized regressions
-beyond the documented +-15% local-JVM wobble band, and exits 1 if any
-query regresses >30% normalized (a real-regression screen usable in a
-round close-out checklist). Records without a calibration field (the
-r4/r5 driver tails) fall back to raw ratios, clearly marked.
+calibration-normalized ratios and flags normalized regressions beyond
+the documented +-15% local-JVM wobble band. The EXIT CODE, however, is
+driven by the HEAVY SET only (bench.py::SF1_HEAVY plus the sf1 block):
+SCALING.md's round-8 conclusion is that the round-over-round signal
+lives there — sub-second light queries flap inside JVM-state noise
+(the same unchanged query measured 0.52/0.76/1.43 s across sessions)
+while the heavies integrate enough work to mean something. Light-set
+regressions are printed for the eye but never fail the run. Records
+without a calibration field (the r4/r5 driver tails) fall back to raw
+ratios, clearly marked.
 """
 
 from __future__ import annotations
 
 import json
+import os
+import statistics
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 WOBBLE = 0.15   # documented local-JVM noise band
 HARD = 0.30     # normalized regression that fails the exit code
@@ -56,7 +65,13 @@ def main() -> int:
 
     def all_queries(rec: dict) -> dict[str, float]:
         out = dict(rec.get("queries", {}))
-        for block in ("r5_extras", "r6_extras", "r7_extras", "r8_extras"):
+        for block in (
+            "r5_extras",
+            "r6_extras",
+            "r7_extras",
+            "r8_extras",
+            "r9_extras",
+        ):
             out.update(rec.get(block, {}).get("queries", {}))
         return out
 
@@ -106,6 +121,47 @@ def main() -> int:
         f"\n{len(common)} compared; {len(regressions)} beyond wobble; "
         f"{len(hard)} hard (> {int(HARD * 100)}% normalized)"
     )
+
+    # --- heavy-set readout: the part of the diff that carries signal.
+    from bench import SF1_HEAVY
+
+    def norm_ratio(name: str) -> float:
+        r = qb[name] / qa[name]
+        return r / scale if scale else r
+
+    heavy_common = [n for n in SF1_HEAVY if n in qa and n in qb and qa[n] > 0]
+    heavy_hard: list[str] = []
+    if heavy_common:
+        ratios = {n: norm_ratio(n) for n in heavy_common}
+        heavy_hard = [n for n, r in ratios.items() if r > 1 + HARD]
+        print(
+            f"heavy set (sf0.1): {len(heavy_common)} queries, "
+            f"median norm x{statistics.median(ratios.values()):.2f}, "
+            f"{len(heavy_hard)} hard"
+            + (": " + ", ".join(heavy_hard) if heavy_hard else "")
+        )
+    s1a = a.get("sf1", {}).get("queries", {})
+    s1b = b.get("sf1", {}).get("queries", {})
+    s1_common = sorted(n for n in set(s1a) & set(s1b) if s1a[n] > 0)
+    if s1_common:
+        # the sf1 block carries its own calibration pair when present
+        c1a = a["sf1"].get("cpu_calibration_py_s") or ca
+        c1b = b["sf1"].get("cpu_calibration_py_s") or cb
+        s1_scale = (c1a and c1b) and (c1b / c1a) or None
+        s1_ratios = {
+            n: (s1b[n] / s1a[n]) / s1_scale if s1_scale else s1b[n] / s1a[n]
+            for n in s1_common
+        }
+        s1_hard = [n for n, r in s1_ratios.items() if r > 1 + HARD]
+        heavy_hard += [n for n in s1_hard if n not in heavy_hard]
+        print(
+            f"heavy set (sf1):   {len(s1_common)} queries, "
+            f"median norm x{statistics.median(s1_ratios.values()):.2f}, "
+            f"{len(s1_hard)} hard"
+            + (": " + ", ".join(s1_hard) if s1_hard else "")
+        )
+    # only heavy-set regressions drive the exit code
+    hard = heavy_hard
 
     # Core-theft screen: if either record was taken under multicore
     # contention the single-thread normalization above cannot be
