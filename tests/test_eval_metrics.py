@@ -384,6 +384,43 @@ def test_permutation_pvalue_null_is_one(spark, tmp_path_factory):
     assert r["p_value"] == 1.0
 
 
+def test_permutation_chunk_bit_mapping_inverts_oracle():
+    """The ×13 chunk fold's (k, j) → b reshape must invert the
+    oracle's per-bit nibble arithmetic EXACTLY: bit b reads
+    (nibble[(b%128)//4] >> (b%4)) & 1 of md5 'h{b//128}', and nibble
+    4k+p sits at bit 4·(3−p) of 16-bit chunk k. Pure-Python replay
+    over a real md5: both paths must agree on every one of the 199
+    bits, and the b-expression's (k, j) inversion must be a bijection
+    onto 0..198."""
+    import hashlib
+
+    h0 = hashlib.md5(b"12345-p0").hexdigest()
+    h1 = hashlib.md5(b"12345-p1").hexdigest()
+
+    def oracle_bit(b: int) -> int:
+        h = h0 if b < 128 else h1
+        nib = int(h[(b % 128) // 4], 16)
+        return (nib >> (b % 4)) & 1
+
+    chunks = [int(h0[4 * k : 4 * k + 4], 16) for k in range(8)] + [
+        int(h1[4 * k : 4 * k + 4], 16) for k in range(5)
+    ]
+    seen = {}
+    for k in range(13):
+        for j in range(16):
+            if k < 8:
+                b = 16 * k + 12 - 4 * (j // 4) + j % 4
+            else:
+                b = 128 + 16 * (k - 8) + 12 - 4 * (j // 4) + j % 4
+            if b >= 199:
+                continue
+            assert b not in seen, f"duplicate bit {b}"
+            seen[b] = (chunks[k] >> j) & 1
+    assert sorted(seen) == list(range(199))
+    for b in range(199):
+        assert seen[b] == oracle_bit(b), f"bit {b} mismatch"
+
+
 def test_mann_kendall_strict_trend(spark, tmp_path_factory):
     """Strictly increasing hourly counts: S = n(n-1)/2 and tau = 1."""
     d = str(tmp_path_factory.mktemp("mk"))
