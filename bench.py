@@ -249,6 +249,10 @@ SF10_HEAVY = [
     # to keep its corpus-sized join flat; a second decade proves it.
     "graph_pagerank_parts",
     "text_bigram_perplexity",
+    # round-9 addition: the flat-IVF hubness twin — its n^1.5 law is a
+    # CLAIM about the √n-centroid geometry; the second decade is where
+    # a hidden quadratic would show (cells 10× larger at 100× rows).
+    "embedding_hubness_ivf",
 ]
 
 

@@ -858,16 +858,23 @@ def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     # ntile(10) over doc_id, recovered from a distributed row position
-    # (bucketed prefix sums) — no corpus-sized single-partition window
+    # (bucketed prefix sums) — no corpus-sized single-partition window.
+    # The rank machinery sees ONLY the 8-byte doc_id column; the text
+    # column joins back afterwards so document bodies never ride the
+    # bucket-assignment broadcast join
     pos = row_position(
-        docs.select("doc_id", "text"), [F.col("doc_id").asc()], F.col("doc_id")
+        docs.select("doc_id"), [F.col("doc_id").asc()], F.col("doc_id")
     )
     n_tot = docs.agg(F.count(F.lit(1)).alias("n_tot"))
+    tiles = pos.crossJoin(F.broadcast(n_tot)).select(
+        F.col("doc_id").alias("td"),
+        ntile_from_position(F.col("i"), F.col("n_tot"), 10).alias("bucket"),
+    )
     db = (
-        pos.crossJoin(F.broadcast(n_tot))
+        docs.join(tiles, docs["doc_id"] == tiles["td"])
         .select(
             "doc_id",
-            ntile_from_position(F.col("i"), F.col("n_tot"), 10).alias("bucket"),
+            "bucket",
             F.size(tokens(F.lower(F.col("text")))).alias("n_toks"),
         )
         .localCheckpoint(eager=False)  # doc-sized; read by 2 consumers
@@ -1733,36 +1740,41 @@ def _degree_hubness_readout(indeg: DataFrame) -> DataFrame:
 @register(
     "embedding_hubness_ivf",
     oracle="""
-    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-    c AS (SELECT vec_id AS cid, e AS ce FROM v
+    WITH v0 AS (
+        SELECT vec_id, embedding::DOUBLE[] AS e,
+               sqrt(list_dot_product(embedding::DOUBLE[],
+                                     embedding::DOUBLE[])) AS nm
+        FROM embeddings
+    ),
+    v AS (
+        SELECT vec_id,
+               CASE WHEN nm > 0 THEN list_transform(e, x -> x / nm)
+               END AS ne
+        FROM v0
+    ),
+    c AS (SELECT vec_id AS cid, ne AS nce FROM v
           WHERE vec_id < (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM v)),
     ascored AS (
-        SELECT v.vec_id, v.e, c.cid,
-               CASE WHEN list_dot_product(v.e, v.e) > 0
-                         AND list_dot_product(c.ce, c.ce) > 0
-                    THEN round(list_cosine_similarity(v.e, c.ce), 6)
-               END AS s
+        SELECT v.vec_id, v.ne, c.cid,
+               round(list_dot_product(v.ne, c.nce), 6) AS s
         FROM v CROSS JOIN c
     ),
     assigned AS (
-        SELECT vec_id, e, cid FROM
+        SELECT vec_id, ne, cid FROM
             (SELECT *, row_number() OVER (PARTITION BY vec_id
-                        ORDER BY s DESC, cid) AS rn FROM ascored)
+                        ORDER BY s DESC NULLS LAST, cid) AS rn FROM ascored)
         WHERE rn = 1
     ),
     scored AS (
         SELECT a.vec_id AS src, b.vec_id AS dst,
-               CASE WHEN list_dot_product(a.e, a.e) > 0
-                         AND list_dot_product(b.e, b.e) > 0
-                    THEN round(list_cosine_similarity(a.e, b.e), 6)
-               END AS s
+               round(list_dot_product(a.ne, b.ne), 6) AS s
         FROM assigned a JOIN assigned b
           ON b.cid = a.cid AND b.vec_id <> a.vec_id
     ),
     knn AS (
         SELECT src, dst FROM
             (SELECT src, dst, row_number() OVER (PARTITION BY src
-                        ORDER BY s DESC, dst) AS r FROM scored)
+                        ORDER BY s DESC NULLS LAST, dst) AS r FROM scored)
         WHERE r <= 5
     ),
     indeg AS (
@@ -1795,48 +1807,68 @@ def _degree_hubness_readout(indeg: DataFrame) -> DataFrame:
     """,
 )
 def embedding_hubness_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emission_project_spark.functions.vectors import dot as _dot
+    from emission_project_spark.functions.vectors import l2_norm
+
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    nc = emb.agg(
+    # normalize ONCE (the embedding_hubness_stats perf rule): every
+    # downstream score is then a bare dot — 3× fewer HOF folds per
+    # comparison than recomputing norms inside each cosine
+    nm = l2_norm("embedding")
+    normed = emb.select(
+        "vec_id",
+        F.when(
+            nm > 0,
+            F.transform(F.col("embedding"), lambda x: x.cast("double") / nm),
+        ).alias("ne"),
+    ).localCheckpoint(eager=False)  # corpus-sized; centroids + 3 readers
+    nc = normed.agg(
         F.ceil(F.sqrt(F.count(F.lit(1)))).cast("long").alias("nc")
     )
     cents = (
-        emb.crossJoin(F.broadcast(nc))
+        normed.crossJoin(F.broadcast(nc))
         .filter(F.col("vec_id") < F.col("nc"))
-        .select(
-            F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
-        )
+        .select(F.col("vec_id").alias("cid"), F.col("ne").alias("nce"))
     )
-    # assignment: nearest of √n centroids by rounded cosine (ties →
-    # lowest cid); centroids broadcast, one map-side pass + a
-    # per-vector window (partitioned by vec_id — parallel)
-    ascored = emb.crossJoin(F.broadcast(cents)).select(
+    # assignment: nearest of √n centroids by rounded dot (ties →
+    # lowest cid) as a map-side min_by fold — no window, so the ×√n
+    # scored expansion never shuffles (the argmax-window form measured
+    # 2.4 s at sf0.1 moving 45×-duplicated vectors through a sort).
+    # NULL scores (zero-norm vector) order WORST via the +inf
+    # coalesce, matching the oracle's DESC NULLS LAST + cid tie-break.
+    ascored = normed.crossJoin(F.broadcast(cents)).select(
         "vec_id",
-        "embedding",
+        "ne",
         "cid",
-        F.round(cosine_similarity("embedding", "ce"), 6).alias("s"),
+        F.round(_dot("ne", "nce"), 6).alias("s"),
     )
-    wa = Window.partitionBy("vec_id").orderBy(
-        F.col("s").desc(), F.col("cid").asc()
+    order_key = F.struct(
+        F.coalesce(-F.col("s"), F.lit(float("inf"))).alias("o1"),
+        F.col("cid").alias("o2"),
     )
     assigned = (
-        ascored.withColumn("rn", F.row_number().over(wa))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", "cid")
+        ascored.groupBy("vec_id")
+        .agg(F.min_by(F.struct("cid", "ne"), order_key).alias("_best"))
+        .select(
+            "vec_id",
+            F.col("_best.cid").alias("cid"),
+            F.col("_best.ne").alias("ne"),
+        )
         .localCheckpoint(eager=False)  # corpus-sized; both join sides
     )
     # in-cell kNN: candidates co-locate on centroid_id — a shuffle
     # join keyed by cell, never a corpus broadcast
     a = assigned.select(
-        F.col("vec_id").alias("src"), F.col("embedding").alias("ea"), "cid"
+        F.col("vec_id").alias("src"), F.col("ne").alias("ea"), "cid"
     )
     b = assigned.select(
         F.col("vec_id").alias("dst"),
-        F.col("embedding").alias("eb"),
+        F.col("ne").alias("eb"),
         F.col("cid").alias("cb"),
     )
     scored = a.join(
         b, (F.col("cid") == F.col("cb")) & (F.col("src") != F.col("dst"))
-    ).select("src", "dst", F.round(cosine_similarity("ea", "eb"), 6).alias("s"))
+    ).select("src", "dst", F.round(_dot("ea", "eb"), 6).alias("s"))
     wk = Window.partitionBy("src").orderBy(F.col("s").desc(), F.col("dst").asc())
     knn = (
         scored.withColumn("r", F.row_number().over(wk))
@@ -2136,15 +2168,23 @@ def events_dau_mau_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dau = ud.groupBy("d").agg(F.count(F.lit(1)).alias("dau"))
     grid = ud.select(F.col("d").alias("gd")).distinct()
+    # dedupe (day, user) BEFORE aggregating: a mixed
+    # countDistinct + approx_count_distinct aggregate plans an Expand
+    # over the ×30 range-join output (measured 7× slower); on the
+    # deduped relation both counts are plain folds — count(*) IS the
+    # exact distinct, and HLL registers over a set equal the registers
+    # over the multiset, so the estimate is unchanged
     mau = (
         grid.join(
             ud,
             (F.col("d") >= F.date_sub(F.col("gd"), 29))
             & (F.col("d") <= F.col("gd")),
         )
+        .select("gd", "user_id")
+        .distinct()
         .groupBy("gd")
         .agg(
-            F.countDistinct("user_id").alias("mau"),
+            F.count(F.lit(1)).alias("mau"),
             F.approx_count_distinct("user_id", 0.01).alias("_hll"),
         )
     )
