@@ -287,9 +287,44 @@ def _cal_loop_py() -> None:
 
 
 def cpu_calibration_py() -> float:
-    t0 = time.perf_counter()
-    _cal_loop_py()
-    return round(time.perf_counter() - t0, 4)
+    """Median of 3 loops. Round 9 measured the single-shot version's
+    idle-host spread at 0.33-0.50 s (CPU frequency scaling: a solo
+    GIL-bound loop sometimes gets turbo, sometimes not), which made the
+    contention index mt/single read anywhere in 0.87-1.5 on a host with
+    /proc/stat steal at 0.02% — denominator noise, not theft. The mt
+    probe already medians across its 32 workers; median the single
+    probe too so the index compares like with like."""
+    samples = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _cal_loop_py()
+        samples.append(time.perf_counter() - t0)
+    return round(statistics.median(samples), 4)
+
+
+def read_proc_stat() -> tuple[int, int] | None:
+    """(steal_jiffies, total_jiffies) from /proc/stat line 1, or None
+    where unavailable. Steal deltas are the AUTHORITATIVE co-tenant
+    signal on this shared VM: the hypervisor counts exactly the cycles
+    a runnable vCPU didn't get, immune to the frequency-scaling noise
+    that wobbles loop-timing probes and invisible to loadavg (which
+    only counts OUR runnable tasks)."""
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        return vals[7], sum(vals)
+    except (OSError, IndexError, ValueError):
+        return None
+
+
+def steal_pct_since(snap: tuple[int, int] | None) -> float | None:
+    """Percent of ALL cpu jiffies stolen since ``snap`` (whole-host:
+    32 cores fully busy with zero theft reads 0.0)."""
+    now = read_proc_stat()
+    if snap is None or now is None or now[1] <= snap[1]:
+        return None
+    return round(100.0 * (now[0] - snap[0]) / (now[1] - snap[1]), 3)
 
 
 def _cal_worker(q) -> None:
@@ -400,6 +435,7 @@ def main() -> None:
     # tail, and round 5's progress lines pushed the headline JSON out
     # of the captured window (BENCH_r05.json is truncated for exactly
     # this reason). Must be set before SparkContext creation.
+    stat_snap = read_proc_stat()
     spark = get_spark(
         "bench", extra_conf={"spark.ui.showConsoleProgress": "false"}
     )
@@ -605,6 +641,13 @@ def main() -> None:
         }
         if errors:
             out["sf10"]["errors"] = errors
+
+    # Whole-run co-tenant audit: steal% integrated over the entire
+    # bench (see read_proc_stat). ~0 = every recorded number was taken
+    # on unstolen cores, whatever the loop-probe index wobbled to.
+    steal = steal_pct_since(stat_snap)
+    if steal is not None:
+        out["cpu_steal_pct"] = steal
 
     blob = json.dumps(out)
     print(blob)

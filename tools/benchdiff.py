@@ -194,6 +194,15 @@ def main() -> int:
         if idx is not None:
             print(f"contention index ({label}): {idx:.2f}"
                   + ("  CONTENDED" if idx > CONTENDED else ""))
+    # /proc/stat steal integrated over the whole bench run (round 9):
+    # the authoritative co-tenant signal — the loop-probe index wobbles
+    # 0.87-1.5 on a measured-idle host (frequency scaling), steal does
+    # not. Present only in records taken after the r9 bench change.
+    for label, rec in (("old", a), ("new", b)):
+        if rec.get("cpu_steal_pct") is not None:
+            s = rec["cpu_steal_pct"]
+            print(f"cpu steal ({label}): {s:.3f}%"
+                  + ("  CONTENDED" if s > 5.0 else ""))
     if hard and any(idx is not None and idx > CONTENDED for idx in (ia, ib)):
         print(
             "INCONCLUSIVE: hard regressions measured under multicore "
