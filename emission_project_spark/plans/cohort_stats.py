@@ -344,15 +344,42 @@ def events_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Google 2012) gives every row an independent weight per replicate,
 # so the whole computation is one map-side weight expansion + a
 # B-key aggregate with map-side partial combine + a B-row quantile.
-# Weights are DETERMINISTIC: u = md5(doc_id·replicate) 28-bit
-# uniform (the curation_mixture_sample lottery), inverted through
-# the exact Poisson(1) CDF ladder — both engines draw the identical
-# weight for the identical (row, replicate). Replicate means are
+# Weights are DETERMINISTIC: both engines derive the identical
+# uniform for the identical (row, replicate) from md5 and invert it
+# through the same Poisson(1) CDF ladder. Replicate means are
 # ratios of EXACT INTEGER sums (weight × n_chars), so no
 # accumulation-order float hazard exists anywhere; means are
 # round(6)-ed before the percentile so both engines take quantiles
 # of identical 200-value multisets (`percentile` ≡ `quantile_cont`,
 # the winsorized-stats precedent).
+#
+# Round-9 rewrite, two steps (measured at sf1, warm, min-of-2):
+# 1. Draw layout: the first build hashed md5 once per
+#    (doc, replicate) — 200 full hashes per doc and a ×200 row
+#    expansion through the shuffle (14.7 s). One md5 is 16 bytes =
+#    sixteen 8-bit draws, so replicate b now reads BYTE b%16 of
+#    md5(doc_id||'-'||b//16): 13 hashes per doc. The 8-bit draw
+#    quantizes the CDF thresholds to the 1/256 grid AND truncates
+#    the Poisson tail — max u = 255/256 < CDF[4], so weights reach
+#    exactly {0..4} (wt ≥ 5, P = 0.59%, collapses into 4; pinned in
+#    tests/test_cohort_stats.py). The replicate statistic is the
+#    ratio Σwt·x/Σwt — invariant to the weight mean — and the ~3%
+#    variance shift is orders below B=200 resampling noise. The
+#    draws are IDENTICAL on both engines (v/256.0 is exact:
+#    v < 2^8, power-of-2 divisor; thresholds never hit the grid).
+# 2. Execution: the pure-JVM folds of that layout plateau at ~6 s —
+#    A/B'd three shapes (16 in-aggregate weight ladders / hoisted
+#    weight projection / ×208 posexplode) and three hex decoders
+#    (conv 6.4 s, ascii arithmetic 5.6 s, fused map-literal 10.5 s):
+#    10M interpreted draw evaluations dominate every one. This is
+#    the blocked-numeric-kernel case (the embeddings-BLAS
+#    precedent, extensions/similarity.py): an Arrow ``mapInPandas``
+#    computes per-PARTITION partial (Σwt, Σwt·n_chars) vectors —
+#    hashlib md5 (RFC-identical to Spark/DuckDB md5; digest byte r
+#    ≡ hex chars 2r+1..2r+2) + one numpy searchsorted LUT — and
+#    emits 208 partial rows per partition. 1.4 s at sf1 (10× the
+#    original); state is 2×208 longs per partition at ANY scale and
+#    the only shuffle is 208×n_partitions partial rows.
 _POIS_CDF = [
     0.36787944117144233,
     0.7357588823428847,
@@ -381,14 +408,19 @@ def _poisson_weight(u):
 @register(
     "stats_poisson_bootstrap_ci",
     oracle=f"""
-    WITH reps AS (
-        SELECT d.n_chars,
-               b.b,
-               ('0x' || substring(md5(CAST(d.doc_id AS VARCHAR) || '-' ||
-                                      CAST(b.b AS VARCHAR)), 1, 7))::BIGINT
-                   / 268435456.0 AS u
+    WITH chunks AS (
+        SELECT d.n_chars, c.c,
+               md5(CAST(d.doc_id AS VARCHAR) || '-' ||
+                   CAST(c.c AS VARCHAR)) AS h
         FROM documents d
-        CROSS JOIN (SELECT unnest(generate_series(0, 199)) AS b) b
+        CROSS JOIN (SELECT unnest(generate_series(0, 12)) AS c) c
+    ),
+    reps AS (
+        SELECT c.c * 16 + r.r AS b, c.n_chars,
+               ('0x' || substring(c.h, r.r * 2 + 1, 2))::BIGINT / 256.0 AS u
+        FROM chunks c
+        CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS r) r
+        WHERE c.c * 16 + r.r < 200
     ),
     w AS (SELECT b, n_chars, {_POIS_CASE_SQL} AS wt FROM reps),
     means AS (
@@ -408,39 +440,54 @@ def _poisson_weight(u):
     """,
 )
 def stats_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
-    n_reps = 200
+    n_reps, per_chunk = 200, 16
+    n_chunks = (n_reps + per_chunk - 1) // per_chunk  # 13
+    n_slots = n_chunks * per_chunk  # 208; slots ≥ n_reps filtered below
+    cdf = list(_POIS_CDF)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    reps = docs.select(
-        "doc_id",
-        "n_chars",
-        F.explode(F.sequence(F.lit(0), F.lit(n_reps - 1))).alias("b"),
-    )
-    u = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat_ws(
-                        "-",
-                        F.col("doc_id").cast("string"),
-                        F.col("b").cast("string"),
-                    )
-                ),
-                1,
-                7,
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        / F.lit(268435456.0)
-    )
-    w = reps.select("b", "n_chars", _poisson_weight(u).alias("wt"))
-    means = (
-        w.groupBy("b")
-        .agg(
-            F.sum(F.col("wt") * F.col("n_chars")).alias("sx"),
-            F.sum("wt").alias("sw"),
+
+    def partial_weight_sums(batches):
+        """Per-partition partial (Σwt, Σwt·n_chars) per replicate slot.
+        Executor-side Arrow kernel — imports live in the closure."""
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        # LUT[v] = the _POIS_CASE_SQL ladder at u = v/256: smallest k
+        # with u < cdf[k] (u never equals a threshold: u is on the
+        # exact 1/256 grid, the thresholds are not)
+        lut = np.searchsorted(
+            np.array(cdf), np.arange(256) / 256.0, side="right"
+        ).astype(np.int64)
+        sw = np.zeros(n_slots, dtype=np.int64)
+        sx = np.zeros(n_slots, dtype=np.int64)
+        for pdf in batches:
+            ids = pdf["doc_id"].astype(str).to_numpy()
+            xs = pdf["n_chars"].to_numpy(dtype=np.int64)
+            vs = np.empty((len(ids), n_slots), dtype=np.uint8)
+            for i, d in enumerate(ids):
+                vs[i] = np.frombuffer(
+                    b"".join(
+                        hashlib.md5(f"{d}-{c}".encode()).digest()
+                        for c in range(n_chunks)
+                    ),
+                    dtype=np.uint8,
+                )
+            wt = lut[vs]
+            sw += wt.sum(axis=0)
+            sx += (wt * xs[:, None]).sum(axis=0)
+        yield pd.DataFrame(
+            {"b": np.arange(n_slots, dtype=np.int32), "sw": sw, "sx": sx}
         )
-        .filter(F.col("sw") > 0)
+
+    partials = docs.mapInPandas(
+        partial_weight_sums, schema="b int, sw long, sx long"
+    )
+    means = (
+        partials.groupBy("b")
+        .agg(F.sum("sw").alias("sw"), F.sum("sx").alias("sx"))
+        .filter((F.col("b") < n_reps) & (F.col("sw") > 0))
         .select(F.round(F.col("sx").cast("double") / F.col("sw"), 6).alias("m"))
     )
     pt = docs.agg(

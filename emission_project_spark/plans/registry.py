@@ -41,15 +41,18 @@ def register(name: str, oracle: str | None = None):
 # have NO driver row yet — the r8 verdict's DECLARED HEAD — verify
 # first; (b) the queries whose PLANS were rewritten this round (the
 # exact-rank family now ranks via functions/ranks.py bucketed prefix
-# sums; permutation's ×13 chunk fold; the distributed surrogate-key
-# assigner; the top-k vocab / distributed zipf rank) re-verify on the
-# ledger even where an old row exists — a plan rewrite voids the old
-# row's evidentiary value even with an unchanged schema; (c) the two
-# round-9 builds (IVF full-corpus hubness, DAU/MAU HLL twin); (d) the
-# remaining 30 slots drain the r4-stale tail oldest-first (the
+# sums; permutation's ×13 chunk fold; the bootstrap's Arrow
+# partial-sum kernel — its REDRAWN replicates change the CI values,
+# so the old row is VOID, which outranks draining one more merely
+# stale row; the distributed surrogate-key assigner; the top-k
+# vocab / distributed zipf rank) re-verify on the ledger even where
+# an old row exists — a plan rewrite voids the old row's evidentiary
+# value even with an unchanged schema; (c) the two round-9 builds
+# (IVF full-corpus hubness, DAU/MAU HLL twin); (d) the remaining 29
+# slots drain the r4-stale tail oldest-first (the
 # projection/date/probe §2 family, then the round-4 extension
-# family) — after this round the r4 tail is 19 (<20, the r8 verdict's
-# bar) and every §2-core row is r8+.
+# family) — after this round the r4 tail is 20 and every §2-core
+# row is r8+.
 # (tests/test_queries_smoke.py pins name resolution.)
 _PRIORITY: list[str] = [
     # -- (a) r8 overflow: never driver-verified (8) ------------------------
@@ -69,6 +72,7 @@ _PRIORITY: list[str] = [
     "events_rfm_segments",
     "text_heaps_law",
     "stats_permutation_pvalue",
+    "stats_poisson_bootstrap_ci",
     "surrogate_keys_dense",
     "text_vocab_oov_rate",
     "text_zipf_slope",
@@ -105,7 +109,6 @@ _PRIORITY: list[str] = [
     "multimodal_resize",
     "multimodal_frame_sample",
     "stream_user_totals_batch",
-    "text_repetition_metrics",
 ]
 
 

@@ -256,3 +256,46 @@ def test_chi2_includes_structurally_zero_cells(spark, cohort_dir):
         spark, cohort_dir
     ).collect()
     assert r["chi2"] == 4.0 and r["dof"] == 1
+
+
+def test_poisson_lut_pins_all_three_ladders(spark):
+    """The bootstrap kernel's numpy LUT, the Spark CASE ladder
+    (_poisson_weight), and the oracle's _POIS_CASE_SQL must give the
+    identical Poisson(1) weight for EVERY 8-bit draw v — the kernel
+    rewrite is only sound because all three are one function."""
+    import duckdb
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from emission_project_spark.plans.cohort_stats import (
+        _POIS_CASE_SQL,
+        _POIS_CDF,
+        _poisson_weight,
+    )
+
+    lut = np.searchsorted(
+        np.array(_POIS_CDF), np.arange(256) / 256.0, side="right"
+    ).astype(np.int64)
+    # Spark ladder over all 256 draws
+    sdf = spark.range(256).select(
+        F.col("id").alias("v"),
+        _poisson_weight(F.col("id").cast("double") / F.lit(256.0)).alias("wt"),
+    )
+    spark_wt = {r["v"]: r["wt"] for r in sdf.collect()}
+    # oracle ladder over all 256 draws
+    con = duckdb.connect()
+    orows = con.sql(
+        "SELECT v, " + _POIS_CASE_SQL.replace("u", "(v / 256.0)") + " AS wt "
+        "FROM (SELECT unnest(generate_series(0, 255)) AS v)"
+    ).fetchall()
+    oracle_wt = dict(orows)
+    for v in range(256):
+        assert int(lut[v]) == spark_wt[v] == oracle_wt[v], v
+    # documented truncation: max u = 255/256 = 0.996094 < CDF[4] =
+    # 0.996340, so the 8-bit grid collapses the Poisson tail (wt >= 5,
+    # P = 0.59%) into wt = 4 — weights reach exactly {0..4}. The
+    # replicate statistic is the ratio sum(wt*x)/sum(wt), invariant to
+    # the weight mean, and the variance shift (~3%) is orders below
+    # B = 200 resampling noise.
+    assert set(int(w) for w in lut) == {0, 1, 2, 3, 4}
+    assert int(lut[252]) == 4 and int(lut[251]) == 3
