@@ -26,6 +26,8 @@ axis the build brief names first-class.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1806,74 +1808,110 @@ def _degree_hubness_readout(indeg: DataFrame) -> DataFrame:
     GROUP BY i.d, sk.skew
     """,
 )
-def embedding_hubness_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from emission_project_spark.functions.vectors import dot as _dot
-    from emission_project_spark.functions.vectors import l2_norm
+def embedding_hubness_ivf(
+    spark: SparkSession, sf_dir: str, max_centroids: int = 8192
+) -> DataFrame:
+    # Round-9 execution rewrite (same oracle, same semantics): the
+    # first build scored both phases with per-pair JVM HOF dots —
+    # n·√n assignment + n·√n in-cell ≈ 1e9 interpreted 64-dim folds
+    # at sf10, 878 s measured, ~all of it expression interpretation
+    # (the sf10 block's own profile). Both phases are dense dot
+    # batches — the blocked-BLAS case (_blocked_cosine_pairs
+    # precedent) — so they now run as Arrow kernels:
+    #   A. assignment: centroid matrix in the closure (≤√n rows,
+    #      guarded by max_centroids with the MMR limit+raise
+    #      pattern), one mapInPandas V@Cᵀ per batch; ties → lowest
+    #      cid via first-argmax over cid-ordered columns; a
+    #      zero-norm VECTOR scores 0 everywhere → first cid (the
+    #      oracle's all-NULL → NULLS LAST → min cid), a zero-norm
+    #      CENTROID column is forced to -inf (the oracle's NULL
+    #      column, never chosen while any real score exists).
+    #   B. in-cell 5-NN: groupBy(centroid) applyInPandas — cells
+    #      co-locate by key, M@Mᵀ row-chunked so no task ever holds
+    #      more than chunk×|cell| scores; columns sorted by dst so a
+    #      STABLE argsort on -s IS the oracle's (s DESC, dst ASC);
+    #      self excluded (not demoted), zero-norm dsts rank last but
+    #      remain eligible — exactly the NULL-score ordering.
+    # Dots are float64 BLAS vs the engines' sequential folds: ≤1e-13
+    # summation-order divergence under the round(6) grid — the
+    # established dedup_semantic_pairs/boundary-corpus convention.
+    import numpy as np
+    import pandas as pd
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    # normalize ONCE (the embedding_hubness_stats perf rule): every
-    # downstream score is then a bare dot — 3× fewer HOF folds per
-    # comparison than recomputing norms inside each cosine
-    nm = l2_norm("embedding")
-    normed = emb.select(
-        "vec_id",
-        F.when(
-            nm > 0,
-            F.transform(F.col("embedding"), lambda x: x.cast("double") / nm),
-        ).alias("ne"),
-    ).localCheckpoint(eager=False)  # corpus-sized; centroids + 3 readers
-    nc = normed.agg(
-        F.ceil(F.sqrt(F.count(F.lit(1)))).cast("long").alias("nc")
-    )
-    cents = (
-        normed.crossJoin(F.broadcast(nc))
-        .filter(F.col("vec_id") < F.col("nc"))
-        .select(F.col("vec_id").alias("cid"), F.col("ne").alias("nce"))
-    )
-    # assignment: nearest of √n centroids by rounded dot (ties →
-    # lowest cid) as a map-side min_by fold — no window, so the ×√n
-    # scored expansion never shuffles (the argmax-window form measured
-    # 2.4 s at sf0.1 moving 45×-duplicated vectors through a sort).
-    # NULL scores (zero-norm vector) order WORST via the +inf
-    # coalesce, matching the oracle's DESC NULLS LAST + cid tie-break.
-    ascored = normed.crossJoin(F.broadcast(cents)).select(
-        "vec_id",
-        "ne",
-        "cid",
-        F.round(_dot("ne", "nce"), 6).alias("s"),
-    )
-    order_key = F.struct(
-        F.coalesce(-F.col("s"), F.lit(float("inf"))).alias("o1"),
-        F.col("cid").alias("o2"),
-    )
-    assigned = (
-        ascored.groupBy("vec_id")
-        .agg(F.min_by(F.struct("cid", "ne"), order_key).alias("_best"))
-        .select(
-            "vec_id",
-            F.col("_best.cid").alias("cid"),
-            F.col("_best.ne").alias("ne"),
+    n_total = emb.count()
+    nc = int(math.ceil(math.sqrt(n_total))) if n_total else 1
+    if nc > max_centroids:
+        raise ValueError(
+            f"embedding_hubness_ivf centroid relation ceil(sqrt({n_total}))="
+            f"{nc} exceeds max_centroids={max_centroids}; recurse the IVF "
+            "layer (centroids-over-centroids) before raising the cap"
         )
-        .localCheckpoint(eager=False)  # corpus-sized; both join sides
+    cent_rows = sorted(
+        emb.filter(F.col("vec_id") < nc).collect(), key=lambda r: r["vec_id"]
     )
-    # in-cell kNN: candidates co-locate on centroid_id — a shuffle
-    # join keyed by cell, never a corpus broadcast
-    a = assigned.select(
-        F.col("vec_id").alias("src"), F.col("ne").alias("ea"), "cid"
+    cmat = np.array([r["embedding"] for r in cent_rows], dtype=np.float64)
+    cnorm = np.linalg.norm(cmat, axis=1)
+    zero_cent = cnorm == 0
+    cnorm[zero_cent] = np.inf  # zero-norm centroid column → scores -inf
+    cmat = cmat / cnorm[:, None]
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.array(list(pdf["embedding"]), dtype=np.float64)
+            nrm = np.linalg.norm(v, axis=1)
+            nrm[nrm == 0] = np.inf  # zero-norm vector row → scores 0
+            s = np.round((v / nrm[:, None]) @ cmat.T, 6)
+            s[:, zero_cent] = -np.inf
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
+                    "cid": s.argmax(axis=1).astype(np.int64),  # first max = min cid
+                    "embedding": pdf["embedding"],
+                }
+            )
+
+    assigned = emb.mapInPandas(
+        assign, schema="vec_id long, cid long, embedding array<float>"
     )
-    b = assigned.select(
-        F.col("vec_id").alias("dst"),
-        F.col("ne").alias("eb"),
-        F.col("cid").alias("cb"),
-    )
-    scored = a.join(
-        b, (F.col("cid") == F.col("cb")) & (F.col("src") != F.col("dst"))
-    ).select("src", "dst", F.round(_dot("ea", "eb"), 6).alias("s"))
-    wk = Window.partitionBy("src").orderBy(F.col("s").desc(), F.col("dst").asc())
-    knn = (
-        scored.withColumn("r", F.row_number().over(wk))
-        .filter(F.col("r") <= 5)
-        .select("src", "dst")
+
+    k_nn, chunk = 5, 2048
+
+    def cell_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id", kind="mergesort")  # columns = dst ASC
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        m = len(ids)
+        if m < 2:
+            return pd.DataFrame({"src": ids[:0], "dst": ids[:0]})
+        mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+        nrm = np.linalg.norm(mat, axis=1)
+        nrm[nrm == 0] = np.inf
+        mat = mat / nrm[:, None]
+        srcs, dsts = [], []
+        for lo in range(0, m, chunk):
+            hi = min(lo + chunk, m)
+            s = np.round(mat[lo:hi] @ mat.T, 6)
+            # zero-norm rows/cols: their dots are 0.0 here but NULL in
+            # the oracle (ordered last, still eligible) — force -inf
+            zsrc = np.isinf(nrm[lo:hi])
+            zdst = np.isinf(nrm)
+            s[zsrc, :] = -np.inf
+            s[:, zdst] = -np.inf
+            order = np.argsort(-s, axis=1, kind="stable")[:, : k_nn + 1]
+            for i in range(hi - lo):
+                src = ids[lo + i]
+                kept = [ids[j] for j in order[i] if ids[j] != src][:k_nn]
+                srcs.extend([src] * len(kept))
+                dsts.extend(kept)
+        return pd.DataFrame(
+            {"src": np.array(srcs, dtype=np.int64),
+             "dst": np.array(dsts, dtype=np.int64)}
+        )
+
+    knn = assigned.groupBy("cid").applyInPandas(
+        cell_topk, schema="src long, dst long"
     )
     indeg = (
         emb.select("vec_id")
