@@ -253,6 +253,15 @@ SF10_HEAVY = [
     # CLAIM about the √n-centroid geometry; the second decade is where
     # a hidden quadratic would show (cells 10× larger at 100× rows).
     "embedding_hubness_ivf",
+    # round-9 additions #2: the round's two rewrite families, each
+    # represented by its heaviest member, measured at 100× so the
+    # rewrites' scale claims are timestamped data, not prose —
+    # the functions/ranks.py bucketed prefix-sum (would the ≤66-row
+    # global prefix + per-bucket windows stay flat when every bucket
+    # is 100× larger?) and the Arrow partial-sum bootstrap kernel
+    # (65M hashlib md5s across the executors, constant state/task).
+    "stats_spearman_corr",
+    "stats_poisson_bootstrap_ci",
 ]
 
 
