@@ -63,3 +63,32 @@ def test_py_calibration_probe_is_gil_bound():
     single = bench.cpu_calibration_py()
     mt = bench.cpu_calibration_py_mt(n_workers=2)
     assert 0 < single < 10 and 0 < mt < 20
+
+
+def test_proc_stat_steal_probe():
+    """The round-9 co-tenant audit: read_proc_stat returns a
+    monotone (steal, total) pair and steal_pct_since handles the
+    degenerate cases (None snapshot, zero elapsed) without raising."""
+    import time
+
+    snap = bench.read_proc_stat()
+    assert snap is not None  # linux container: /proc/stat exists
+    steal, total = snap
+    assert steal >= 0 and total > steal
+    assert bench.steal_pct_since(None) is None
+    # an immediate re-read may land inside the same scheduler tick
+    # (zero elapsed jiffies → None) or one tick later (a valid pct) —
+    # both are correct; only an exception or a wild value is a bug
+    quick = bench.steal_pct_since(snap)
+    assert quick is None or 0.0 <= quick <= 100.0
+    time.sleep(1.2)
+    pct = bench.steal_pct_since(snap)
+    assert pct is not None and 0.0 <= pct <= 100.0
+
+
+def test_py_calibration_is_median_of_three():
+    """cpu_calibration_py medians 3 GIL-bound loops (the r9 fix for
+    the 0.33-0.50 s single-shot turbo spread) — it must return a
+    plausible per-loop time, not the 3-loop total."""
+    t = bench.cpu_calibration_py()
+    assert 0.05 < t < 5.0
