@@ -10,13 +10,24 @@ join of the current rank vector with the degree-annotated edge list
 and a re-aggregation on the destination key. Scale notes, audited via
 .explain:
 
-- the edge list is built once, degree-annotated once, and persisted —
-  per-iteration work touches only (edges ⋈ ranks) on the src key and
-  a dst-key hash aggregate (both edge-sized shuffles, the PR minimum);
-- each iteration's rank vector is ``localCheckpoint(eager=False)`` so
-  the lineage (and the replayed shuffle DAG) doesn't grow with the
-  iteration count — the connected-components discipline
-  (operators/components.py);
+- the edge list is hash-partitioned on the src key ONCE, degree-
+  annotated in the same pass (a partitionBy-only window — no second
+  relation, no join), and persisted; the cached relation KEEPS that
+  partitioning and its within-partition src order (InMemoryRelation
+  preserves both; ``localCheckpoint`` — the round-8 design — preserves
+  NEITHER, which made every iteration re-exchange the full edge list:
+  measured 2.4× slower at sf1 and the dominant term of the sf10
+  decade entry);
+- per-iteration work is therefore one exchange-free src-key merge
+  join (the rank side arrives hash(node)-partitioned from the
+  previous iteration's dst-key aggregate — same hash, same key) plus
+  the dst-key aggregate shuffle: ONE edge-sized exchange per
+  iteration, the synchronous-PR minimum;
+- lineage grows with the iteration count under pure persist, so every
+  ``truncate_every`` iterations the rank vector takes one
+  ``localCheckpoint`` — a safety valve for long runs (the default 16
+  never fires at the product's 5 iterations) that costs one rank
+  re-exchange on the following round;
 - no driver-side data movement: the loop is driver-side only in its
   CONTROL FLOW (a fixed iteration count needs no convergence collect).
 
@@ -53,6 +64,7 @@ def pagerank(
     iterations: int = 5,
     damping: float = 0.85,
     assume_full_in_edges: bool = False,
+    truncate_every: int = 16,
 ) -> DataFrame:
     """Rank nodes of a directed edge list; returns (node, degree, rank).
 
@@ -68,20 +80,31 @@ def pagerank(
     """
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
-    # checkpoint the raw edge list FIRST: deg, the annotated edge list,
-    # and the node set all derive from it, and without the checkpoint
-    # each derivation replays the caller's (possibly expensive) edge
-    # construction — measured 3x the build cost on the co-purchase graph
-    e0 = edges.select(
-        F.col(src).alias("_src"), F.col(dst).alias("_dst")
-    ).localCheckpoint(eager=False, storageLevel=_EDGE_LEVEL)
-    deg = e0.groupBy("_src").agg(F.count(F.lit(1)).alias("_deg")).localCheckpoint(
-        eager=False
+    if truncate_every < 1:
+        raise ValueError("truncate_every must be >= 1")
+    from pyspark.sql import Window
+
+    # ONE pass builds the iteration relation: hash-partition on the
+    # src key (the partitioning every iteration's join reuses from
+    # cache), annotate out-degree with a partitionBy-only window (no
+    # deg relation, no join), persist serialized+spillable. The window
+    # both requires hash(_src) — satisfied by the repartition, so no
+    # second exchange — and leaves the partitions src-clustered, which
+    # the cache preserves for the iterations' merge joins.
+    e = (
+        edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
+        .repartition(F.col("_src"))
+        .withColumn(
+            "_deg", F.count(F.lit(1)).over(Window.partitionBy("_src"))
+        )
+        .persist(_EDGE_LEVEL)
     )
-    e = e0.join(deg, "_src").localCheckpoint(eager=False, storageLevel=_EDGE_LEVEL)
+    deg = e.groupBy("_src").agg(F.first("_deg").alias("_deg"))
     nodes = deg.select(F.col("_src").alias("node"))
+    if not assume_full_in_edges:
+        nodes = nodes.persist()  # read every iteration by the floor join
     ranks = nodes.select("node", F.lit(1.0).alias("rank"))
-    for _ in range(iterations):
+    for i in range(1, iterations + 1):
         agg = (
             e.join(ranks, e["_src"] == ranks["node"])
             .select("_dst", (F.col("rank") / F.col("_deg")).alias("_contrib"))
@@ -93,19 +116,16 @@ def pagerank(
             )
         )
         if assume_full_in_edges:
-            ranks = agg.select("node", F.col("_r").alias("rank")).localCheckpoint(
-                eager=False
-            )
+            ranks = agg.select("node", F.col("_r").alias("rank"))
         else:
             # left join keeps no-in-edge nodes at the teleport floor
             # instead of silently dropping their out-contributions
-            ranks = (
-                nodes.join(agg, "node", "left")
-                .select(
-                    "node",
-                    F.coalesce(F.col("_r"), F.lit(1.0 - damping)).alias("rank"),
-                )
-                .localCheckpoint(eager=False)
+            ranks = nodes.join(agg, "node", "left").select(
+                "node",
+                F.coalesce(F.col("_r"), F.lit(1.0 - damping)).alias("rank"),
             )
+        if i % truncate_every == 0 and i < iterations:
+            # long-run lineage safety valve (see module docstring)
+            ranks = ranks.localCheckpoint(eager=False)
     node_deg = deg.select(F.col("_src").alias("node"), F.col("_deg").alias("degree"))
     return ranks.join(node_deg, "node")
