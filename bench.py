@@ -460,9 +460,13 @@ def main() -> None:
     def timed(name: str, d: str, n_runs: int) -> float:
         """Median of n_runs (min when n_runs < 3): single-shot numbers
         wobble ±15% on a busy local JVM, so scaling ratios built from
-        them would inherit that noise."""
+        them would inherit that noise. Each sample starts from a clear
+        cache: queries that persist() (pagerank since r9) would
+        otherwise serve runs 2+ from the previous run's cache via
+        same-plan reuse — a number no fresh execution ever sees."""
         samples = []
         for _ in range(n_runs):
+            spark.catalog.clearCache()
             t0 = time.perf_counter()
             qs[name](spark, d).write.format("noop").mode("overwrite").save()
             samples.append(time.perf_counter() - t0)
