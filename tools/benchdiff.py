@@ -41,6 +41,12 @@ HARD = 0.30     # normalized regression that fails the exit code
 # clean calibration). Measured quiet-host index ≈ 1.3-2.0 (fork
 # overhead included); the contended episode would have shown >>3.
 CONTENDED = 2.5
+# /proc/stat steal share above which a record is refused for
+# normalized comparisons (round 9): steal is hypervisor-counted,
+# frequency-immune, and 0.02-1.8% across every measured quiet run;
+# a co-tenant holding >5% of the box invalidates the single-thread
+# yardstick regardless of what the loop probes read.
+STEAL_CONTENDED_PCT = 5.0
 
 
 def _load(path: str) -> dict:
@@ -198,11 +204,24 @@ def main() -> int:
     # the authoritative co-tenant signal — the loop-probe index wobbles
     # 0.87-1.5 on a measured-idle host (frequency scaling), steal does
     # not. Present only in records taken after the r9 bench change.
+    steal_contended = False
     for label, rec in (("old", a), ("new", b)):
         if rec.get("cpu_steal_pct") is not None:
             s = rec["cpu_steal_pct"]
+            flagged = s > STEAL_CONTENDED_PCT
+            steal_contended = steal_contended or flagged
             print(f"cpu steal ({label}): {s:.3f}%"
-                  + ("  CONTENDED" if s > 5.0 else ""))
+                  + ("  CONTENDED" if flagged else ""))
+    # steal is the authoritative screen where present: a record taken
+    # while a co-tenant held >5% of the machine cannot be normalized
+    # by a single-thread yardstick, whatever the loop index read
+    if hard and steal_contended:
+        print(
+            "INCONCLUSIVE: hard regressions but a record was taken under "
+            f"measured core theft (steal > {STEAL_CONTENDED_PCT}%) — re-run "
+            "the bench on a quiet host."
+        )
+        return 3
     if hard and any(idx is not None and idx > CONTENDED for idx in (ia, ib)):
         print(
             "INCONCLUSIVE: hard regressions measured under multicore "
