@@ -145,7 +145,15 @@ def stats_mutual_info_priority_segment(spark: SparkSession, sf_dir: str) -> Data
 # position (functions/ranks.row_position + ntile_from_position; the
 # descending metrics bucket on the negated value so the range bucket
 # stays monotone along the ordering) — three bucketed rank passes over
-# the USER-sized table, no single-partition window anywhere.
+# the USER-sized table, no single-partition window anywhere. The
+# passes run INDEPENDENTLY on narrow (user_id, metric) projections and
+# join on user_id: the first form CHAINED them (pass 2 ranked pass 1's
+# output), which made every pass's global-bounds aggregate recompute
+# its predecessors' full window chains — measured 2.5× slower at both
+# sf0.1 and sf1 than the independent+join shape, and the sorts carried
+# an ever-wider row. The shared `u` subtree compiles to one exchange
+# via reuse (the basket_lift precedent pinned in
+# tests/test_exchange_reuse.py).
 @register(
     "events_rfm_segments",
     oracle="""
@@ -189,18 +197,25 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         row_position,
     )
 
-    ranked = row_position(
-        u, [F.col("rec_days").asc(), F.col("user_id").asc()], F.col("rec_days"),
+    pr = row_position(
+        u.select("user_id", "rec_days"),
+        [F.col("rec_days").asc(), F.col("user_id").asc()],
+        F.col("rec_days"),
         out_col="ir",
-    )
-    ranked = row_position(
-        ranked, [F.col("freq").desc(), F.col("user_id").asc()], -F.col("freq"),
+    ).select("user_id", "ir")
+    pf = row_position(
+        u.select("user_id", "freq"),
+        [F.col("freq").desc(), F.col("user_id").asc()],
+        -F.col("freq"),
         out_col="if_",
-    )
-    ranked = row_position(
-        ranked, [F.col("mon").desc(), F.col("user_id").asc()], -F.col("mon"),
+    ).select("user_id", "if_")
+    pm = row_position(
+        u.select("user_id", "mon"),
+        [F.col("mon").desc(), F.col("user_id").asc()],
+        -F.col("mon"),
         out_col="im",
-    )
+    ).select("user_id", "im")
+    ranked = pr.join(pf, "user_id").join(pm, "user_id")
     n_tot = u.agg(F.count(F.lit(1)).alias("n_tot"))
     q = ranked.crossJoin(F.broadcast(n_tot)).select(
         ntile_from_position(F.col("ir"), F.col("n_tot"), 4).alias("r"),
