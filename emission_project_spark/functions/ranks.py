@@ -12,7 +12,7 @@ computed as a two-level prefix sum:
 
 1. range-bucket the values with ``width_bucket`` over the global
    [min, max] (one 1-row bounds aggregate, broadcast);
-2. per-bucket totals → a ≤ ``n_buckets``+2-row relation whose running
+2. per-bucket totals → a ≤ ``n_buckets``+3-row relation whose running
    prefix is the ONLY partition-less window, bounded by construction;
 3. within-bucket running counts via ``Window.partitionBy(bucket)`` —
    parallel across buckets, each task sorts ~1/n_buckets of the data.
@@ -39,23 +39,37 @@ __all__ = ["cell_minrank", "row_position", "ntile_from_position"]
 def _with_bucket(
     df: DataFrame, bucket_on: Column, n_buckets: int
 ) -> DataFrame:
-    """Attach ``__b`` ∈ [1, n_buckets+1]: the width_bucket range bucket
+    """Attach ``__b`` ∈ [0, n_buckets+2]: the width_bucket range bucket
     of ``bucket_on`` over its global [min, max] (values equal to max
     land in bucket n_buckets+1 — just one more bucket id). The bounds
     are a 1-row broadcast scalar; a constant column degenerates to one
-    bucket, which is exactly the single-sort baseline."""
+    bucket, which is exactly the single-sort baseline.
+
+    NULL/NaN parity with the window sort these helpers replace (the
+    round-9 advice): ``width_bucket`` yields NULL for both, which would
+    silently DROP those rows at the bucket equi-join. Instead NULL
+    values land in bucket 0 (Spark's ASC sort puts NULLs FIRST) and NaN
+    in bucket n_buckets+2 (Spark orders NaN GREATER than any double),
+    so a rank()/row_number() caller sees the same global order the
+    single-partition window would have produced. The [min, max] bounds
+    skip NaN explicitly — Spark's max() would otherwise return NaN and
+    poison every finite bucket."""
     b = bucket_on.cast("double")
+    finite = F.when(~F.isnan(b), b)  # NULL passes through as NULL
     bounds = df.select(
-        F.min(b).alias("__lo"), F.max(b).alias("__hi")
+        F.min(finite).alias("__lo"), F.max(finite).alias("__hi")
     )
     return (
         df.crossJoin(F.broadcast(bounds))
         .withColumn(
             "__b",
-            F.when(
+            F.when(b.isNull(), F.lit(0))
+            .when(F.isnan(b), F.lit(n_buckets + 2))
+            .when(
                 F.col("__hi") > F.col("__lo"),
                 F.width_bucket(b, F.col("__lo"), F.col("__hi"), F.lit(n_buckets)),
-            ).otherwise(F.lit(1)),
+            )
+            .otherwise(F.lit(1)),
         )
         .drop("__lo", "__hi")
     )
@@ -63,7 +77,8 @@ def _with_bucket(
 
 def _bucket_offsets(bucketed: DataFrame, cnt: Column) -> DataFrame:
     """(bucket → rows-before-bucket) from per-bucket totals: the only
-    partition-less window, over ≤ n_buckets+2 rows by construction."""
+    partition-less window, over ≤ n_buckets+3 rows by construction
+    (buckets 0 and n_buckets+2 are the NULL/NaN pens)."""
     bt = bucketed.groupBy("__b").agg(F.sum(cnt).alias("__bt"))
     woff = Window.orderBy("__b").rowsBetween(
         Window.unboundedPreceding, -1
@@ -84,7 +99,7 @@ def cell_minrank(
     """Exact ``rank() OVER (ORDER BY value)`` min-rank for a histogram
     cell table (one row per distinct value, with its count). Returns
     the input columns plus ``out_col`` (long). All heavy windows are
-    bucket-partitioned; the global prefix runs over the ≤n_buckets+2-row
+    bucket-partitioned; the global prefix runs over the ≤n_buckets+3-row
     bucket-total relation only."""
     cnt = F.col(cnt_col).cast("long")
     bucketed = _with_bucket(cells, F.col(value_col), n_buckets)

@@ -1646,39 +1646,70 @@ _HUB_SAMPLE = 500
     """,
 )
 def embedding_hubness_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from emission_project_spark.functions.vectors import dot as _dot
-    from emission_project_spark.functions.vectors import l2_norm
+    # Round-10 execution rewrite (same oracle, same semantics): the r8
+    # build scored the 500×500 sample pairs as a crossJoin of per-pair
+    # JVM HOF dots — the last dense-batch site still on interpreted
+    # expression folds (SCALING.md round-9 rule: such plans plateau
+    # ~1µs/eval in every shape; kernels measured 10-100× on this exact
+    # diagnosis — hubness_ivf went 878 → 18 s). Now the established
+    # kernel pattern: the normalized sample matrix rides in a
+    # mapInPandas closure (≤_HUB_SAMPLE×dim — a bounded driver collect
+    # of the SAME class as the k-row centroid collects) and each Arrow
+    # batch scores V@Sᵀ in one float64 BLAS call. The stable argsort on
+    # -s over dst-ASC-ordered columns IS the oracle's (s DESC NULLS
+    # LAST, dst ASC): zero-norm rows/cols are forced to -inf, so an
+    # all-NULL source row degrades to dst-ascending exactly like the
+    # SQL window. Dots are BLAS vs the engines' sequential folds:
+    # ≤1e-13 summation-order divergence under the round(6) grid.
+    import numpy as np
+    import pandas as pd
 
-    emb = load_table(spark, sf_dir, "embeddings").filter(
-        F.col("vec_id") < _HUB_SAMPLE
-    )
-    nm = l2_norm("embedding")
-    # normalize ONCE: pair scoring is then a bare dot — 3x fewer fold
-    # ops per pair than recomputing both norms 2·n² times
-    normed = emb.select(
-        "vec_id",
-        F.when(
-            nm > 0,
-            F.transform(
-                F.col("embedding"), lambda x: x.cast("double") / nm
-            ),
-        ).alias("ne"),
-    ).localCheckpoint(eager=False)  # sample-sized; both join sides
-    a = normed.select(F.col("vec_id").alias("src"), F.col("ne").alias("_a"))
-    b = normed.select(F.col("vec_id").alias("dst"), F.col("ne").alias("_b"))
-    scored = (
-        a.crossJoin(F.broadcast(b))
-        .filter(F.col("dst") != F.col("src"))
-        .select("src", "dst", F.round(_dot("_a", "_b"), 6).alias("s"))
-    )
-    w = Window.partitionBy("src").orderBy(F.col("s").desc(), F.col("dst").asc())
-    knn = (
-        scored.withColumn("r", F.row_number().over(w))
-        .filter(F.col("r") <= 5)
-        .select("src", "dst")
-    )
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    ).filter(F.col("vec_id") < _HUB_SAMPLE)
+    sample_rows = sorted(emb.collect(), key=lambda r: r["vec_id"])
+    if not sample_rows:
+        # empty corpus → empty readout (the oracle's 0-row result)
+        indeg = emb.select("vec_id", F.lit(0).cast("long").alias("d"))
+        return _degree_hubness_readout(indeg)
+    sids = np.array([r["vec_id"] for r in sample_rows], dtype=np.int64)
+    smat = np.array([r["embedding"] for r in sample_rows], dtype=np.float64)
+    snorm = np.linalg.norm(smat, axis=1)
+    zero_dst = snorm == 0
+    snorm[zero_dst] = np.inf  # zero-norm dst column → scores -inf (NULL)
+    smat = smat / snorm[:, None]
+    k_nn = 5
+
+    def sample_topk(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.array(list(pdf["embedding"]), dtype=np.float64)
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            nrm = np.linalg.norm(v, axis=1)
+            zsrc = nrm == 0
+            nrm[zsrc] = np.inf
+            s = np.round((v / nrm[:, None]) @ smat.T, 6)
+            # NULL-score parity: a zero-norm src scores NULL everywhere
+            # (→ all ties, dst ASC); a zero-norm dst scores NULL for
+            # every src (→ ordered last, still eligible)
+            s[zsrc, :] = -np.inf
+            s[:, zero_dst] = -np.inf
+            order = np.argsort(-s, axis=1, kind="stable")[:, : k_nn + 1]
+            srcs: list[int] = []
+            dsts: list[int] = []
+            for i in range(len(ids)):
+                kept = [sids[j] for j in order[i] if sids[j] != ids[i]][:k_nn]
+                srcs.extend([ids[i]] * len(kept))
+                dsts.extend(kept)
+            yield pd.DataFrame(
+                {"src": np.array(srcs, dtype=np.int64),
+                 "dst": np.array(dsts, dtype=np.int64)}
+            )
+
+    knn = emb.mapInPandas(sample_topk, schema="src long, dst long")
     indeg = (
-        normed.select("vec_id")
+        emb.select("vec_id")
         .join(knn, knn["dst"] == F.col("vec_id"), "left")
         .groupBy("vec_id")
         .agg(F.count("src").cast("long").alias("d"))
@@ -1840,42 +1871,80 @@ def embedding_hubness_ivf(
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     n_total = emb.count()
-    nc = int(math.ceil(math.sqrt(n_total))) if n_total else 1
-    if nc > max_centroids:
+    if n_total == 0:
+        # empty corpus → empty readout (the oracle's 0-row result); the
+        # centroid-matrix build below would crash on a 0-d norm
+        return _degree_hubness_readout(
+            emb.select("vec_id", F.lit(0).cast("long").alias("d"))
+        )
+    nc = int(math.ceil(math.sqrt(n_total)))
+    # Recursive coarse layer (round 10, r9 verdict task #3): above
+    # max_centroids the centroid matrix no longer fits one closure, so
+    # the assignment argmax is SHARDED across closures instead — each
+    # shard holds ≤max_centroids centroid rows, scores the corpus
+    # against its slice, and a vec_id-keyed max(struct(s, -cid)) fold
+    # reduces the per-shard winners to the EXACT flat argmax (ties →
+    # min cid, identical to the oracle's rn=1 ORDER BY s DESC, cid).
+    # Recursion changes WHERE the argmax is computed, never its value,
+    # so the oracle replays the same flat √n IVF. Read amplification =
+    # n_shards column-pruned corpus scans; the final guard below caps
+    # it at 64 shards (≈275G vectors at the default cap) — beyond that
+    # a deployment shards the CORPUS side too, not just the centroids.
+    n_shards = -(-nc // max_centroids)
+    if n_shards > 64:
         raise ValueError(
             f"embedding_hubness_ivf centroid relation ceil(sqrt({n_total}))="
-            f"{nc} exceeds max_centroids={max_centroids}; recurse the IVF "
-            "layer (centroids-over-centroids) before raising the cap"
+            f"{nc} needs {n_shards} assignment shards at "
+            f"max_centroids={max_centroids} (cap 64); shard the corpus side "
+            "before raising the cap"
         )
-    cent_rows = sorted(
-        emb.filter(F.col("vec_id") < nc).collect(), key=lambda r: r["vec_id"]
-    )
-    cmat = np.array([r["embedding"] for r in cent_rows], dtype=np.float64)
-    cnorm = np.linalg.norm(cmat, axis=1)
-    zero_cent = cnorm == 0
-    cnorm[zero_cent] = np.inf  # zero-norm centroid column → scores -inf
-    cmat = cmat / cnorm[:, None]
-
-    def assign(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            v = np.array(list(pdf["embedding"]), dtype=np.float64)
-            nrm = np.linalg.norm(v, axis=1)
-            nrm[nrm == 0] = np.inf  # zero-norm vector row → scores 0
-            s = np.round((v / nrm[:, None]) @ cmat.T, 6)
-            s[:, zero_cent] = -np.inf
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
-                    "cid": s.argmax(axis=1).astype(np.int64),  # first max = min cid
-                    "embedding": pdf["embedding"],
-                }
+    if n_shards == 1:
+        cent_rows = sorted(
+            emb.filter(F.col("vec_id") < nc).collect(),
+            key=lambda r: r["vec_id"],
+        )
+        if not cent_rows:
+            # sparse ids can leave no vec_id < ceil(sqrt(n)): the
+            # oracle's centroid CTE is empty → every in-degree is 0
+            return _degree_hubness_readout(
+                emb.select("vec_id", F.lit(0).cast("long").alias("d"))
             )
+        cmat = np.array([r["embedding"] for r in cent_rows], dtype=np.float64)
+        cnorm = np.linalg.norm(cmat, axis=1)
+        zero_cent = cnorm == 0
+        cnorm[zero_cent] = np.inf  # zero-norm centroid column → scores -inf
+        cmat = cmat / cnorm[:, None]
 
-    assigned = emb.mapInPandas(
-        assign, schema="vec_id long, cid long, embedding array<float>"
-    )
+        def assign(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                v = np.array(list(pdf["embedding"]), dtype=np.float64)
+                nrm = np.linalg.norm(v, axis=1)
+                zsrc = nrm == 0
+                nrm[zsrc] = np.inf  # zero-norm vector row → scores 0
+                s = np.round((v / nrm[:, None]) @ cmat.T, 6)
+                s[:, zero_cent] = -np.inf
+                cid = s.argmax(axis=1).astype(np.int64)  # first max = min cid
+                # a zero-norm VECTOR scores NULL against EVERY centroid
+                # in the oracle (its ne is NULL) → NULLS LAST → rn=1 by
+                # cid → the GLOBAL min cid, zero-norm centroids
+                # included — not the first non-zero-norm column the
+                # -inf masking above would pick
+                cid[zsrc] = 0
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
+                        "cid": cid,
+                        "embedding": pdf["embedding"],
+                    }
+                )
+
+        assigned = emb.mapInPandas(
+            assign, schema="vec_id long, cid long, embedding array<float>"
+        )
+    else:
+        assigned = _ivf_assign_sharded(emb, nc, max_centroids)
 
     k_nn, chunk = 5, 2048
 
@@ -1921,6 +1990,89 @@ def embedding_hubness_ivf(
         .localCheckpoint(eager=False)  # vector-sized; moments + histogram
     )
     return _degree_hubness_readout(indeg)
+
+
+def _ivf_assign_sharded(emb: DataFrame, nc: int, cap: int) -> DataFrame:
+    """Exact flat-IVF assignment when the centroid relation exceeds one
+    closure: shard the centroid matrix into ≤``cap``-row slices (by
+    vec_id range — ids are unique, so each collect is ≤cap rows), score
+    the corpus against each slice in its own Arrow kernel, and reduce
+    the per-shard winners with a vec_id-keyed ``max(struct(s, -cid))``
+    fold — lexicographic struct max = highest score, ties to the
+    LOWEST cid, bit-identical to the flat argmax / the oracle's
+    ``rn=1 ORDER BY s DESC NULLS LAST, cid``. NULL-score parity: a
+    zero-norm vector emits (-inf, shard-min-cid) per shard, so the fold
+    lands on the GLOBAL min cid (zero-norm centroids included); a
+    zero-norm centroid column is -inf, never chosen while any real
+    score exists anywhere. One vec_id-keyed join reattaches embeddings
+    for the in-cell phase — the only shuffle the sharding adds."""
+    import numpy as np
+    import pandas as pd
+
+    shard_parts: list[DataFrame] = []
+    for lo in range(0, nc, cap):
+        hi = min(lo + cap, nc)
+        rows = sorted(
+            emb.filter(
+                (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
+            ).collect(),
+            key=lambda r: r["vec_id"],
+        )
+        if not rows:
+            continue
+        ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+        cmat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+        cnorm = np.linalg.norm(cmat, axis=1)
+        zero_cent = cnorm == 0
+        cnorm[zero_cent] = np.inf
+        cmat = cmat / cnorm[:, None]
+
+        def shard_best(batches, _ids=ids, _cmat=cmat, _zc=zero_cent):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                v = np.array(list(pdf["embedding"]), dtype=np.float64)
+                nrm = np.linalg.norm(v, axis=1)
+                zsrc = nrm == 0
+                nrm[zsrc] = np.inf
+                s = np.round((v / nrm[:, None]) @ _cmat.T, 6)
+                s[:, _zc] = -np.inf
+                best = s.argmax(axis=1)  # first max = shard-min cid
+                bs = s[np.arange(len(best)), best]
+                cid = _ids[best]
+                cid[zsrc] = _ids[0]
+                bs[zsrc] = -np.inf
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
+                        "cid": cid.astype(np.int64),
+                        "s": bs,
+                    }
+                )
+
+        shard_parts.append(
+            emb.mapInPandas(
+                shard_best, schema="vec_id long, cid long, s double"
+            )
+        )
+    if not shard_parts:
+        # sparse ids left no centroid in [0, nc): empty assignment
+        return emb.select(
+            "vec_id", F.lit(0).cast("long").alias("cid"), "embedding"
+        ).limit(0)
+    allb = shard_parts[0]
+    for part in shard_parts[1:]:
+        allb = allb.unionByName(part)
+    best = (
+        allb.groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct(F.col("s"), (-F.col("cid")).alias("negcid"))
+            ).alias("m")
+        )
+        .select("vec_id", (-F.col("m.negcid")).cast("long").alias("cid"))
+    )
+    return best.join(emb, "vec_id").select("vec_id", "cid", "embedding")
 
 
 # --- t-closeness (Li et al. 2007) — the third gate of the privacy
@@ -2171,10 +2323,14 @@ def events_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (fixed bytes per day) where countDistinct must shuffle every
 # distinct user. Cross-engine discipline per approx_hll_distinct_-
 # events: engine sketches differ, so the row emits the EXACT counts
-# plus an assertion that the HLL lands within tolerance (2σ of the
-# rsd bound, absolute floor 3 for the linear-counting regime at tiny
-# cardinalities); the oracle emits the exact counts and literal true,
-# making the sketch path hash-verified instead of unverifiable.
+# plus an assertion that the HLL lands within tolerance; the oracle
+# emits the exact counts and literal true, making the sketch path
+# hash-verified instead of unverifiable. The band here is 3σ of the
+# rsd bound (absolute floor 3 for the linear-counting regime), NOT
+# the single-row queries' 2σ: this query asserts once per grid DAY,
+# so a 2σ band (~5% miss rate per day on fresh data) would flip the
+# whole query's parity on a statistically-normal sketch deviation
+# (round-9 advice); at 3σ the per-day miss rate is ~0.3%.
 @register(
     "events_dau_mau_hll",
     oracle="""
@@ -2193,7 +2349,7 @@ def events_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(dau.dau AS BIGINT) AS dau,
            CAST(mau.mau AS BIGINT) AS mau,
            round(CAST(dau.dau AS DOUBLE) / mau.mau, 6) AS stickiness,
-           CAST(true AS BOOLEAN) AS hll_within_2pct
+           CAST(true AS BOOLEAN) AS hll_within_tol
     FROM dau JOIN mau ON mau.d = dau.d
     """,
 )
@@ -2235,8 +2391,8 @@ def events_dau_mau_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (
             F.abs(F.col("_hll") - F.col("mau"))
-            <= F.greatest(F.ceil(F.col("mau") * F.lit(0.02)), F.lit(3))
-        ).alias("hll_within_2pct"),
+            <= F.greatest(F.ceil(F.col("mau") * F.lit(0.03)), F.lit(3))
+        ).alias("hll_within_tol"),
     )
 
 

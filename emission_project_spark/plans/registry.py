@@ -36,79 +36,74 @@ def register(name: str, oracle: str | None = None):
 
 
 # The driver's correctness artifact covers the first 50 registered
-# queries. Window policy (round 9, per the round-8 verdict):
-# (a) the 8 round-8 builds that landed past the 50-slot window and
-# have NO driver row yet — the r8 verdict's DECLARED HEAD — verify
-# first; (b) the queries whose PLANS were rewritten this round (the
-# exact-rank family now ranks via functions/ranks.py bucketed prefix
-# sums; permutation's ×13 chunk fold; the bootstrap's Arrow
-# partial-sum kernel — its REDRAWN replicates change the CI values,
-# so the old row is VOID, which outranks draining one more merely
-# stale row; the distributed surrogate-key assigner; the top-k
-# vocab / distributed zipf rank) re-verify on the ledger even where
-# an old row exists — a plan rewrite voids the old row's evidentiary
-# value even with an unchanged schema; (c) the two round-9 builds
-# (IVF full-corpus hubness, DAU/MAU HLL twin); (d) the remaining 29
-# slots drain the r4-stale tail oldest-first (the
-# projection/date/probe §2 family, then the round-4 extension
-# family) — after this round the r4 tail is 20 and every §2-core
-# row is r8+.
+# queries. Window policy (round 10, per the round-9 verdict):
+# (a) the queries whose plans or outputs this round rewrote re-verify
+# first — a plan rewrite voids the old row's evidentiary value even
+# with an unchanged schema (the hubness_stats BLAS kernel, the
+# hubness_ivf sharded coarse layer + zero-norm tie-break fix, and the
+# DAU/MAU HLL 3σ band whose assertion column was renamed);
+# (b) the 20 r4-stale queries — the oldest ledger rows anywhere;
+# (c) 27 of the 50 r5-stale rows, alphabetical (all equally old, so
+# the order is arbitrary but deterministic); the remaining 23 r5 rows
+# (join_q9_product_profit .. window_pct_rank_cume_dist) lead the r11
+# window. After this round no query's latest driver row is older
+# than r5. Net-new queries this round: 0 — drainage is the long pole
+# (the r9 verdict's window arithmetic: 50 slots, 256 queries).
 # (tests/test_queries_smoke.py pins name resolution.)
 _PRIORITY: list[str] = [
-    # -- (a) r8 overflow: never driver-verified (8) ------------------------
+    # -- (a) round-10 plan rewrites re-verify (3) --------------------------
     "embedding_hubness_stats",
-    "privacy_t_closeness_customers",
-    "stats_brown_forsythe",
-    "events_dau_mau_stickiness",
-    "graph_neighbor_jaccard_top",
-    "events_bot_score",
-    "stats_cliffs_delta",
-    "events_conversion_delay_percentiles",
-    # -- (b) round-9 plan rewrites re-verify (10) --------------------------
-    "stats_spearman_corr",
-    "stats_roc_auc",
-    "stats_gini_concentration",
-    "stats_lorenz_deciles",
-    "events_rfm_segments",
-    "text_heaps_law",
-    "stats_permutation_pvalue",
-    "stats_poisson_bootstrap_ci",
-    "surrogate_keys_dense",
-    "text_vocab_oov_rate",
-    "text_zipf_slope",
-    # -- (c) round-9 new builds (2) ----------------------------------------
     "embedding_hubness_ivf",
     "events_dau_mau_hll",
-    # -- (d) r4-stale tail, oldest §2 family first (30) --------------------
-    "projection_rename",
-    "filter_predicate",
-    "derived_measure",
-    "cast_and_dateparts",
-    "date_id_smart_key",
-    "date_dim_generate",
-    "union_distinct_nations",
-    "count_probe",
-    "dim_fk_resolve",
-    "distinct_count_customers",
-    "range_join_signup_errors",
-    "sql_gateway_rollup",
-    "window_moving_avg",
-    "window_ntile_quartiles",
-    "dedup_cluster_components",
-    "dedup_keep_canonical",
-    "curation_stratified_sample",
-    "curation_length_percentiles",
-    "curation_profile_documents",
-    "curation_tfidf_top_terms",
-    "curation_quality_filter",
-    "similarity_ivf_topk",
-    "dedup_embedding_cosine",
-    "embedding_stats",
-    "multimodal_binary_meta",
-    "multimodal_extract_features",
-    "multimodal_resize",
-    "multimodal_frame_sample",
-    "stream_user_totals_batch",
+    # -- (b) r4-stale tail: the oldest rows in the ledger (20) -------------
+    "asof_forward_next_error",
+    "curation_mixture_report",
+    "curation_mixture_sample",
+    "curation_token_budget",
+    "dedup_incremental_exact",
+    "dedup_incremental_minhash",
+    "events_funnel_conversion",
+    "events_gapfill_ffill",
+    "events_gapfill_hourly",
+    "histogram_event_values",
+    "join_having_large_orders",
+    "join_topk_shipping_priority",
+    "multimodal_payload_stats",
+    "pivot_daily_event_counts",
+    "semi_anti_customers_no_urgent",
+    "stream_interval_join_batch",
+    "stream_sessionize_batch",
+    "text_pii_scrub",
+    "text_repetition_metrics",
+    "window_rolling_10min_mean",
+    # -- (c) r5-stale tail, first 27 alphabetically (27) -------------------
+    "approx_hll_distinct_events",
+    "argmin_cheapest_part_per_brand",
+    "cdc_apply_customers",
+    "conditional_agg_priority_classes",
+    "curation_chunk_overlap",
+    "curation_final_corpus",
+    "curation_pack_sequences",
+    "curation_temperature_weights",
+    "curation_train_val_test_split",
+    "curation_truncate_tokens",
+    "curation_weighted_sample",
+    "dedup_chunk_level_profile",
+    "dedup_levenshtein_block",
+    "dedup_minhash_bucket_survivors",
+    "events_anomaly_zscore",
+    "events_retention_cohorts",
+    "incremental_rollup_merge",
+    "join_full_outer_reconcile",
+    "join_q13_order_count_distribution",
+    "join_q14_promo_revenue",
+    "join_q17_small_quantity_revenue",
+    "join_q18_large_volume_customers",
+    "join_q19_or_predicate_revenue",
+    "join_q21_lone_late_supplier",
+    "join_q22_idle_balance_customers",
+    "join_q5_regional_supplier_revenue",
+    "join_q7_nation_trade_volume",
 ]
 
 

@@ -499,6 +499,94 @@ def test_hubness_degree_mass_conservation(spark, tmp_path_factory):
     assert sum(r["n_vectors"] for r in rows) == 8
 
 
+def _hub_corpus(n, zero_ids=()):
+    """n unit-circle vectors (64-dim), with the given ids zeroed out."""
+    import math as _m
+
+    vecs = []
+    for i in range(n):
+        if i in zero_ids:
+            vecs.append((i, [0.0] * 64, 0))
+        else:
+            ang = i * 0.37
+            vecs.append((i, [_m.cos(ang), _m.sin(ang)] + [0.0] * 62, 0))
+    return vecs
+
+
+def test_hubness_ivf_sharded_assignment_matches_flat(spark, tmp_path_factory):
+    """Planted >cap recursion test (r9 verdict task #3): forcing
+    max_centroids below ceil(sqrt(n)) exercises the sharded coarse
+    layer, whose cross-shard max(struct(s, -cid)) fold must reproduce
+    the flat argmax bit-for-bit — recursion changes WHERE the argmax
+    runs, never its value. Centroid 0 is ZERO-NORM and vec 20 is a
+    zero-norm non-centroid, the exact oracle tie-break divergence the
+    round-9 advice flagged: an all-NULL score row must land on the
+    GLOBAL min cid (zero-norm centroids included)."""
+    from emission_project_spark.plans.eval_metrics import (
+        embedding_hubness_ivf,
+    )
+
+    d = str(tmp_path_factory.mktemp("hub_ivf_shard"))
+    _write_embeddings(d, _hub_corpus(36, zero_ids={0, 20}))  # nc = 6
+    flat = sorted(map(tuple, embedding_hubness_ivf(spark, d).collect()))
+    for cap in (2, 1):  # 3 shards / 6 shards
+        sharded = sorted(
+            map(
+                tuple,
+                embedding_hubness_ivf(spark, d, max_centroids=cap).collect(),
+            )
+        )
+        assert sharded == flat, f"cap={cap} diverged from flat argmax"
+    assert sum(r[1] for r in flat) == 36  # every vector in the histogram
+
+
+def test_hubness_ivf_zero_norm_oracle_parity(spark, tmp_path_factory):
+    """The crafted zero-norm corpus against the registered DuckDB
+    oracle: a zero-norm vector's all-NULL score row must follow the
+    oracle's NULLS LAST → min-cid assignment even when centroid 0 is
+    itself zero-norm (the flat kernel's old -inf masking picked the
+    first NON-zero-norm centroid instead)."""
+    import importlib.util
+
+    import duckdb
+
+    spec = importlib.util.spec_from_file_location(
+        "compare_mod_hub", os.path.join(_REPO, "tools", "compare.py")
+    )
+    compare = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(compare)
+    import __spark_entry__ as entrymod
+
+    d = str(tmp_path_factory.mktemp("hub_ivf_zero"))
+    _write_embeddings(d, _hub_corpus(36, zero_ids={0, 20}))
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE OR REPLACE VIEW embeddings AS"
+        f" SELECT * FROM '{d}/embeddings.parquet'"
+    )
+    for name in ("embedding_hubness_ivf", "embedding_hubness_stats"):
+        r = compare.compare_query(
+            spark,
+            con,
+            name,
+            entrymod.queries()[name],
+            entrymod.oracle_sql()[name],
+            d,
+        )
+        assert "error" not in r, r
+        assert r.get("cols_match") and r.get("values_match"), r
+
+
+def test_hubness_empty_corpus(spark, tmp_path_factory):
+    """An empty embeddings table returns the oracle's 0-row readout
+    instead of crashing the driver-side centroid/sample matrix build
+    (np.linalg.norm on a 0-d array — the round-9 advice crash)."""
+    d = str(tmp_path_factory.mktemp("hub_empty"))
+    _write_embeddings(d, [])
+    for name in ("embedding_hubness_ivf", "embedding_hubness_stats"):
+        assert _q(name)(spark, d).count() == 0, name
+
+
 def test_t_closeness_skewed_group(spark, tmp_path_factory):
     """Nations 0/1 mirror the global mix apart from its own skew;
     nation 2 is single-segment: t = 1/6 for the mixed nations and

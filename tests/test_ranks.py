@@ -105,6 +105,69 @@ def test_ntile_formula_matches_window_ntile(spark, n, buckets):
     }
 
 
+@pytest.mark.parametrize("n_buckets", [1, 4, 64])
+def test_cell_minrank_null_and_nan(spark, n_buckets):
+    """Round-9 advice: NULL/NaN bucket keys must not be DROPPED at the
+    bucket equi-join — they pen into buckets 0 / n_buckets+2 and rank
+    exactly where the single-partition window would put them (Spark
+    ASC: NULLs FIRST, NaN greater than any double)."""
+    vals = [None, None, float("nan"), 1.0, 1.0, 2.0, 5.0, 5.0, 5.0, 9.0]
+    cells = spark.createDataFrame(
+        [Row(value=v, cnt=i + 1) for i, v in enumerate(vals[:3])]
+        + [Row(value=v, cnt=1) for v in set(v for v in vals[3:])],
+        "value double, cnt int",
+    ).groupBy("value").agg(F.sum("cnt").alias("cnt"))
+    got = {
+        (str(r["value"])): r["minrank"]
+        for r in cell_minrank(
+            cells, "value", "cnt", n_buckets=n_buckets
+        ).collect()
+    }
+    truth = {
+        (str(r["value"])): r["rk"]
+        for r in cells.select(
+            "value", F.rank().over(Window.orderBy("value")).alias("rk")
+        ).collect()
+    }
+    # ground truth here ranks CELLS (cnt folded separately); rebuild the
+    # count-weighted truth by prefix over the cell counts instead
+    ordered = sorted(
+        cells.collect(),
+        key=lambda r: (
+            0 if r["value"] is None else 2
+            if r["value"] != r["value"] else 1,
+            r["value"] if r["value"] == r["value"] and r["value"] is not None
+            else 0.0,
+        ),
+    )
+    run, expect = 1, {}
+    for r in ordered:
+        expect[str(r["value"])] = run
+        run += r["cnt"]
+    assert got == expect
+    assert set(got) == set(truth)  # no row lost to a NULL bucket key
+
+
+def test_row_position_null_and_nan(spark):
+    """row_position keeps NULL/NaN ordering-key rows and matches the
+    global row_number() window (unique tie-break key k)."""
+    rows = [
+        Row(k=0, x=None), Row(k=1, x=float("nan")), Row(k=2, x=1.0),
+        Row(k=3, x=None), Row(k=4, x=7.0), Row(k=5, x=float("nan")),
+        Row(k=6, x=3.0),
+    ]
+    df = spark.createDataFrame(rows, "k int, x double")
+    got = row_position(
+        df, [F.col("x").asc(), F.col("k").asc()], F.col("x"), n_buckets=4
+    )
+    truth = df.select(
+        "k", F.row_number().over(Window.orderBy("x", "k")).alias("i")
+    )
+    assert {r["k"]: r["i"] for r in got.collect()} == {
+        r["k"]: r["i"] for r in truth.collect()
+    }
+
+
 def test_no_datasized_global_window_in_plan(spark):
     """The point of the module: the only partition-less Window in the
     physical plan must be the bucket-offset prefix (input = the

@@ -2,24 +2,33 @@
 
 This host shows episodic ~2x noisy-neighbor slowdowns (documented in
 bench.py); raw cross-round query-time diffs are therefore routinely
-dominated by machine state, not code. Every bench record carries
-`cpu_calibration_s` — the single-threaded probe bench.py times at
-startup (~0.16-0.18 s quiet) — precisely so comparisons can divide it
-out. This tool does that arithmetic once, consistently:
+dominated by machine state, not code. Calibration history:
 
-    python tools/benchdiff.py BENCH_LOCAL_r05.json BENCH_LOCAL_r06.json
+- r5-r8 divided by the startup CPU probe (`cpu_calibration_s`, then
+  the pure-python `cpu_calibration_py_s`).
+- Round 9 measured the py-probe's own idle band at 0.87-1.5×
+  run-to-run (frequency scaling on a lone busy core: 0.33-0.50 s),
+  which turned 61 raw IMPROVEMENTS into normalized "hard regressions"
+  in the r8→r9 diff. The probe is dead as a per-query yardstick.
+- Round 10 (this version) SELF-normalizes instead: the MEDIAN raw
+  ratio of the STABLE set — queries untouched between the two records
+  — is the machine-speed estimate. Byte-identical code timed in both
+  records is the only probe that experiences exactly the JVM/CPU
+  state the queries do. Pass --changed name,name,... to exclude the
+  round's touched queries from the stable set (they carry real code
+  deltas); with most of a 250+-query registry untouched each round,
+  the median is robust to forgetting a few.
 
-For each query present in both records it prints raw and
-calibration-normalized ratios and flags normalized regressions beyond
-the documented +-15% local-JVM wobble band. The EXIT CODE, however, is
-driven by the HEAVY SET only (bench.py::SF1_HEAVY plus the sf1 block):
-SCALING.md's round-8 conclusion is that the round-over-round signal
-lives there — sub-second light queries flap inside JVM-state noise
-(the same unchanged query measured 0.52/0.76/1.43 s across sessions)
-while the heavies integrate enough work to mean something. Light-set
-regressions are printed for the eye but never fail the run. Records
-without a calibration field (the r4/r5 driver tails) fall back to raw
-ratios, clearly marked.
+    python tools/benchdiff.py OLD.json NEW.json [--changed a,b,c]
+
+For each query present in both records it prints raw and normalized
+ratios and flags normalized regressions beyond the documented ±15%
+local-JVM wobble band. The EXIT CODE, however, is driven by the HEAVY
+SET only (bench.py::SF1_HEAVY plus the sf1 block): SCALING.md's
+round-8 conclusion is that the round-over-round signal lives there —
+sub-second light queries flap inside JVM-state noise while the heavies
+integrate enough work to mean something. The py-probe ratio is still
+PRINTED (it documents machine state) but no longer scales anything.
 """
 
 from __future__ import annotations
@@ -63,11 +72,20 @@ def _load(path: str) -> dict:
         raise
 
 
+MIN_STABLE = 8  # below this, a median of ratios is itself noise
+
+
 def main() -> int:
-    if len(sys.argv) != 3:
+    args = list(sys.argv[1:])
+    changed: set[str] = set()
+    if "--changed" in args:
+        i = args.index("--changed")
+        changed = {n for n in args[i + 1].split(",") if n}
+        del args[i : i + 2]
+    if len(args) != 2:
         print(__doc__)
         return 2
-    a, b = _load(sys.argv[1]), _load(sys.argv[2])
+    a, b = _load(args[0]), _load(args[1])
 
     def all_queries(rec: dict) -> dict[str, float]:
         out = dict(rec.get("queries", {}))
@@ -82,25 +100,42 @@ def main() -> int:
         return out
 
     qa, qb = all_queries(a), all_queries(b)
-    # prefer the pure-Python probe when BOTH records carry it: the
-    # legacy numpy probe is BLAS-threaded, so its "single-thread" time
-    # measures ambient whole-machine availability and normalizing by
-    # it is unreliable (round-8 finding; see bench.py::_cal_loop)
+    common = sorted(set(qa) & set(qb))
+    # informational only since round 10: the probe documents machine
+    # state but its own idle band (0.87-1.5×, frequency scaling) is
+    # wider than the regressions it was supposed to detect
     if a.get("cpu_calibration_py_s") and b.get("cpu_calibration_py_s"):
         ca, cb = a["cpu_calibration_py_s"], b["cpu_calibration_py_s"]
-        print("calibration source: pure-python probe")
+        print(
+            f"py-probe (informational): {ca:.4f} -> {cb:.4f} s "
+            f"(x{cb / ca:.3f}; NOT used for normalization — idle band "
+            "0.87-1.5x, SCALING.md round 9)"
+        )
     else:
         ca, cb = a.get("cpu_calibration_s"), b.get("cpu_calibration_s")
-    scale = (ca and cb) and (cb / ca) or None
-    if scale:
+
+    # Self-normalization (round 10): byte-identical queries timed in
+    # both records are the real calibration probe — they experienced
+    # exactly the JVM and CPU state the changed queries did. The
+    # MEDIAN of their raw ratios estimates machine speed; per-query
+    # normalized = raw / that median.
+    stable = [n for n in common if n not in changed and qa[n] > 0]
+    scale = None
+    if len(stable) >= MIN_STABLE:
+        scale = statistics.median(qb[n] / qa[n] for n in stable)
         print(
-            f"calibration: {ca:.4f} -> {cb:.4f} s  "
-            f"(machine-speed ratio {scale:.3f}; normalized = raw / {scale:.3f})"
+            f"self-calibration: median raw ratio of {len(stable)} stable "
+            f"queries = x{scale:.3f} (normalized = raw / {scale:.3f}; "
+            f"{len(changed)} changed excluded)"
+        )
+    elif ca and cb:
+        scale = cb / ca
+        print(
+            f"self-calibration unavailable ({len(stable)} stable < "
+            f"{MIN_STABLE}) — falling back to the py-probe x{scale:.3f}"
         )
     else:
         print("calibration missing in at least one record — RAW ratios only")
-
-    common = sorted(set(qa) & set(qb))
     regressions = []
     for name in common:
         raw = qb[name] / qa[name]
@@ -119,9 +154,9 @@ def main() -> int:
         )
     only_a, only_b = sorted(set(qa) - set(qb)), sorted(set(qb) - set(qa))
     if only_a:
-        print(f"only in {sys.argv[1]}: {', '.join(only_a)}")
+        print(f"only in {args[0]}: {', '.join(only_a)}")
     if only_b:
-        print(f"only in {sys.argv[2]}: {', '.join(only_b)}")
+        print(f"only in {args[1]}: {', '.join(only_b)}")
     hard = [n for n, r in regressions if r > 1 + HARD]
     print(
         f"\n{len(common)} compared; {len(regressions)} beyond wobble; "
@@ -150,10 +185,22 @@ def main() -> int:
     s1b = b.get("sf1", {}).get("queries", {})
     s1_common = sorted(n for n in set(s1a) & set(s1b) if s1a[n] > 0)
     if s1_common:
-        # the sf1 block carries its own calibration pair when present
-        c1a = a["sf1"].get("cpu_calibration_py_s") or ca
-        c1b = b["sf1"].get("cpu_calibration_py_s") or cb
-        s1_scale = (c1a and c1b) and (c1b / c1a) or None
+        # self-normalize within the block: stable sf1 queries are the
+        # yardstick; below MIN_STABLE fall back to the MAIN self-scale
+        # (same session state), then to the probe pair
+        s1_stable = [n for n in s1_common if n not in changed]
+        if len(s1_stable) >= MIN_STABLE:
+            s1_scale = statistics.median(
+                s1b[n] / s1a[n] for n in s1_stable
+            )
+            print(
+                f"sf1 self-calibration: median raw ratio of "
+                f"{len(s1_stable)} stable queries = x{s1_scale:.3f}"
+            )
+        else:
+            c1a = a["sf1"].get("cpu_calibration_py_s") or ca
+            c1b = b["sf1"].get("cpu_calibration_py_s") or cb
+            s1_scale = scale or ((c1a and c1b) and (c1b / c1a) or None)
         s1_ratios = {
             n: (s1b[n] / s1a[n]) / s1_scale if s1_scale else s1b[n] / s1a[n]
             for n in s1_common

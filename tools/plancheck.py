@@ -102,13 +102,13 @@ SCALAR_CROSS_OK = {
 # House patterns:
 #   cell table   — a groupBy(value-grain) aggregate output (KS/MWU
 #                  shape: distinct VALUES, not rows)
-#   bucket prefix— the ≤n_buckets+2-row bucket-total walk inside
+#   bucket prefix— the ≤n_buckets+3-row bucket-total walk inside
 #                  functions/ranks.py (the exact-rank family)
 #   time grain   — hour/day-grain aggregate (bounded by the calendar)
 #   report grain — ≤dozens of rows by construction (deciles, digits,
 #                  lang pairs, k centroids, quantile grids)
 GLOBAL_WINDOW_OK: dict[str, str] = {
-    # --- functions/ranks bucket-prefix (≤n_buckets+2-row totals) -----
+    # --- functions/ranks bucket-prefix (≤n_buckets+3-row totals) -----
     "stats_roc_auc": "bucket prefix",
     "stats_cliffs_delta": "bucket prefix",
     "stats_spearman_corr": "bucket prefix ×2",
