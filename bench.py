@@ -256,12 +256,19 @@ SF10_HEAVY = [
     # round-9 additions #2: the round's two rewrite families, each
     # represented by its heaviest member, measured at 100× so the
     # rewrites' scale claims are timestamped data, not prose —
-    # the functions/ranks.py bucketed prefix-sum (would the ≤66-row
+    # the functions/ranks.py bucketed prefix-sum (would the ≤67-row
     # global prefix + per-bucket windows stay flat when every bucket
     # is 100× larger?) and the Arrow partial-sum bootstrap kernel
     # (65M hashlib md5s across the executors, constant state/task).
     "stats_spearman_corr",
     "stats_poisson_bootstrap_ci",
+    # round-10 additions (r9 verdict task #5): the two 16-second sf1
+    # heavies whose plateaus were adjudicated as synthetic-vocabulary /
+    # density saturation in r5/r8 — a claim only a second decade can
+    # falsify (the hubness_ivf n^1.5 claim was settled exactly this
+    # way in r9).
+    "dedup_jaccard_prefix_join",
+    "graph_triangle_stats",
 ]
 
 
@@ -581,6 +588,58 @@ def main() -> None:
                 for name in SF1_HEAVY
                 if base.get(name, 0) > 0
             },
+        }
+
+    # Opt-in ETL decade block: BENCH_PIPELINE=1 cold-starts the §2
+    # product path (EmissionPipeline.run — init→dims→fact on a FRESH
+    # warehouse) at 1x/10x/100x the reference feed envelope, then the
+    # three §2 rollup readouts, on deterministic feeds from
+    # tools/gen_pipeline_feed.py (trap rates held constant across
+    # scales so the decade measures the ETL, not a drifting profile).
+    if os.environ.get("BENCH_PIPELINE"):
+        import shutil
+        import subprocess
+        import tempfile
+
+        from emission_project_spark.pipeline.emission import EmissionPipeline
+        from emission_project_spark.sources.warehouse import Warehouse
+
+        _here = os.path.dirname(os.path.abspath(__file__))
+        pipe_out: dict[str, dict] = {}
+        for scale in (1, 10, 100):
+            feeds = os.path.join(_here, ".scale", f"feeds_x{scale}")
+            if not os.path.isdir(feeds):
+                subprocess.run(
+                    [sys.executable,
+                     os.path.join(_here, "tools", "gen_pipeline_feed.py"),
+                     "--dst", feeds, "--scale", str(scale)],
+                    check=True, capture_output=True, timeout=600,
+                )
+            wh_dir = tempfile.mkdtemp(prefix=f"bench-pipe-x{scale}-")
+            try:
+                pipe = EmissionPipeline(spark, Warehouse(spark, wh_dir))
+                t0 = time.perf_counter()
+                pstats = pipe.run(feeds)  # no archive_root: feeds stay cached
+                run_s = round(time.perf_counter() - t0, 3)
+                t1 = time.perf_counter()
+                for roll in (
+                    pipe.emission_by_brand,
+                    pipe.emission_by_car,
+                    pipe.emission_by_driver,
+                ):
+                    roll().write.format("noop").mode("overwrite").save()
+                roll_s = round(time.perf_counter() - t1, 3)
+                pipe_out[f"x{scale}"] = {
+                    "run_s": run_s,
+                    "rollups_s": roll_s,
+                    "inserted": dict(pstats.inserted),
+                }
+            finally:
+                shutil.rmtree(wh_dir, ignore_errors=True)
+        out["pipeline"] = {
+            "stages": "cold-start run (init+dims+fact) + brand/car/driver rollups",
+            "feed_envelope_x1": "1000 drivers / 999 vehicles / 5000 logbook",
+            "scales": pipe_out,
         }
 
     # Opt-in second decade: BENCH_SF10=1 regenerates the 100x dataset if

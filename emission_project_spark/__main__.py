@@ -14,6 +14,13 @@ Commands:
       rows (or the formatted physical plan).
   list [--filter SUBSTR]
       List registered query names.
+  ledger [--glob PATTERN] [--window N]
+      Staleness histogram over the driver's CORRECTNESS_r*.json
+      artifacts: latest verified round per registered query, the
+      current verify window (the first N registered names), and the
+      stalest names that should lead the NEXT round's window — so
+      rotation planning is one command instead of a judge-side
+      recomputation.
 """
 
 from __future__ import annotations
@@ -39,7 +46,79 @@ def _build_parser() -> argparse.ArgumentParser:
 
     lp = sub.add_parser("list", help="list registered queries")
     lp.add_argument("--filter", default="")
+
+    gp = sub.add_parser("ledger", help="verification-staleness histogram")
+    gp.add_argument(
+        "--glob",
+        default="CORRECTNESS_r*.json",
+        help="pattern for the driver correctness artifacts",
+    )
+    gp.add_argument(
+        "--window",
+        type=int,
+        default=50,
+        help="driver verify-window size (first N registered queries)",
+    )
     return p
+
+
+def _ledger(pattern: str, window: int) -> int:
+    """No-Spark readout: fold every driver correctness artifact into a
+    latest-round-per-query map and print the rotation picture."""
+    import glob as _glob
+    import json
+    import re
+
+    from emission_project_spark.plans import registry
+
+    registry.load_all()
+    latest: dict[str, int] = {}
+    files = sorted(_glob.glob(pattern))
+    if not files:
+        print(f"no artifacts match {pattern!r}", file=sys.stderr)
+        return 2
+    for path in files:
+        m = re.search(r"_r0*(\d+)", path)
+        rnd = int(m.group(1)) if m else -1
+        try:
+            with open(path) as fh:
+                data = json.load(fh)
+        except (OSError, json.JSONDecodeError) as e:
+            print(f"skipping {path}: {e}", file=sys.stderr)
+            continue
+        for name in data:
+            latest[name] = max(latest.get(name, rnd), rnd)
+
+    names = list(registry.QUERIES)
+    hist: dict[int, int] = {}
+    for n in names:
+        hist[latest.get(n, 0)] = hist.get(latest.get(n, 0), 0) + 1
+    print(f"{len(names)} registered; latest verified round histogram:")
+    for rnd in sorted(hist):
+        label = f"r{rnd}" if rnd else "never"
+        print(f"  {label:>6}: {hist[rnd]}")
+
+    current = names[:window]
+    print(f"\ncurrent window (first {window} registered):")
+    cw_hist: dict[int, int] = {}
+    for n in current:
+        cw_hist[latest.get(n, 0)] = cw_hist.get(latest.get(n, 0), 0) + 1
+    print(
+        "  "
+        + ", ".join(
+            f"{(f'r{r}' if r else 'never')}×{c}"
+            for r, c in sorted(cw_hist.items())
+        )
+    )
+
+    stale = sorted(names, key=lambda n: (latest.get(n, 0), n))
+    nxt = [n for n in stale if n not in set(current)][:window]
+    print(f"\nstalest {len(nxt)} OUTSIDE the current window "
+          "(lead the next rotation):")
+    for n in nxt:
+        r = latest.get(n, 0)
+        print(f"  {(f'r{r}' if r else 'never'):>6}  {n}")
+    return 0
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -55,6 +134,9 @@ def main(argv: list[str] | None = None) -> int:
                 kind = "oracle" if name in registry.ORACLES else "rows-only"
                 print(f"{name}  [{kind}]")
         return 0
+
+    if args.command == "ledger":
+        return _ledger(args.glob, args.window)
 
     from emission_project_spark.session import get_spark
 
