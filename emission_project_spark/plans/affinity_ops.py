@@ -164,19 +164,48 @@ def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     adj_u = adj.select(F.col("src").alias("u"), F.col("ns").alias("nu"))
     adj_v = adj.select(F.col("src").alias("v"), F.col("ns").alias("nv"))
-    tri = (
-        oriented.select(F.col("src").alias("u"), F.col("dst").alias("v"))
-        .join(adj_u, "u")
-        .join(adj_v, "v", "left")  # dst may have no out-edges
-        .select(
-            F.size(
-                F.array_intersect(
-                    "nu", F.coalesce("nv", F.array().cast("array<bigint>"))
-                )
-            ).alias("c")
+    # The closure joins attach O(outdeg) arrays to every edge row, so
+    # the bytes THROUGH these two shuffles are the wedge mass (Σ
+    # outdeg⁺·|array| ≈ 8.3G longs at sf10 — measured), not the edge
+    # count. At the session's default partition count each task's
+    # sort buffer is wedge_mass/32 (~3.7 GB at sf10) — the round-10
+    # second-decade run OOMed exactly there (heap, not a plan defect:
+    # the same plan passes at 24 g). Above the edge threshold the
+    # closure joins are partitioned EDGE-PROPORTIONALLY (~250k edges
+    # ≈ 150-250 MB of array-attached rows per task) so each sort fits
+    # and spills incrementally — the sizing a 1000-executor submission
+    # sets via spark.sql.shuffle.partitions. Below it the r9 plan is
+    # kept verbatim: AQE broadcast-joins the small adjacency relation
+    # at sf0.1/sf1, which an explicit repartition would forbid. Edge
+    # count is ESTIMATED from the parquet footer row count (edges ≈
+    # 2× lineitem rows on this schema; measured 119.6M vs 60M at
+    # sf10) — a count() on the edge relation itself would serialize
+    # an extra materialization action just to pick a partition count,
+    # and ±2× accuracy is irrelevant to a sizing threshold.
+    n_edges = 2 * load_table(spark, sf_dir, "lineitem").count()
+    edges_uv = oriented.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    if n_edges > 20_000_000:
+        parts = max(
+            int(spark.conf.get("spark.sql.shuffle.partitions")),
+            n_edges // 250_000,
         )
-        .agg(F.sum("c").alias("t"))
-    )
+        closed = (
+            edges_uv.repartition(parts, "v")
+            .join(adj_v.repartition(parts, "v"), "v", "left")
+            .repartition(parts, "u")
+            .join(adj_u.repartition(parts, "u"), "u")
+        )
+    else:
+        closed = edges_uv.join(adj_u, "u").join(
+            adj_v, "v", "left"  # dst may have no out-edges
+        )
+    tri = closed.select(
+        F.size(
+            F.array_intersect(
+                "nu", F.coalesce("nv", F.array().cast("array<bigint>"))
+            )
+        ).alias("c")
+    ).agg(F.sum("c").alias("t"))
     agg = deg.agg(
         F.count(F.lit(1)).alias("n_nodes"),
         (F.sum("dg") / 2).cast("long").alias("n_edges"),

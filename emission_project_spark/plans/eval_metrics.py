@@ -1761,11 +1761,12 @@ def _degree_hubness_readout(indeg: DataFrame) -> DataFrame:
 # scale path the sampled estimator's docstring promised (r8 verdict
 # task #4): every vector's 5-NN is searched within its IVF cell only,
 # with √n centroids (the flat-IVF optimum: assignment n·√n + in-cell
-# scoring n·√n ≈ n^1.5 total, vs the sample-free n² graph; at true
-# 100 TB scale the same layer recurses — IVF over centroids — but the
-# cell-bucketed self-join below is already the shape that scales out:
-# candidates co-locate by centroid_id, no broadcast of a corpus-sized
-# query set anywhere). In-degree then folds over ALL vectors (left
+# scoring n·√n ≈ n^1.5 total, vs the sample-free n² graph; above
+# max_centroids the assignment argmax SHARDS across closures — see
+# _ivf_assign_sharded, exact by construction, pinned against the flat
+# path at forced caps — and the cell-bucketed self-join below is
+# already the shape that scales out: candidates co-locate by
+# centroid_id, no broadcast of a corpus-sized query set anywhere). In-degree then folds over ALL vectors (left
 # join keeps never-neighbored vectors at 0 — dropping them inflates
 # the skew), same exact-integer moment tail as the sampled query.
 # Cell-boundary effects make this an APPROXIMATE kNN graph by design:
