@@ -632,6 +632,7 @@ def main() -> None:
                 pipe_out[f"x{scale}"] = {
                     "run_s": run_s,
                     "rollups_s": roll_s,
+                    "stages_s": dict(pstats.stage_seconds),
                     "inserted": dict(pstats.inserted),
                 }
             finally:

@@ -24,6 +24,7 @@ semantics and covered by tests):
 from __future__ import annotations
 
 import os
+import time
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -45,6 +46,10 @@ class RunStats:
     inserted: dict[str, int] = field(default_factory=dict)
     archived: list[str] = field(default_factory=list)
     fk_violations: dict[str, int] = field(default_factory=dict)
+    # Wall-clock per stage (init / extract / dim_* / fact / archive).
+    # Spark is lazy, but every stage here ends in an action (count or
+    # append), so the boundary times are real work, not plan-building.
+    stage_seconds: dict[str, float] = field(default_factory=dict)
 
 
 class EmissionPipeline:
@@ -79,6 +84,7 @@ class EmissionPipeline:
         """Incremental dimension load: dedup batch → anti-join vs
         warehouse → SERIAL-style ids in sorted order → append.
         Returns the refreshed dimension."""
+        t0 = time.perf_counter()
         current = self.wh.read(table, schema)
         fresh = dedup_subset(batch, natural_key)
         new_rows = incremental_insert(current, fresh, natural_key)
@@ -89,6 +95,7 @@ class EmissionPipeline:
         if n:
             self.wh.append(new_rows.select(*[f.name for f in schema.fields]), table)
         stats.inserted[table] = n
+        stats.stage_seconds[f"dim_{table}"] = round(time.perf_counter() - t0, 3)
         return self.wh.read(table, schema)
 
     # --- the run ---
@@ -97,8 +104,11 @@ class EmissionPipeline:
         """One scheduled run. ``incoming_root`` contains the three feed
         dirs (``drivers_incoming_data`` etc. per README.md:58)."""
         stats = RunStats()
+        t0 = time.perf_counter()
         self.init_warehouse()
+        stats.stage_seconds["init"] = round(time.perf_counter() - t0, 3)
 
+        t0 = time.perf_counter()
         drivers_raw, f1 = read_feed(
             self.spark, os.path.join(incoming_root, "drivers_incoming_data"), S.DRIVERS_FEED
         )
@@ -111,6 +121,7 @@ class EmissionPipeline:
         logbook, f3 = read_feed(
             self.spark, os.path.join(incoming_root, "drivers_logbook_incoming_data"), S.LOGBOOK_FEED
         )
+        stats.stage_seconds["extract"] = round(time.perf_counter() - t0, 3)
 
         drivers = self._load_dim(
             drivers_raw.select("name", "first_name"),
@@ -174,12 +185,16 @@ class EmissionPipeline:
             stats=stats,
         )
 
+        t0 = time.perf_counter()
         self._load_fact(logbook, drivers, cars, country, city, stats)
+        stats.stage_seconds["fact"] = round(time.perf_counter() - t0, 3)
 
         if archive_root:
             # crash-safe ordering: archive only after all writes landed
+            t0 = time.perf_counter()
             for files, sub in ((f1, "drivers_used_data"), (f2, "vehicle_fuel_consumptions_used_data"), (f3, "drivers_logbook_used_data")):
                 stats.archived += archive_consumed(files, os.path.join(archive_root, sub))
+            stats.stage_seconds["archive"] = round(time.perf_counter() - t0, 3)
         return stats
 
     def _load_fact(

@@ -121,6 +121,26 @@ def test_cold_start_run(pipeline):
     ]
 
 
+def test_stage_timers(pipeline):
+    """Every stage reports a wall-clock entry (bench's pipeline decade
+    block records these so the dominant stage is read, not inferred)."""
+    pipe, incoming, archive = pipeline
+    _batch1(incoming)
+    stats = pipe.run(incoming, archive)
+    assert set(stats.stage_seconds) == {
+        "init", "extract", "dim_drivers", "dim_cars", "dim_country",
+        "dim_city", "fact", "archive",
+    }
+    assert all(v >= 0 for v in stats.stage_seconds.values())
+    # the dim+fact stages end in actions, so they carry real time
+    assert stats.stage_seconds["fact"] > 0
+
+    # no archive_root → no archive stage entry
+    _batch1(incoming)
+    stats2 = pipe.run(incoming)
+    assert "archive" not in stats2.stage_seconds
+
+
 def test_incremental_second_run(pipeline):
     pipe, incoming, archive = pipeline
     _batch1(incoming)
