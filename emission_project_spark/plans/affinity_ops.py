@@ -29,6 +29,14 @@ from emission_project_spark.functions.vectors import cosine_similarity
 from emission_project_spark.plans.registry import register
 
 
+# Edge count above which graph_triangle_stats sizes its closure-join
+# partitions by wedge mass instead of trusting the session default
+# (module-level so tests can lower it and run the repartitioned branch
+# against the oracle at small SF — the branch otherwise only executes
+# at sf10+).
+TRIANGLE_REPART_EDGE_THRESHOLD = 20_000_000
+
+
 def _copurchase_pairs(spark: SparkSession, sf_dir: str, min_support: int = 1) -> DataFrame:
     """Distinct undirected part co-purchase edges (pa < pb), optionally
     thresholded on co-purchase support. The pair fanout is generated
@@ -146,8 +154,28 @@ def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("e")
         )
         .select("e.src", "e.dst")
-        # read twice (adjacency build + wedge closure)
-        .localCheckpoint(eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK)
+    )
+    # The bytes through every downstream shuffle are the WEDGE MASS
+    # (adjacency arrays attached per edge — 8.3G longs at sf10, all
+    # spill I/O on one box; SCALING.md round 10). Node ids are part
+    # keys: whenever they fit int32, carry the orientation, the
+    # adjacency arrays and the closure join keys at 4 bytes instead of
+    # 8 — halving shuffle+spill volume. The probe runs on the
+    # node-sized checkpointed deg relation (one cheap job that warms
+    # the pairs/deg caches the final census agg needs anyway); ids
+    # beyond int32 (true 100 TB part keys) keep long automatically.
+    id_range = deg.agg(F.min("node").alias("lo"), F.max("node").alias("hi")).first()
+    if (
+        id_range.lo is not None
+        and id_range.lo >= -(2**31)
+        and id_range.hi < 2**31
+    ):
+        oriented = oriented.select(
+            F.col("src").cast("int").alias("src"), F.col("dst").cast("int").alias("dst")
+        )
+    # read twice (adjacency build + wedge closure)
+    oriented = oriented.localCheckpoint(
+        eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK
     )
     # EDGE-ITERATOR triangle count over the orientation: a triangle
     # u→v, u→w, v→w is counted exactly once at its base edge (u,v) as
@@ -174,8 +202,8 @@ def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # closure joins are partitioned EDGE-PROPORTIONALLY (~250k edges
     # ≈ 150-250 MB of array-attached rows per task) so each sort fits
     # and spills incrementally — the sizing a 1000-executor submission
-    # sets via spark.sql.shuffle.partitions. Below it the r9 plan is
-    # kept verbatim: AQE broadcast-joins the small adjacency relation
+    # sets via spark.sql.shuffle.partitions. Below it the joins stay
+    # unpartitioned: AQE broadcast-joins the small adjacency relation
     # at sf0.1/sf1, which an explicit repartition would forbid. Edge
     # count is ESTIMATED from the parquet footer row count (edges ≈
     # 2× lineitem rows on this schema; measured 119.6M vs 60M at
@@ -184,28 +212,29 @@ def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and ±2× accuracy is irrelevant to a sizing threshold.
     n_edges = 2 * load_table(spark, sf_dir, "lineitem").count()
     edges_uv = oriented.select(F.col("src").alias("u"), F.col("dst").alias("v"))
-    if n_edges > 20_000_000:
+    # Both closure joins are INNER: an edge whose dst has no
+    # out-neighbors (an orientation sink — the locally-maximal nodes)
+    # contributes 0 to the triangle sum, so dropping it in the v-join
+    # keeps the nu arrays off those rows entirely — fewer wedge-mass
+    # bytes through the second shuffle. The final sum coalesces to 0
+    # so a closure-free graph still reports 0 triangles (the oracle's
+    # COUNT(*) = 0), not NULL.
+    if n_edges > TRIANGLE_REPART_EDGE_THRESHOLD:
         parts = max(
             int(spark.conf.get("spark.sql.shuffle.partitions")),
             n_edges // 250_000,
         )
         closed = (
             edges_uv.repartition(parts, "v")
-            .join(adj_v.repartition(parts, "v"), "v", "left")
+            .join(adj_v.repartition(parts, "v"), "v")
             .repartition(parts, "u")
             .join(adj_u.repartition(parts, "u"), "u")
         )
     else:
-        closed = edges_uv.join(adj_u, "u").join(
-            adj_v, "v", "left"  # dst may have no out-edges
-        )
+        closed = edges_uv.join(adj_v, "v").join(adj_u, "u")
     tri = closed.select(
-        F.size(
-            F.array_intersect(
-                "nu", F.coalesce("nv", F.array().cast("array<bigint>"))
-            )
-        ).alias("c")
-    ).agg(F.sum("c").alias("t"))
+        F.size(F.array_intersect("nu", "nv")).alias("c")
+    ).agg(F.coalesce(F.sum("c"), F.lit(0)).alias("t"))
     agg = deg.agg(
         F.count(F.lit(1)).alias("n_nodes"),
         (F.sum("dg") / 2).cast("long").alias("n_edges"),

@@ -158,3 +158,82 @@ def test_pagerank_dst_only_node_out_of_vector(spark):
     out = {r["node"]: r["rank"] for r in pagerank(edges, iterations=3).collect()}
     assert set(out) == {1}
     assert out[1] == pytest.approx(0.15, abs=1e-12)
+
+
+def _triangle_corpus_dir(tmp_path, lineitem_rows):
+    d = str(tmp_path)
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array([r[0] for r in lineitem_rows], type=pa.int64()),
+                "l_partkey": pa.array([r[1] for r in lineitem_rows], type=pa.int64()),
+            }
+        ),
+        os.path.join(d, "lineitem.parquet"),
+    )
+    return d
+
+
+def _triangle_parity(spark, d):
+    sys.path.insert(0, _REPO)
+    import __spark_entry__ as entrymod
+
+    name = "graph_triangle_stats"
+    fn, sql = entrymod.queries()[name], entrymod.oracle_sql()[name]
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE OR REPLACE VIEW lineitem AS"
+        f" SELECT * FROM '{d}/lineitem.parquet'"
+    )
+    r = _compare.compare_query(spark, con, name, fn, sql, d)
+    assert "error" not in r, r
+    assert r.get("cols_match") and r.get("values_match"), r
+    assert r["spark_rows"] == r["oracle_rows"], r
+
+
+def test_triangle_star_graph_zero_triangles(spark, tmp_path):
+    """Pure star: 3 wedges, 0 triangles. Every oriented edge points at
+    the hub, the hub has no out-neighbors, so the INNER closure join
+    drops every edge — the census must still report n_triangles = 0
+    (the oracle's COUNT(*) = 0), never NULL."""
+    d = _triangle_corpus_dir(
+        tmp_path, [(201, 100), (201, 101), (202, 100), (202, 102), (203, 100), (203, 103)]
+    )
+    _triangle_parity(spark, d)
+
+    sys.path.insert(0, _REPO)
+    import __spark_entry__ as entrymod
+
+    row = entrymod.queries()["graph_triangle_stats"](spark, d).collect()[0]
+    assert row.n_triangles == 0 and row.n_wedges == 3
+    assert row.transitivity == 0.0
+
+
+def test_triangle_ids_beyond_int32_keep_long_path(spark, tmp_path):
+    """Part keys above 2^31 (the true-100 TB id domain) must skip the
+    int-width orientation cast and stay exact on the long path."""
+    big = 2**31
+    d = _triangle_corpus_dir(
+        tmp_path,
+        [
+            (301, big + 1), (301, big + 2), (301, big + 3),  # triangle
+            (302, big + 3), (302, big + 4),                  # tail edge
+        ],
+    )
+    _triangle_parity(spark, d)
+
+    sys.path.insert(0, _REPO)
+    import __spark_entry__ as entrymod
+
+    row = entrymod.queries()["graph_triangle_stats"](spark, d).collect()[0]
+    assert row.n_triangles == 1 and row.n_nodes == 4
+
+
+def test_triangle_repartitioned_branch_oracle_parity(spark, graph_dir, monkeypatch):
+    """Force the >threshold closure path (edge-proportional repartition
+    + inner joins) at toy scale and hold it to the same DuckDB oracle —
+    that branch otherwise only ever executes at sf10+."""
+    from emission_project_spark.plans import affinity_ops
+
+    monkeypatch.setattr(affinity_ops, "TRIANGLE_REPART_EDGE_THRESHOLD", 0)
+    _triangle_parity(spark, graph_dir)
