@@ -37,15 +37,36 @@ from emission_project_spark.plans.registry import register
 TRIANGLE_REPART_EDGE_THRESHOLD = 20_000_000
 
 
-def _copurchase_pairs(spark: SparkSession, sf_dir: str, min_support: int = 1) -> DataFrame:
+def _copurchase_pairs(
+    spark: SparkSession, sf_dir: str, min_support: int = 1, int_ids: bool = False
+) -> DataFrame:
     """Distinct undirected part co-purchase edges (pa < pb), optionally
     thresholded on co-purchase support. The pair fanout is generated
     inside per-order sorted arrays (the basket pattern shared with
     basket_part_pairs_lift / graph_pagerank_parts): bounded by
-    lines-per-order, never corpus-quadratic."""
+    lines-per-order, never corpus-quadratic.
+
+    ``int_ids=True`` probes max(l_partkey) (one column-pruned scan) and,
+    when the id domain fits int32, carries part keys as 4-byte ints
+    through the basket arrays, the pair-struct fanout and the distinct
+    group-by — halving the bytes through every shuffle of the build.
+    Output pa/pb are then IntegerType; callers that need the raw
+    parquet type keep the default. Ids beyond int32 (true 100 TB part
+    domains) fall back to long automatically."""
     li = load_table(spark, sf_dir, "lineitem")
+    key = F.col("l_partkey")
+    if int_ids:
+        rng = li.agg(
+            F.min("l_partkey").alias("lo"), F.max("l_partkey").alias("hi")
+        ).first()
+        if (
+            rng.lo is not None
+            and rng.lo >= -(2**31)
+            and rng.hi < 2**31
+        ):
+            key = key.cast("int")
     baskets = (
-        li.select("l_orderkey", "l_partkey")
+        li.select("l_orderkey", key.alias("l_partkey"))
         .groupBy("l_orderkey")
         .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
     )
@@ -126,7 +147,12 @@ def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # once so the basket build isn't replayed per consumer (the same
     # fix that took graph_pagerank_parts 19→5.7 s), spillable at
     # edge scale (operators/pagerank.py precedent)
-    pairs = _copurchase_pairs(spark, sf_dir).localCheckpoint(
+    # int_ids: the bytes through EVERY shuffle here — the pair build,
+    # the orientation joins and above all the wedge-mass closure joins
+    # (8.3G ids at sf10, SCALING.md round 10) — halve when part keys
+    # ride as 4-byte ints; beyond-int32 id domains keep long (pinned by
+    # the >2^31 boundary corpus).
+    pairs = _copurchase_pairs(spark, sf_dir, int_ids=True).localCheckpoint(
         eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK
     )
     deg = (
@@ -154,28 +180,8 @@ def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("e")
         )
         .select("e.src", "e.dst")
-    )
-    # The bytes through every downstream shuffle are the WEDGE MASS
-    # (adjacency arrays attached per edge — 8.3G longs at sf10, all
-    # spill I/O on one box; SCALING.md round 10). Node ids are part
-    # keys: whenever they fit int32, carry the orientation, the
-    # adjacency arrays and the closure join keys at 4 bytes instead of
-    # 8 — halving shuffle+spill volume. The probe runs on the
-    # node-sized checkpointed deg relation (one cheap job that warms
-    # the pairs/deg caches the final census agg needs anyway); ids
-    # beyond int32 (true 100 TB part keys) keep long automatically.
-    id_range = deg.agg(F.min("node").alias("lo"), F.max("node").alias("hi")).first()
-    if (
-        id_range.lo is not None
-        and id_range.lo >= -(2**31)
-        and id_range.hi < 2**31
-    ):
-        oriented = oriented.select(
-            F.col("src").cast("int").alias("src"), F.col("dst").cast("int").alias("dst")
-        )
-    # read twice (adjacency build + wedge closure)
-    oriented = oriented.localCheckpoint(
-        eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK
+        # read twice (adjacency build + wedge closure)
+        .localCheckpoint(eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK)
     )
     # EDGE-ITERATOR triangle count over the orientation: a triangle
     # u→v, u→w, v→w is counted exactly once at its base edge (u,v) as
