@@ -69,27 +69,15 @@ def _rk_sql(k: int) -> str:
     """,
 )
 def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    baskets = (
-        li.select("l_orderkey", "l_partkey")
-        .groupBy("l_orderkey")
-        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
-    )
-    n = F.size("parts")
-    pair_structs = F.flatten(
-        F.transform(
-            "parts",
-            lambda x, i: F.transform(
-                F.slice(F.col("parts"), i + 2, F.greatest(n - i - 1, F.lit(0))),
-                lambda y: F.struct(x.alias("pa"), y.alias("pb")),
-            ),
-        )
-    )
-    pairs = (
-        baskets.select(F.explode(pair_structs).alias("pr"))
-        .select(F.col("pr.pa").alias("pa"), F.col("pr.pb").alias("pb"))
-        .distinct()
-    )
+    # Shared basket-pattern pair build, int-width ids when the part
+    # domain fits int32: the 5 iteration exchanges carry (node, rank)
+    # rows keyed by the node id and the symmetrized edge relation is
+    # persisted and probed every round — 4-byte keys halve both. The
+    # output node is cast back to the parquet key type so the result
+    # schema is independent of the internal width.
+    from emission_project_spark.plans.affinity_ops import _copurchase_pairs
+
+    pairs = _copurchase_pairs(spark, sf_dir, int_ids=True)
     edges = pairs.select(F.col("pa").alias("src"), F.col("pb").alias("dst")).unionAll(
         pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
     )
@@ -97,7 +85,7 @@ def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges, iterations=5, damping=0.85, assume_full_in_edges=True
     )
     return ranked.select(
-        F.col("node").alias("p_partkey"),
+        F.col("node").cast("bigint").alias("p_partkey"),
         "degree",
         F.round("rank", 6).alias("rank"),
     )
