@@ -237,3 +237,17 @@ def test_triangle_repartitioned_branch_oracle_parity(spark, graph_dir, monkeypat
 
     monkeypatch.setattr(affinity_ops, "TRIANGLE_REPART_EDGE_THRESHOLD", 0)
     _triangle_parity(spark, graph_dir)
+
+
+def test_pagerank_output_schema_width_independent(spark, graph_dir):
+    """graph_pagerank_parts rides int-width ids internally (the
+    copurchase int_ids path) but its OUTPUT schema is part of the
+    driver's contract: p_partkey must stay bigint whatever width the
+    internal build picked."""
+    sys.path.insert(0, _REPO)
+    import __spark_entry__ as entrymod
+
+    out = entrymod.queries()["graph_pagerank_parts"](spark, graph_dir)
+    assert dict(out.dtypes) == {
+        "p_partkey": "bigint", "degree": "bigint", "rank": "double"
+    }
