@@ -43,18 +43,25 @@ def register(name: str, oracle: str | None = None):
 # hubness_ivf sharded coarse layer + zero-norm tie-break fix, and the
 # DAU/MAU HLL 3σ band whose assertion column was renamed);
 # (b) the 20 r4-stale queries — the oldest ledger rows anywhere;
-# (c) 27 of the 50 r5-stale rows, alphabetical (all equally old, so
-# the order is arbitrary but deterministic); the remaining 23 r5 rows
-# (join_q9_product_profit .. window_pct_rank_cume_dist) lead the r11
-# window. After this round no query's latest driver row is older
-# than r5. Net-new queries this round: 0 — drainage is the long pole
+# (c) 25 of the 50 r5-stale rows, alphabetical (all equally old, so
+# the order is arbitrary but deterministic); the remaining 25 r5 rows
+# (join_q5_regional_supplier_revenue .. window_pct_rank_cume_dist)
+# lead the r11 window. After this round no query's latest driver row
+# is older than r5. Net-new queries this round: 0 — drainage is the long pole
 # (the r9 verdict's window arithmetic: 50 slots, 256 queries).
+# Post-seal addendum: the later round-10 session rewrote the triangle
+# census and pagerank plans (int-width ids — SCALING.md postscripts),
+# so they join section (a) and the LAST TWO section-(c) names
+# (join_q5_regional_supplier_revenue, join_q7_nation_trade_volume)
+# move to the r11 leftovers, keeping the window at 50.
 # (tests/test_queries_smoke.py pins name resolution.)
 _PRIORITY: list[str] = [
-    # -- (a) round-10 plan rewrites re-verify (3) --------------------------
+    # -- (a) round-10 plan rewrites re-verify (3 + 2 post-seal) ------------
     "embedding_hubness_stats",
     "embedding_hubness_ivf",
     "events_dau_mau_hll",
+    "graph_triangle_stats",
+    "graph_pagerank_parts",
     # -- (b) r4-stale tail: the oldest rows in the ledger (20) -------------
     "asof_forward_next_error",
     "curation_mixture_report",
@@ -76,7 +83,7 @@ _PRIORITY: list[str] = [
     "text_pii_scrub",
     "text_repetition_metrics",
     "window_rolling_10min_mean",
-    # -- (c) r5-stale tail, first 27 alphabetically (27) -------------------
+    # -- (c) r5-stale tail, first 25 alphabetically (25) -------------------
     "approx_hll_distinct_events",
     "argmin_cheapest_part_per_brand",
     "cdc_apply_customers",
@@ -102,8 +109,6 @@ _PRIORITY: list[str] = [
     "join_q19_or_predicate_revenue",
     "join_q21_lone_late_supplier",
     "join_q22_idle_balance_customers",
-    "join_q5_regional_supplier_revenue",
-    "join_q7_nation_trade_volume",
 ]
 
 
