@@ -160,12 +160,25 @@ MIN_BIGRAM_COUNT = 2
     """.replace("{min_count}", str(MIN_BIGRAM_COUNT)),
 )
 def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
     from emission_project_spark.functions.text import tokens
 
     docs = load_table(spark, sf_dir, "documents")
-    d = docs.select("doc_id", tokens(F.lower(F.col("text"))).alias("toks"))
+    # the tokenized corpus feeds FIVE consumers (unigram counts ×2
+    # broadcast sides, the 1-row total, the bigram count build and the
+    # bigram probe stream) — without a checkpoint each one re-scans
+    # the parquet and re-runs the regex tokenizer (the executed plan
+    # showed 5 scans / 0 reused exchanges; the KN query's one-pass
+    # discipline applied here), spillable at corpus scale
+    d = docs.select(
+        "doc_id", tokens(F.lower(F.col("text"))).alias("toks")
+    ).localCheckpoint(eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK)
     t = d.select("doc_id", F.explode("toks").alias("term"))
-    u = t.groupBy("term").agg(F.count(F.lit(1)).alias("cu"))
+    # vocab-sized, read by both broadcast joins — build once
+    u = t.groupBy("term").agg(F.count(F.lit(1)).alias("cu")).localCheckpoint(
+        eager=False
+    )
     tot = t.agg(F.count(F.lit(1)).alias("n"))
     bg = (
         d.filter(F.size("toks") >= 2)
