@@ -269,6 +269,14 @@ SF10_HEAVY = [
     # way in r9).
     "dedup_jaccard_prefix_join",
     "graph_triangle_stats",
+    # round-11 additions (r10 verdict task #4): the remaining sf1
+    # heavies with no measured second decade — the triangle OOM proved
+    # payload-attaching plans surface their sizing bugs exactly one
+    # decade after the session default stops fitting, so every
+    # multi-second sf1 plan gets its sf10 row.
+    "dedup_lsh_quality",
+    "dedup_shingle_containment",
+    "multimodal_phash_pairs",
 ]
 
 

@@ -79,7 +79,12 @@ def _ledger(pattern: str, window: int) -> int:
         return 2
     for path in files:
         m = re.search(r"_r0*(\d+)", path)
-        rnd = int(m.group(1)) if m else -1
+        if not m:
+            # An unparsable round would fold in at a bogus value and
+            # skew the staleness sort (ADVICE r10) — skip loudly.
+            print(f"skipping {path}: no _rN round in filename", file=sys.stderr)
+            continue
+        rnd = int(m.group(1))
         try:
             with open(path) as fh:
                 data = json.load(fh)

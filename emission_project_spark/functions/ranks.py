@@ -129,7 +129,15 @@ def row_position(
     e.g. a tie-broken (metric, primary-key) pair). ``bucket_on`` must
     be a numeric expression monotone non-decreasing along the ordering
     (the first order column, or its negation for a descending sort).
-    Same two-level prefix-sum machinery as cell_minrank with cnt ≡ 1."""
+    Same two-level prefix-sum machinery as cell_minrank with cnt ≡ 1.
+
+    NULL contract (ADVICE r10): the NULL pen is bucket 0 — NULLS
+    FIRST, which matches Spark's default for ASCENDING window sorts
+    only. A DESCENDING caller (negated ``bucket_on``) whose order key
+    can be NULL would diverge from Spark's ``col DESC`` semantics
+    (NULLs LAST there) — every current descending caller orders by a
+    non-null aggregate, and new descending callers must either keep
+    the key non-null or pre-filter NULLs and append them explicitly."""
     bucketed = _with_bucket(df, bucket_on, n_buckets)
     offs = _bucket_offsets(bucketed, F.lit(1))
     win = Window.partitionBy("__b").orderBy(*order_cols)

@@ -19,6 +19,8 @@ prefix filtering (Jaccard join), or a broadcast-sized dimension
 
 from __future__ import annotations
 
+import os
+
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -37,39 +39,77 @@ from emission_project_spark.plans.registry import register
 TRIANGLE_REPART_EDGE_THRESHOLD = 20_000_000
 
 
-def _copurchase_pairs(
-    spark: SparkSession, sf_dir: str, min_support: int = 1, int_ids: bool = False
-) -> DataFrame:
-    """Distinct undirected part co-purchase edges (pa < pb), optionally
-    thresholded on co-purchase support. The pair fanout is generated
-    inside per-order sorted arrays (the basket pattern shared with
-    basket_part_pairs_lift / graph_pagerank_parts): bounded by
-    lines-per-order, never corpus-quadratic.
+def _parquet_column_range(sf_dir: str, table: str, column: str):
+    """(min, max) of a column from parquet FOOTER statistics — zero
+    Spark jobs (ADVICE r10: the eager min/max probe cost triangle and
+    pagerank one column scan per invocation each). Returns None when
+    any row group lacks min/max stats (exotic writers) — callers fall
+    back to the Spark aggregate."""
+    import pyarrow.parquet as pq
 
-    ``int_ids=True`` probes max(l_partkey) (one column-pruned scan) and,
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    try:
+        files = (
+            [
+                os.path.join(path, f)
+                for f in os.listdir(path)
+                if f.endswith(".parquet")
+            ]
+            if os.path.isdir(path)
+            else [path]
+        )
+        lo = hi = None
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            names = [md.schema.column(i).name for i in range(md.num_columns)]
+            idx = names.index(column)
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st is None or not st.has_min_max:
+                    return None
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+        return (lo, hi) if lo is not None else None
+    except (OSError, KeyError, ValueError):
+        return None
+
+
+def _copurchase_baskets(
+    spark: SparkSession, sf_dir: str, int_ids: bool = False
+) -> DataFrame:
+    """Per-order sorted distinct part arrays — the shared first stage
+    of every co-purchase consumer (pairs, triangle census sizing).
+
+    ``int_ids=True`` reads min/max(l_partkey) from the parquet footer
+    (no Spark job; Spark-aggregate fallback when stats are absent) and,
     when the id domain fits int32, carries part keys as 4-byte ints
-    through the basket arrays, the pair-struct fanout and the distinct
-    group-by — halving the bytes through every shuffle of the build.
-    Output pa/pb are then IntegerType; callers that need the raw
-    parquet type keep the default. Ids beyond int32 (true 100 TB part
-    domains) fall back to long automatically."""
+    through the basket arrays and everything downstream — halving the
+    bytes through every shuffle of the build. Ids beyond int32 (true
+    100 TB part domains) fall back to long automatically."""
     li = load_table(spark, sf_dir, "lineitem")
     key = F.col("l_partkey")
     if int_ids:
-        rng = li.agg(
-            F.min("l_partkey").alias("lo"), F.max("l_partkey").alias("hi")
-        ).first()
-        if (
-            rng.lo is not None
-            and rng.lo >= -(2**31)
-            and rng.hi < 2**31
-        ):
+        rng = _parquet_column_range(sf_dir, "lineitem", "l_partkey")
+        if rng is None:
+            row = li.agg(
+                F.min("l_partkey").alias("lo"), F.max("l_partkey").alias("hi")
+            ).first()
+            rng = (row.lo, row.hi)
+        if rng[0] is not None and rng[0] >= -(2**31) and rng[1] < 2**31:
             key = key.cast("int")
-    baskets = (
+    return (
         li.select("l_orderkey", key.alias("l_partkey"))
         .groupBy("l_orderkey")
         .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
     )
+
+
+def _pairs_from_baskets(baskets: DataFrame, min_support: int = 1) -> DataFrame:
+    """Distinct undirected co-purchase edges (pa < pb) from basket
+    arrays: the pair fanout is generated inside each per-order sorted
+    array (the pattern shared with basket_part_pairs_lift /
+    graph_pagerank_parts) — bounded by lines-per-order, never
+    corpus-quadratic."""
     n = F.size("parts")
     pair_structs = F.flatten(
         F.transform(
@@ -88,6 +128,17 @@ def _copurchase_pairs(
     if min_support > 1:
         pairs = pairs.filter(F.col("support") >= min_support)
     return pairs.select("pa", "pb")
+
+
+def _copurchase_pairs(
+    spark: SparkSession, sf_dir: str, min_support: int = 1, int_ids: bool = False
+) -> DataFrame:
+    """Distinct undirected part co-purchase edges (pa < pb), optionally
+    thresholded on co-purchase support — see :func:`_copurchase_baskets`
+    and :func:`_pairs_from_baskets` for the two stages."""
+    return _pairs_from_baskets(
+        _copurchase_baskets(spark, sf_dir, int_ids=int_ids), min_support
+    )
 
 
 _PAIRS_SQL = """
@@ -152,7 +203,22 @@ def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (8.3G ids at sf10, SCALING.md round 10) — halve when part keys
     # ride as 4-byte ints; beyond-int32 id domains keep long (pinned by
     # the >2^31 boundary corpus).
-    pairs = _copurchase_pairs(spark, sf_dir, int_ids=True).localCheckpoint(
+    baskets = _copurchase_baskets(spark, sf_dir, int_ids=True)
+    # Edge-mass estimate for the closure-join sizing below: Σ over
+    # baskets of k(k−1)/2 — the EXACT pre-dedup pair count, an upper
+    # bound on distinct edges that tracks basket density instead of a
+    # row-count multiplier calibrated to this data profile (ADVICE r10:
+    # 2× lineitem rows underestimates edges on denser baskets,
+    # silently keeping the OOM-prone unpartitioned branch active). The
+    # aggregate materializes the basket shuffle, which the pair build
+    # below REUSES (same lineage → skipped map stage), so the sizing
+    # probe costs one reduce pass, not a second lineitem scan.
+    k = F.size("parts").cast("long")
+    n_edges = int(
+        baskets.agg(F.sum(k * (k - 1) / 2).cast("long").alias("ub")).first()["ub"]
+        or 0
+    )
+    pairs = _pairs_from_baskets(baskets).localCheckpoint(
         eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK
     )
     deg = (
@@ -211,12 +277,8 @@ def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sets via spark.sql.shuffle.partitions. Below it the joins stay
     # unpartitioned: AQE broadcast-joins the small adjacency relation
     # at sf0.1/sf1, which an explicit repartition would forbid. Edge
-    # count is ESTIMATED from the parquet footer row count (edges ≈
-    # 2× lineitem rows on this schema; measured 119.6M vs 60M at
-    # sf10) — a count() on the edge relation itself would serialize
-    # an extra materialization action just to pick a partition count,
-    # and ±2× accuracy is irrelevant to a sizing threshold.
-    n_edges = 2 * load_table(spark, sf_dir, "lineitem").count()
+    # count: the basket-sum upper bound computed above (Σ k(k−1)/2 —
+    # measured ≥119.6M actual edges at sf10, tracks basket density).
     edges_uv = oriented.select(F.col("src").alias("u"), F.col("dst").alias("v"))
     # Both closure joins are INNER: an edge whose dst has no
     # out-neighbors (an orientation sink — the locally-maximal nodes)

@@ -1995,22 +1995,34 @@ def embedding_hubness_ivf(
 
 def _ivf_assign_sharded(emb: DataFrame, nc: int, cap: int) -> DataFrame:
     """Exact flat-IVF assignment when the centroid relation exceeds one
-    closure: shard the centroid matrix into ≤``cap``-row slices (by
-    vec_id range — ids are unique, so each collect is ≤cap rows), score
-    the corpus against each slice in its own Arrow kernel, and reduce
-    the per-shard winners with a vec_id-keyed ``max(struct(s, -cid))``
-    fold — lexicographic struct max = highest score, ties to the
-    LOWEST cid, bit-identical to the flat argmax / the oracle's
-    ``rn=1 ORDER BY s DESC NULLS LAST, cid``. NULL-score parity: a
-    zero-norm vector emits (-inf, shard-min-cid) per shard, so the fold
-    lands on the GLOBAL min cid (zero-norm centroids included); a
-    zero-norm centroid column is -inf, never chosen while any real
-    score exists anywhere. One vec_id-keyed join reattaches embeddings
-    for the in-cell phase — the only shuffle the sharding adds."""
+    closure matrix: shard the centroids into ≤``cap``-row slices (by
+    vec_id range — ids are unique, so each collect is ≤cap rows), then
+    run ONE ``mapInPandas`` over the corpus that loops the slice
+    matrices INSIDE the closure, folding a running (best_s, best_cid)
+    per batch row — highest score, ties to the LOWEST cid, bit-identical
+    to the flat argmax / the oracle's ``rn=1 ORDER BY s DESC NULLS
+    LAST, cid``. Round-11 rewrite (r10 verdict task #3): the first cut
+    gave each slice its own ``mapInPandas`` pass + a vec_id-keyed
+    ``max(struct(s, -cid))`` reduce — n_shards column-pruned corpus
+    scans, one fold shuffle, and one reattach join, all of which this
+    shape deletes: one scan, zero extra exchanges, and the embedding
+    column rides through the kernel exactly as in the flat path.
+
+    NULL-score parity: a zero-norm vector scores -inf in every slice →
+    assigned the GLOBAL min centroid id (zero-norm centroids included);
+    a zero-norm centroid column is -inf, never chosen while any real
+    score exists anywhere. -inf ties across slices fall to the lowest
+    cid via the fold's tie rule (NumPy ``-inf == -inf`` is True).
+
+    Closure memory = n_shards × cap × dim × 8 B (the slice matrices;
+    ≤64 shards by the caller's guard — at dim 768 / cap 8192 that is
+    ≤3.2 GB driver+task footprint, the documented ceiling at which a
+    deployment ships the slices via ``SparkContext.broadcast`` or
+    shards the CORPUS side instead)."""
     import numpy as np
     import pandas as pd
 
-    shard_parts: list[DataFrame] = []
+    shards: list[tuple] = []  # (ids, normalized matrix, zero-norm mask)
     for lo in range(0, nc, cap):
         hi = min(lo + cap, nc)
         rows = sorted(
@@ -2026,54 +2038,46 @@ def _ivf_assign_sharded(emb: DataFrame, nc: int, cap: int) -> DataFrame:
         cnorm = np.linalg.norm(cmat, axis=1)
         zero_cent = cnorm == 0
         cnorm[zero_cent] = np.inf
-        cmat = cmat / cnorm[:, None]
-
-        def shard_best(batches, _ids=ids, _cmat=cmat, _zc=zero_cent):
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                v = np.array(list(pdf["embedding"]), dtype=np.float64)
-                nrm = np.linalg.norm(v, axis=1)
-                zsrc = nrm == 0
-                nrm[zsrc] = np.inf
-                s = np.round((v / nrm[:, None]) @ _cmat.T, 6)
-                s[:, _zc] = -np.inf
-                best = s.argmax(axis=1)  # first max = shard-min cid
-                bs = s[np.arange(len(best)), best]
-                cid = _ids[best]
-                cid[zsrc] = _ids[0]
-                bs[zsrc] = -np.inf
-                yield pd.DataFrame(
-                    {
-                        "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
-                        "cid": cid.astype(np.int64),
-                        "s": bs,
-                    }
-                )
-
-        shard_parts.append(
-            emb.mapInPandas(
-                shard_best, schema="vec_id long, cid long, s double"
-            )
-        )
-    if not shard_parts:
+        shards.append((ids, cmat / cnorm[:, None], zero_cent))
+    if not shards:
         # sparse ids left no centroid in [0, nc): empty assignment
         return emb.select(
             "vec_id", F.lit(0).cast("long").alias("cid"), "embedding"
         ).limit(0)
-    allb = shard_parts[0]
-    for part in shard_parts[1:]:
-        allb = allb.unionByName(part)
-    best = (
-        allb.groupBy("vec_id")
-        .agg(
-            F.max(
-                F.struct(F.col("s"), (-F.col("cid")).alias("negcid"))
-            ).alias("m")
-        )
-        .select("vec_id", (-F.col("m.negcid")).cast("long").alias("cid"))
+    gmin = int(shards[0][0][0])  # global min centroid id (slices id-ordered)
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.array(list(pdf["embedding"]), dtype=np.float64)
+            nrm = np.linalg.norm(v, axis=1)
+            zsrc = nrm == 0
+            nrm[zsrc] = np.inf
+            vn = v / nrm[:, None]
+            best_s = np.full(len(vn), -np.inf)
+            best_cid = np.full(len(vn), np.iinfo(np.int64).max, np.int64)
+            for ids, cmat, zc in shards:
+                s = np.round(vn @ cmat.T, 6)
+                s[:, zc] = -np.inf
+                bi = s.argmax(axis=1)  # first max = slice-min cid
+                bs = s[np.arange(len(bi)), bi]
+                bc = ids[bi]
+                upd = (bs > best_s) | ((bs == best_s) & (bc < best_cid))
+                best_s[upd] = bs[upd]
+                best_cid[upd] = bc[upd]
+            best_cid[zsrc] = gmin  # all-NULL score row → global min cid
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
+                    "cid": best_cid,
+                    "embedding": pdf["embedding"],
+                }
+            )
+
+    return emb.mapInPandas(
+        assign, schema="vec_id long, cid long, embedding array<float>"
     )
-    return best.join(emb, "vec_id").select("vec_id", "cid", "embedding")
 
 
 # --- t-closeness (Li et al. 2007) — the third gate of the privacy

@@ -36,79 +36,74 @@ def register(name: str, oracle: str | None = None):
 
 
 # The driver's correctness artifact covers the first 50 registered
-# queries. Window policy (round 10, per the round-9 verdict):
-# (a) the queries whose plans or outputs this round rewrote re-verify
-# first — a plan rewrite voids the old row's evidentiary value even
-# with an unchanged schema (the hubness_stats BLAS kernel, the
-# hubness_ivf sharded coarse layer + zero-norm tie-break fix, and the
-# DAU/MAU HLL 3σ band whose assertion column was renamed);
-# (b) the 20 r4-stale queries — the oldest ledger rows anywhere;
-# (c) 25 of the 50 r5-stale rows, alphabetical (all equally old, so
-# the order is arbitrary but deterministic); the remaining 25 r5 rows
-# (join_q5_regional_supplier_revenue .. window_pct_rank_cume_dist)
-# lead the r11 window. After this round no query's latest driver row
-# is older than r5. Net-new queries this round: 0 — drainage is the long pole
-# (the r9 verdict's window arithmetic: 50 slots, 256 queries).
-# Post-seal addendum: the later round-10 session rewrote the triangle
-# census and pagerank plans (int-width ids — SCALING.md postscripts),
-# so they join section (a) and the LAST TWO section-(c) names
-# (join_q5_regional_supplier_revenue, join_q7_nation_trade_volume)
-# move to the r11 leftovers, keeping the window at 50.
+# queries. Window policy (round 11, per the round-10 verdict):
+# (a) queries whose plans this round rewrote re-verify first — a plan
+# rewrite voids the old row's evidentiary value even with an unchanged
+# schema (the hubness_ivf single-scan sharded assignment, and the
+# triangle/pagerank edge-estimate + probe-cache changes if their plans
+# are touched);
+# (b) the 25 r5-stale rows — the oldest ledger rows anywhere after the
+# r10 drain (join_q5_regional_supplier_revenue ..
+# window_pct_rank_cume_dist, alphabetical);
+# (c) the oldest-r6 rows, alphabetical, filling to 50. After this
+# round no query's latest driver row is older than r6 (histogram via
+# `python -m emission_project_spark ledger`). Net-new this round ≤3
+# per the r10 verdict; each net-new takes the last section-(c) slot.
 # (tests/test_queries_smoke.py pins name resolution.)
 _PRIORITY: list[str] = [
-    # -- (a) round-10 plan rewrites re-verify (3 + 2 post-seal) ------------
-    "embedding_hubness_stats",
+    # -- (a) round-11 plan rewrites re-verify ------------------------------
     "embedding_hubness_ivf",
-    "events_dau_mau_hll",
     "graph_triangle_stats",
     "graph_pagerank_parts",
-    # -- (b) r4-stale tail: the oldest rows in the ledger (20) -------------
-    "asof_forward_next_error",
-    "curation_mixture_report",
-    "curation_mixture_sample",
-    "curation_token_budget",
-    "dedup_incremental_exact",
-    "dedup_incremental_minhash",
-    "events_funnel_conversion",
-    "events_gapfill_ffill",
-    "events_gapfill_hourly",
-    "histogram_event_values",
-    "join_having_large_orders",
-    "join_topk_shipping_priority",
-    "multimodal_payload_stats",
-    "pivot_daily_event_counts",
-    "semi_anti_customers_no_urgent",
-    "stream_interval_join_batch",
-    "stream_sessionize_batch",
-    "text_pii_scrub",
-    "text_repetition_metrics",
-    "window_rolling_10min_mean",
-    # -- (c) r5-stale tail, first 25 alphabetically (25) -------------------
-    "approx_hll_distinct_events",
-    "argmin_cheapest_part_per_brand",
-    "cdc_apply_customers",
-    "conditional_agg_priority_classes",
-    "curation_chunk_overlap",
-    "curation_final_corpus",
-    "curation_pack_sequences",
-    "curation_temperature_weights",
-    "curation_train_val_test_split",
-    "curation_truncate_tokens",
-    "curation_weighted_sample",
-    "dedup_chunk_level_profile",
-    "dedup_levenshtein_block",
-    "dedup_minhash_bucket_survivors",
-    "events_anomaly_zscore",
-    "events_retention_cohorts",
-    "incremental_rollup_merge",
-    "join_full_outer_reconcile",
-    "join_q13_order_count_distribution",
-    "join_q14_promo_revenue",
-    "join_q17_small_quantity_revenue",
-    "join_q18_large_volume_customers",
-    "join_q19_or_predicate_revenue",
-    "join_q21_lone_late_supplier",
-    "join_q22_idle_balance_customers",
+    # -- (b) r5-stale tail: the oldest rows in the ledger (25) -------------
+    "join_q5_regional_supplier_revenue",
+    "join_q7_nation_trade_volume",
+    "join_q9_product_profit",
+    "listagg_nations_per_region",
+    "percentile_exact_prices",
+    "revenue_mom_change",
+    "scalar_subquery_above_avg",
+    "scd2_customer_segment",
+    "scd2_point_in_time",
+    "similarity_hard_negatives",
+    "sketch_bloom_prefilter",
+    "sketch_count_min_terms",
+    "stats_corr_price_quantity",
+    "stream_left_outer_join_batch",
+    "stream_topk_values_batch",
+    "stream_windowed_distinct_batch",
+    "text_bigrams_top",
+    "text_bm25_search",
+    "text_corpus_top_terms",
+    "text_decontaminate_overlap",
+    "text_unigram_logprob",
+    "text_url_extract",
+    "unpivot_lineitem_measures",
+    "validation_contract_orders",
+    "window_pct_rank_cume_dist",
+    # -- (c) oldest-r6 tail, alphabetical (22) -----------------------------
+    "basket_part_pairs_lift",
+    "curation_dsir_weights",
+    "curation_epoch_schedule",
+    "dedup_canonical_survivors",
+    "dedup_shingle_containment",
+    "dedup_substring_cap_report",
+    "dedup_substring_spans",
+    "embedding_covariance_block",
+    "embedding_dim_variance",
+    "embedding_matryoshka_energy",
+    "embedding_norm_outliers",
+    "embedding_quantize_error",
+    "events_anomaly_mad",
+    "events_cumulative_users",
+    "events_dwell_times",
+    "events_funnel_3step",
+    "events_transition_matrix",
+    "graph_hits_part_authority",
+    "join_q10_returned_top_customers",
+    "join_q11_important_stock",
+    "join_q12_ship_class_priority",
+    "join_q15_top_supplier",
 ]
 
 

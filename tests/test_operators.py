@@ -223,6 +223,34 @@ def test_fk_violation_counts(spark):
     assert got == {"fk_a": 1, "fk_b": 4}
 
 
+def test_fk_violation_observation_rides_action(spark):
+    """The observe-based twin: counters computed by the SAME action the
+    caller runs (here a noop write), schema projected back to the
+    child's columns. (Built for r10 verdict task #5; the pipeline's
+    partitioned fact write measured WORSE with the ride and uses the
+    cached validate_fks instead — the operator remains for actions
+    without a partitioned-write de-optimization.)"""
+    from emission_project_spark.operators.validation import (
+        fk_violation_observation,
+    )
+
+    child = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 99), (4, None), (5, 20)],
+        "id int, dim_id int",
+    )
+    parent = spark.createDataFrame([(10, "a"), (20, "b")], "pk int, name string")
+    inst, obs = fk_violation_observation(
+        child,
+        [
+            ("fk_a", "dim_id", parent, "pk"),
+            ("fk_b", "id", parent, "pk"),  # every id orphaned vs pk
+        ],
+    )
+    assert inst.columns == child.columns  # write schema untouched
+    inst.write.format("noop").mode("overwrite").save()
+    assert {k: int(v) for k, v in obs.get.items()} == {"fk_a": 1, "fk_b": 5}
+
+
 def test_jsonl_corpus_roundtrip_and_quarantine(spark, tmp_path):
     from pyspark.sql.types import LongType, StringType, StructField, StructType
 
@@ -278,8 +306,22 @@ def test_warehouse_compact_and_stale_tmp(spark, tmp_path):
     pdf = df.withColumn("p", (F.col("id") % 3).cast("int"))
     for _ in range(3):
         wh.append(pdf.repartition(4), "tp", partition_by=["p"])
-    n = wh.compact("tp", partition_by=["p"])
     import os as _os
+
+    # partitioned append co-locates each partition value into one
+    # task: ONE file per (append × value), not one per (task × value)
+    # — the small-files fix measured 7,968 files/134 s → 664/14 s on
+    # the x100 fact batch (round 11)
+    pre_parts = sorted(
+        d for d in _os.listdir(tmp_path / "wh" / "tp") if d.startswith("p=")
+    )
+    files_per_part = [
+        len(_glob.glob(str(tmp_path / "wh" / "tp" / d / "*.parquet")))
+        for d in pre_parts
+    ]
+    assert all(c == 3 for c in files_per_part), files_per_part
+
+    n = wh.compact("tp", partition_by=["p"])
 
     parts = sorted(d for d in _os.listdir(tmp_path / "wh" / "tp") if d.startswith("p="))
     assert parts == ["p=0", "p=1", "p=2"]

@@ -20,6 +20,19 @@ dominated by machine state, not code. Calibration history:
   the median is robust to forgetting a few.
 
     python tools/benchdiff.py OLD.json NEW.json [--changed a,b,c]
+    python tools/benchdiff.py --ab OLD_SAMPLES NEW_SAMPLES [--label q]
+
+--ab formalizes the interleaved-A/B discipline that retracted the r10
+pagerank/bigram speedup claims: given two sample sets of the SAME
+query timed under alternating/same-window conditions (old code vs new
+code), it prints medians, spread, the conservative ratio band
+[min(old)/max(new), max(old)/min(new)], and a verdict — WASH when the
+sample ranges overlap or the median delta sits inside the pooled
+relative spread, SPEEDUP/REGRESSION otherwise. Each samples argument
+is either comma-separated seconds ("105.9,145.1,85.9") or a
+FILE.json:dotted.path pointing at a list (or dict whose leaf floats
+are flattened), e.g.
+BENCH_SF10_r10b.json:sf10.pagerank_ab_samples.old_code.
 
 For each query present in both records it prints raw and normalized
 ratios and flags normalized regressions beyond the documented ±15%
@@ -74,9 +87,86 @@ def _load(path: str) -> dict:
 
 MIN_STABLE = 8  # below this, a median of ratios is itself noise
 
+# Documented quiet-host band for the stable-set median itself (the
+# widest machine-state swing ever measured between two honest quiet
+# windows; SCALING.md rounds 8-10). A self-calibration scale outside
+# it is as consistent with a CODE-induced uniform slowdown as with
+# machine state — self-normalization is blind to the difference
+# (ADVICE r10), so the tool refuses to call it machine state alone.
+SCALE_QUIET_LO, SCALE_QUIET_HI = 0.67, 1.5
+
+
+def _flatten_floats(obj) -> list[float]:
+    if isinstance(obj, (int, float)) and not isinstance(obj, bool):
+        return [float(obj)]
+    if isinstance(obj, list):
+        return [x for item in obj for x in _flatten_floats(item)]
+    if isinstance(obj, dict):
+        return [x for item in obj.values() for x in _flatten_floats(item)]
+    return []
+
+
+def _load_samples(spec: str) -> list[float]:
+    """Comma-separated seconds, or FILE.json:dotted.path into a record."""
+    if ":" in spec and not spec.replace(",", "").replace(".", "").isdigit():
+        path, _, dotted = spec.partition(":")
+        node = _load(path)
+        for key in dotted.split("."):
+            node = node[key]
+        vals = _flatten_floats(node)
+    else:
+        vals = [float(x) for x in spec.split(",") if x]
+    if not vals:
+        raise ValueError(f"no samples in {spec!r}")
+    return vals
+
+
+def ab_verdict(old: list[float], new: list[float], label: str = "") -> int:
+    """Interleaved-A/B adjudication: medians + spread + wobble verdict."""
+    mo, mn = statistics.median(old), statistics.median(new)
+    ratio = mo / mn  # >1 = new code faster
+    lo_band = min(old) / max(new)   # most conservative speedup
+    hi_band = max(old) / min(new)   # most generous
+    rel_spread = max(
+        (max(s) - min(s)) / statistics.median(s) for s in (old, new)
+    )
+    overlap = min(old) <= max(new) and min(new) <= max(old)
+    name = label or "A/B"
+    print(f"{name}: old n={len(old)} median {mo:.3f}s "
+          f"[{min(old):.3f}..{max(old):.3f}]")
+    print(f"{name}: new n={len(new)} median {mn:.3f}s "
+          f"[{min(new):.3f}..{max(new):.3f}]")
+    print(f"median ratio old/new = x{ratio:.2f}; conservative band "
+          f"x{lo_band:.2f}..x{hi_band:.2f}; pooled rel spread "
+          f"{rel_spread:.2f}; ranges {'OVERLAP' if overlap else 'disjoint'}")
+    if overlap or abs(ratio - 1) <= rel_spread:
+        print("verdict: WASH — the delta sits inside run-to-run wobble; "
+              "claim NO speedup/regression from these samples")
+        return 0
+    if ratio > 1:
+        print(f"verdict: SPEEDUP x{lo_band:.2f}-x{hi_band:.2f} "
+              f"(median x{ratio:.2f}) — reproducible outside wobble")
+        return 0
+    print(f"verdict: REGRESSION x{1 / hi_band:.2f}-x{1 / lo_band:.2f} "
+          f"(median x{1 / ratio:.2f}) — reproducible outside wobble")
+    return 1
+
 
 def main() -> int:
     args = list(sys.argv[1:])
+    if "--ab" in args:
+        i = args.index("--ab")
+        rest = args[i + 1:]
+        label = ""
+        if "--label" in rest:
+            j = rest.index("--label")
+            label = rest[j + 1]
+            del rest[j : j + 2]
+        if len(rest) != 2:
+            print(__doc__)
+            return 2
+        return ab_verdict(_load_samples(rest[0]), _load_samples(rest[1]),
+                          label)
     changed: set[str] = set()
     if "--changed" in args:
         i = args.index("--changed")
@@ -128,6 +218,28 @@ def main() -> int:
             f"queries = x{scale:.3f} (normalized = raw / {scale:.3f}; "
             f"{len(changed)} changed excluded)"
         )
+        # Blindness guard (ADVICE r10): a stable median outside the
+        # quiet-host band is as consistent with a code-induced uniform
+        # slowdown (a session.py config, a shared helper) as with
+        # machine state — self-normalization cannot tell them apart,
+        # so don't let a green exit read as "no regression".
+        if not (SCALE_QUIET_LO <= scale <= SCALE_QUIET_HI):
+            print(
+                f"WARNING: stable-set median x{scale:.3f} is OUTSIDE the "
+                f"documented quiet-host band [{SCALE_QUIET_LO}, "
+                f"{SCALE_QUIET_HI}] — a uniform CODE slowdown would look "
+                "exactly like this; adjudicate with --ab or a clean-export "
+                "A/B before trusting normalized ratios"
+            )
+        if ca and cb and scale > 0:
+            probe_ratio = cb / ca
+            if max(probe_ratio / scale, scale / probe_ratio) > 2.0:
+                print(
+                    f"WARNING: py-probe ratio x{probe_ratio:.3f} and "
+                    f"stable-set median x{scale:.3f} disagree by >2x — "
+                    "machine state alone cannot explain both; suspect a "
+                    "code-side uniform shift and adjudicate with --ab"
+                )
     elif ca and cb:
         scale = cb / ca
         print(
