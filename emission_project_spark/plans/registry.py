@@ -47,8 +47,10 @@ def register(name: str, oracle: str | None = None):
 # window_pct_rank_cume_dist, alphabetical);
 # (c) the oldest-r6 rows, alphabetical, filling to 50. After this
 # round no query's latest driver row is older than r6 (histogram via
-# `python -m emission_project_spark ledger`). Net-new this round ≤3
-# per the r10 verdict; each net-new takes the last section-(c) slot.
+# `python -m emission_project_spark ledger`). Net-new this round: 1
+# (warehouse_snapshot_rollback — the warehouse snapshot layer's first
+# driver row, r10 verdict task #7), taking the last section-(c) slot
+# (join_q15_top_supplier leads the r12 leftovers).
 # (tests/test_queries_smoke.py pins name resolution.)
 _PRIORITY: list[str] = [
     # -- (a) round-11 plan rewrites re-verify ------------------------------
@@ -103,7 +105,8 @@ _PRIORITY: list[str] = [
     "join_q10_returned_top_customers",
     "join_q11_important_stock",
     "join_q12_ship_class_priority",
-    "join_q15_top_supplier",
+    # -- net-new (1): the warehouse layer's first driver row ---------------
+    "warehouse_snapshot_rollback",
 ]
 
 

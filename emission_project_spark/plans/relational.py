@@ -2814,3 +2814,47 @@ def cdc_apply_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     changes = seq1.unionByName(seq2)
     return apply_cdc(c, changes, keys=["c_custkey"], seq_col="seq")
+
+
+# --- Warehouse time travel as a driver row (round 11, r10 verdict
+# task #7): the snapshot/rollback surface was pytest-only; this gives
+# the warehouse layer an oracle-checked query. v1 publishes the full
+# nation dim, v2 simulates a BAD incremental load (three regions
+# dropped), rollback moves the pointer back, and the query reads the
+# CURRENT pointer — which must equal the raw table again. Exercises
+# snapshot_write (×2), current_version's pointer, rollback, and
+# read_snapshot's pointer-read path; the version dirs live in a
+# throwaway tmpdir so repeated calls are deterministic (always v1/v2).
+# Reference analog: the engine's answer to "yesterday's load was bad"
+# — the reference (emission-dag.py) would re-run against Postgres with
+# no history; here recovery is a pointer move, no data rewrite.
+@register(
+    "warehouse_snapshot_rollback",
+    oracle="""
+    SELECT n_regionkey,
+           CAST(count(*) AS BIGINT) AS n_nations,
+           CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+    FROM nation
+    GROUP BY n_regionkey
+    """,
+)
+def warehouse_snapshot_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from emission_project_spark.sources.warehouse import Warehouse
+
+    nation = load_table(spark, sf_dir, "nation")
+    wh = Warehouse(spark, tempfile.mkdtemp(prefix="snap-rollback-"))
+    v1 = wh.snapshot_write(nation, "nation_dim")
+    # v2: a bad load drops most regions; the pointer now serves it
+    wh.snapshot_write(nation.filter(F.col("n_regionkey") < 2), "nation_dim")
+    # incident response: pure pointer move, no data rewrite
+    wh.rollback("nation_dim", v1)
+    return (
+        wh.read_snapshot("nation_dim")  # current pointer = v1 again
+        .groupBy("n_regionkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nations"),
+            F.sum("n_nationkey").cast("long").alias("key_sum"),
+        )
+    )
