@@ -504,6 +504,23 @@ def main() -> None:
     for name in HEADLINE:
         timings[name] = timed(name, sf_dir, runs)
 
+    # Per-SECTION steal snapshots (round 11): the whole-run integral
+    # can hide a stolen section — BENCH_LOCAL_r11.json read 4.97%
+    # overall with a near-quiet sf1 block masking a ruined sf10
+    # section, and r11c the mirror image (stolen headline, quiet sf1).
+    # A section whose steal is high invalidates ITS numbers only.
+    # The headline section spans from the run-start snapshot (JVM
+    # init + warmup + the headline loop above).
+    _sect_snap = [stat_snap]
+    section_steal: dict[str, float] = {}
+
+    def mark_section(name: str) -> None:
+        s = steal_pct_since(_sect_snap[0])
+        if s is not None:
+            section_steal[name] = s
+        _sect_snap[0] = read_proc_stat()
+
+    mark_section("headline")
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_query_total",
@@ -548,6 +565,7 @@ def main() -> None:
             "queries": extras9,
             "value": round(sum(extras9.values()), 3),
         }
+    mark_section("extras")
 
     # Scale proof: if the deterministic 10x dataset exists (generated by
     # tools/gen_scale.py — duplicate RATE held constant via per-shard
@@ -597,6 +615,7 @@ def main() -> None:
                 if base.get(name, 0) > 0
             },
         }
+    mark_section("sf1")
 
     # Opt-in ETL decade block: BENCH_PIPELINE=1 cold-starts the §2
     # product path (EmissionPipeline.run — init→dims→fact on a FRESH
@@ -650,6 +669,7 @@ def main() -> None:
             "feed_envelope_x1": "1000 drivers / 999 vehicles / 5000 logbook",
             "scales": pipe_out,
         }
+        mark_section("pipeline")
 
     # Opt-in second decade: BENCH_SF10=1 regenerates the 100x dataset if
     # needed (deterministic, ~2 min) and records the steepest scalers so
@@ -722,6 +742,7 @@ def main() -> None:
         }
         if errors:
             out["sf10"]["errors"] = errors
+        mark_section("sf10")
 
     # Whole-run co-tenant audit: steal% integrated over the entire
     # bench (see read_proc_stat). ~0 = every recorded number was taken
@@ -729,6 +750,8 @@ def main() -> None:
     steal = steal_pct_since(stat_snap)
     if steal is not None:
         out["cpu_steal_pct"] = steal
+    if section_steal:
+        out["cpu_steal_pct_sections"] = section_steal
 
     blob = json.dumps(out)
     print(blob)
