@@ -615,7 +615,11 @@ def main() -> None:
                 if base.get(name, 0) > 0
             },
         }
-    mark_section("sf1")
+        # mark only when the block actually RAN: an unconditional mark
+        # would report an 'sf1' steal figure for a window in which no
+        # sf1 work happened (ADVICE r11) — when skipped, the interval
+        # folds into the next executed section's span
+        mark_section("sf1")
 
     # Opt-in ETL decade block: BENCH_PIPELINE=1 cold-starts the §2
     # product path (EmissionPipeline.run — init→dims→fact on a FRESH

@@ -139,70 +139,73 @@ class EmissionPipeline:
         logbook = logbook.persist()
         stats.stage_seconds["extract"] = round(time.perf_counter() - t0, 3)
 
-        drivers = self._load_dim(
-            drivers_raw.select("name", "first_name"),
-            "drivers",
-            S.DRIVERS_DIM,
-            "driver_id",
-            S.DRIVERS_NK,
-            order_by=["name", "first_name"],  # SERIAL order = sort_values('name')
-            stats=stats,
-        )
-        cars = self._load_dim(
-            vehicles_raw,
-            "cars",
-            S.CARS_DIM,
-            "car_id",
-            S.CARS_NK,
-            order_by=["brand", "model", "vehicle_class", "engine_size_l"],
-            stats=stats,
-        )
-
-        # countries: set-union of start/target columns (U1)
-        countries_batch = (
-            logbook.select(F.col("start_country").alias("country_name"))
-            .unionByName(logbook.select(F.col("target_country").alias("country_name")))
-            .filter(F.col("country_name").isNotNull())
-        )
-        country = self._load_dim(
-            countries_batch,
-            "country",
-            S.COUNTRY_DIM,
-            "country_id",
-            ["country_name"],
-            order_by=["country_name"],
-            stats=stats,
-        )
-
-        # cities keyed by (city_name, country_id) — fixed key (§4.5)
-        cities_batch = (
-            logbook.select(
-                F.col("start_city").alias("city_name"),
-                F.col("start_country").alias("country_name"),
-            )
-            .unionByName(
-                logbook.select(
-                    F.col("target_city").alias("city_name"),
-                    F.col("target_country").alias("country_name"),
-                )
-            )
-            .filter(F.col("city_name").isNotNull())
-        )
-        cities_batch = join_nullsafe(
-            cities_batch, country, ["country_name"], how="left", broadcast_right=True
-        ).select("city_name", "country_id")
-        city = self._load_dim(
-            cities_batch,
-            "city",
-            S.CITY_DIM,
-            "city_id",
-            ["city_name", "country_id"],
-            order_by=["city_name", "country_id"],
-            stats=stats,
-        )
-
-        t0 = time.perf_counter()
+        # every logbook consumer (the four dim loads AND the fact
+        # assembly) runs under one try/finally: a failure in any dim
+        # load must not leak the cached feed for the session
         try:
+            drivers = self._load_dim(
+                drivers_raw.select("name", "first_name"),
+                "drivers",
+                S.DRIVERS_DIM,
+                "driver_id",
+                S.DRIVERS_NK,
+                order_by=["name", "first_name"],  # SERIAL order = sort_values('name')
+                stats=stats,
+            )
+            cars = self._load_dim(
+                vehicles_raw,
+                "cars",
+                S.CARS_DIM,
+                "car_id",
+                S.CARS_NK,
+                order_by=["brand", "model", "vehicle_class", "engine_size_l"],
+                stats=stats,
+            )
+
+            # countries: set-union of start/target columns (U1)
+            countries_batch = (
+                logbook.select(F.col("start_country").alias("country_name"))
+                .unionByName(logbook.select(F.col("target_country").alias("country_name")))
+                .filter(F.col("country_name").isNotNull())
+            )
+            country = self._load_dim(
+                countries_batch,
+                "country",
+                S.COUNTRY_DIM,
+                "country_id",
+                ["country_name"],
+                order_by=["country_name"],
+                stats=stats,
+            )
+
+            # cities keyed by (city_name, country_id) — fixed key (§4.5)
+            cities_batch = (
+                logbook.select(
+                    F.col("start_city").alias("city_name"),
+                    F.col("start_country").alias("country_name"),
+                )
+                .unionByName(
+                    logbook.select(
+                        F.col("target_city").alias("city_name"),
+                        F.col("target_country").alias("country_name"),
+                    )
+                )
+                .filter(F.col("city_name").isNotNull())
+            )
+            cities_batch = join_nullsafe(
+                cities_batch, country, ["country_name"], how="left", broadcast_right=True
+            ).select("city_name", "country_id")
+            city = self._load_dim(
+                cities_batch,
+                "city",
+                S.CITY_DIM,
+                "city_id",
+                ["city_name", "country_id"],
+                order_by=["city_name", "country_id"],
+                stats=stats,
+            )
+
+            t0 = time.perf_counter()
             self._load_fact(logbook, drivers, cars, country, city, stats)
         finally:
             logbook.unpersist()

@@ -25,6 +25,24 @@ from emission_project_spark.operators.keys import add_surrogate_key, date_id_exp
 from emission_project_spark.plans.registry import register
 
 
+def _scratch_root(tag: str) -> str:
+    """Per-process scratch dir for queries that exercise the warehouse
+    file layer (snapshots/compaction): `/tmp/emission-spark-{tag}-{pid}`,
+    WIPED at each call so repeated invocations are deterministic and the
+    per-invocation mkdtemp leak (ADVICE r11) is bounded to one copy.
+    The previous call's lazy DataFrame dies with the wipe — callers get
+    a fresh plan per invocation, which is what the registry contract
+    (builder called once per run) already assumes."""
+    import os
+    import shutil
+    import tempfile
+
+    root = os.path.join(tempfile.gettempdir(), f"emission-spark-{tag}-{os.getpid()}")
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+    return root
+
+
 # --- A2 + P3 + P4: the flagship roll-up (pricing summary à la TPC-H Q1).
 # Reference analog: filter + derived measure + grouped totals, the
 # "total emission on a brand level" product surface (README.md:3,
@@ -2839,12 +2857,14 @@ def cdc_apply_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def warehouse_snapshot_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
     from emission_project_spark.sources.warehouse import Warehouse
 
     nation = load_table(spark, sf_dir, "nation")
-    wh = Warehouse(spark, tempfile.mkdtemp(prefix="snap-rollback-"))
+    # reused per-process root, wiped at entry: repeated invocations
+    # stay deterministic (always v1/v2) WITHOUT leaking a fresh
+    # mkdtemp per call (the returned frame is lazy, so the previous
+    # call's dir must survive until the next call, not forever)
+    wh = Warehouse(spark, _scratch_root("snap-rollback"))
     v1 = wh.snapshot_write(nation, "nation_dim")
     # v2: a bad load drops most regions; the pointer now serves it
     wh.snapshot_write(nation.filter(F.col("n_regionkey") < 2), "nation_dim")

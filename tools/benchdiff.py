@@ -86,6 +86,7 @@ def _load(path: str) -> dict:
 
 
 MIN_STABLE = 8  # below this, a median of ratios is itself noise
+MIN_AB = 3      # per-side sample floor for an --ab SPEEDUP/REGRESSION call
 
 # Documented quiet-host band for the stable-set median itself (the
 # widest machine-state swing ever measured between two honest quiet
@@ -142,6 +143,14 @@ def ab_verdict(old: list[float], new: list[float], label: str = "") -> int:
     if overlap or abs(ratio - 1) <= rel_spread:
         print("verdict: WASH — the delta sits inside run-to-run wobble; "
               "claim NO speedup/regression from these samples")
+        return 0
+    if min(len(old), len(new)) < MIN_AB:
+        # with n=1 per side rel_spread is 0 and any nonzero delta reads
+        # as "disjoint ranges" — the same single-sample trap MIN_STABLE
+        # guards against elsewhere; refuse to adjudicate
+        print(f"verdict: INSUFFICIENT DATA — <{MIN_AB} samples per side "
+              "cannot establish reproducibility outside wobble; gather "
+              "more interleaved samples before claiming a delta")
         return 0
     if ratio > 1:
         print(f"verdict: SPEEDUP x{lo_band:.2f}-x{hi_band:.2f} "
