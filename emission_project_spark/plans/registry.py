@@ -36,77 +36,73 @@ def register(name: str, oracle: str | None = None):
 
 
 # The driver's correctness artifact covers the first 50 registered
-# queries. Window policy (round 11, per the round-10 verdict):
-# (a) queries whose plans this round rewrote re-verify first — a plan
-# rewrite voids the old row's evidentiary value even with an unchanged
-# schema (the hubness_ivf single-scan sharded assignment, and the
-# triangle/pagerank edge-estimate + probe-cache changes if their plans
-# are touched);
-# (b) the 25 r5-stale rows — the oldest ledger rows anywhere after the
-# r10 drain (join_q5_regional_supplier_revenue ..
-# window_pct_rank_cume_dist, alphabetical);
-# (c) the oldest-r6 rows, alphabetical, filling to 50. After this
-# round no query's latest driver row is older than r6 (histogram via
-# `python -m emission_project_spark ledger`). Net-new this round: 1
-# (warehouse_snapshot_rollback — the warehouse snapshot layer's first
-# driver row, r10 verdict task #7), taking the last section-(c) slot
-# (join_q15_top_supplier leads the r12 leftovers).
-# (tests/test_queries_smoke.py pins name resolution.)
+# queries. Window policy (round 12, per the round-11 verdict task #1):
+# drain r6 to zero, oldest-first —
+# (a) ALL 27 rows whose latest driver row is r6 (alphabetical,
+#     join_q15_top_supplier .. text_token_entropy);
+# (b) the 21 oldest r7 rows (alphabetical, approx_aggregates_events ..
+#     events_kaplan_meier); the two r7 leftovers that net-new displaced
+#     (fk_orphan_check, graph_adamic_adar_top) lead the r13 rotation;
+# (c) net-new 2 of the sanctioned <=3: the warehouse maintenance
+#     surface's first driver rows (compact range-clustered rewrite +
+#     protected-version vacuum, r11 verdict task #8).
+# 27 + 21 + 2 = 50. After this round no query's latest driver row is
+# older than r7 (histogram via `python -m emission_project_spark
+# ledger`). (tests/test_queries_smoke.py pins name resolution.)
 _PRIORITY: list[str] = [
-    # -- (a) round-11 plan rewrites re-verify ------------------------------
-    "embedding_hubness_ivf",
-    "graph_triangle_stats",
-    "graph_pagerank_parts",
-    # -- (b) r5-stale tail: the oldest rows in the ledger (25) -------------
-    "join_q5_regional_supplier_revenue",
-    "join_q7_nation_trade_volume",
-    "join_q9_product_profit",
-    "listagg_nations_per_region",
-    "percentile_exact_prices",
-    "revenue_mom_change",
-    "scalar_subquery_above_avg",
-    "scd2_customer_segment",
-    "scd2_point_in_time",
-    "similarity_hard_negatives",
-    "sketch_bloom_prefilter",
-    "sketch_count_min_terms",
-    "stats_corr_price_quantity",
-    "stream_left_outer_join_batch",
-    "stream_topk_values_batch",
-    "stream_windowed_distinct_batch",
-    "text_bigrams_top",
-    "text_bm25_search",
-    "text_corpus_top_terms",
-    "text_decontaminate_overlap",
-    "text_unigram_logprob",
-    "text_url_extract",
-    "unpivot_lineitem_measures",
-    "validation_contract_orders",
-    "window_pct_rank_cume_dist",
-    # -- (c) oldest-r6 tail, alphabetical (22) -----------------------------
-    "basket_part_pairs_lift",
-    "curation_dsir_weights",
-    "curation_epoch_schedule",
-    "dedup_canonical_survivors",
-    "dedup_shingle_containment",
-    "dedup_substring_cap_report",
-    "dedup_substring_spans",
-    "embedding_covariance_block",
-    "embedding_dim_variance",
-    "embedding_matryoshka_energy",
-    "embedding_norm_outliers",
-    "embedding_quantize_error",
-    "events_anomaly_mad",
-    "events_cumulative_users",
-    "events_dwell_times",
-    "events_funnel_3step",
-    "events_transition_matrix",
-    "graph_hits_part_authority",
-    "join_q10_returned_top_customers",
-    "join_q11_important_stock",
-    "join_q12_ship_class_priority",
-    # -- net-new (1): the warehouse layer's first driver row ---------------
-    "warehouse_snapshot_rollback",
+    # -- (a) the full r6 tail: drained to zero this round (27) -------------
+    "join_q15_top_supplier",
+    "join_q16_supplier_diversity",
+    "join_q20_excess_share_suppliers",
+    "join_q2_min_cost_supplier",
+    "join_q3_shipping_priority",
+    "join_q4_order_priority_check",
+    "join_q6_forecast_revenue",
+    "join_q8_market_share",
+    "layout_zorder_skipping",
+    "profile_orders_columns",
+    "similarity_ivfpq_rerank_topk",
+    "similarity_ivfpq_topk",
+    "similarity_knn_classify",
+    "skew_key_profile_lineitem",
+    "stats_chi2_segment_priority",
+    "stats_ks_two_sample",
+    "stats_mannwhitney_u",
+    "stats_psi_value_drift",
+    "stats_regression_price_on_qty",
+    "stats_welch_ab_events",
+    "stats_winsorized_doc_lengths",
+    "text_bigram_perplexity",
+    "text_gopher_rules",
+    "text_ngram_novelty",
+    "text_quality_linear_classifier",
+    "text_sentence_stats",
+    "text_token_entropy",
+    # -- (b) the 21 oldest r7 rows (alphabetical) --------------------------
+    "approx_aggregates_events",
+    "curation_cluster_quality_join",
+    "curation_domain_cap",
+    "curation_dsir_ess",
+    "dedup_bucket_cap_report",
+    "dedup_embedding_cosine_lsh",
+    "dedup_exact_documents",
+    "dedup_jaccard_prefix_join",
+    "dedup_lsh_quality",
+    "dedup_minhash_lsh",
+    "dedup_minhash_signatures",
+    "dedup_ngram_jaccard",
+    "dedup_semantic_pairs",
+    "dedup_simhash",
+    "dedup_winnow_pairs",
+    "embedding_cluster_quality",
+    "embedding_kmeans_lloyd",
+    "events_attribution_last_touch",
+    "events_cusum_changepoint",
+    "events_hourly_acf",
+    "events_kaplan_meier",
+    # -- (c) net-new (2): the warehouse maintenance surface ----------------
+    "warehouse_compact_clustered",
+    "warehouse_vacuum_protected",
 ]
 
 

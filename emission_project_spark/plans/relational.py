@@ -2878,3 +2878,104 @@ def warehouse_snapshot_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_nationkey").cast("long").alias("key_sum"),
         )
     )
+
+
+# --- Warehouse small-files maintenance as a driver row (round 12, r11
+# verdict task #8): `Warehouse.compact` was pytest-only. Eight
+# incremental appends (the reference's per-run INSERT cadence,
+# emission-dag.py:200-212, which on parquet means one file batch per
+# run) build the degraded layout; the range-clustered rewrite
+# (repartitionByRange on l_shipdate + sortWithinPartitions — the
+# parquet stand-in for OPTIMIZE...ZORDER on one key) compacts through
+# the atomic swap; the query reads the table BACK and proves (a) full
+# data parity through append×8 + rewrite and (b) the file count
+# actually shrank (`files_reduced`, an oracle-checked literal). At
+# 100 TB this is the maintenance job that keeps scan task counts sane
+# after months of incremental loads.
+@register(
+    "warehouse_compact_clustered",
+    oracle="""
+    SELECT strftime(CAST(l_shipdate AS DATE), '%Y-%m') AS ship_month,
+           CAST(count(*) AS BIGINT)                    AS n_rows,
+           round(sum(l_quantity), 2)                   AS sum_qty,
+           round(sum(l_extendedprice), 2)              AS sum_price,
+           TRUE                                        AS files_reduced
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def warehouse_compact_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emission_project_spark.sources.warehouse import Warehouse
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice", "l_shipdate"
+    )
+    wh = Warehouse(spark, _scratch_root("compact"))
+    # eight incremental appends = eight file batches (disjoint slices
+    # covering the whole table: %8 over the bigint orderkey)
+    for i in range(8):
+        wh.append(li.filter(F.col("l_orderkey") % 8 == i), "li_hot")
+    before = wh.file_stats("li_hot")["n_files"]
+    after = wh.compact("li_hot", target_file_mb=32, sort_by=["l_shipdate"])
+    return (
+        wh.read("li_hot")
+        .groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+        .withColumn("files_reduced", F.lit(bool(after < before)))
+    )
+
+
+# --- Snapshot retention as a driver row (round 12, r11 verdict task
+# #8): `vacuum_snapshots` was pytest-only; its PROTECTED-VERSION
+# invariant (never drop the current pointer's version, nor the
+# keep_last newest) is exactly what makes rollback safe to combine
+# with retention at 100 TB. Three versions are published (v1 full
+# nation, v2/v3 progressively bad loads), the pointer rolls back to
+# v1, and vacuum(keep_last=1) must then remove ONLY v2 — v3 is the
+# newest, v1 is protected by the pointer. The query reads the current
+# snapshot (= the raw table again) and oracle-checks the removed/
+# retained counts plus the protection flag as literals. Reference
+# analog: Postgres has no table history at all (emission-dag.py
+# re-runs are destructive) — retention here is a file-layer contract.
+@register(
+    "warehouse_vacuum_protected",
+    oracle="""
+    SELECT n_regionkey,
+           CAST(count(*) AS BIGINT)     AS n_nations,
+           CAST(sum(n_nationkey) AS BIGINT) AS key_sum,
+           CAST(1 AS BIGINT)            AS n_removed,
+           CAST(2 AS BIGINT)            AS n_retained,
+           TRUE                         AS current_is_protected
+    FROM nation
+    GROUP BY n_regionkey
+    """,
+)
+def warehouse_vacuum_protected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emission_project_spark.sources.warehouse import Warehouse
+
+    nation = load_table(spark, sf_dir, "nation")
+    wh = Warehouse(spark, _scratch_root("vacuum"))
+    v1 = wh.snapshot_write(nation, "nation_dim")
+    wh.snapshot_write(nation.filter(F.col("n_regionkey") < 2), "nation_dim")
+    wh.snapshot_write(nation.filter(F.col("n_regionkey") < 1), "nation_dim")
+    wh.rollback("nation_dim", v1)  # incident response: pointer move
+    removed = wh.vacuum_snapshots("nation_dim", keep_last=1)
+    retained = wh.snapshots("nation_dim")
+    return (
+        wh.read_snapshot("nation_dim")  # current pointer = v1, protected
+        .groupBy("n_regionkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nations"),
+            F.sum("n_nationkey").cast("long").alias("key_sum"),
+        )
+        .withColumn("n_removed", F.lit(len(removed)).cast("long"))
+        .withColumn("n_retained", F.lit(len(retained)).cast("long"))
+        .withColumn(
+            "current_is_protected",
+            F.lit(bool(wh.current_version("nation_dim") == v1)),
+        )
+    )
