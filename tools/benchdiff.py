@@ -368,21 +368,71 @@ def main() -> int:
         if idx is not None:
             print(f"contention index ({label}): {idx:.2f}"
                   + ("  CONTENDED" if idx > CONTENDED else ""))
-    # /proc/stat steal integrated over the whole bench run (round 9):
-    # the authoritative co-tenant signal — the loop-probe index wobbles
-    # 0.87-1.5 on a measured-idle host (frequency scaling), steal does
-    # not. Present only in records taken after the r9 bench change.
-    steal_contended = False
+    # /proc/stat steal (round 9, refined round 12): the authoritative
+    # co-tenant signal — the loop-probe index wobbles 0.87-1.5 on a
+    # measured-idle host (frequency scaling), steal does not.
+    #
+    # Round 12 (r11 verdict task #4): bench.py now snapshots steal at
+    # SECTION boundaries (headline/extras/sf1/pipeline/sf10), because
+    # the whole-run integral demonstrably hides stolen sections —
+    # BENCH_LOCAL_r11 read 4.97% overall from a ruined sf10 section
+    # beside a near-quiet sf1 block, and r11c the mirror image (stolen
+    # headline, quiet sf1). Where a record carries sections, the gate
+    # is PER SECTION: only hard flags whose section was contended (in
+    # either record) are refused; quiet sections' verdicts stand. The
+    # whole-run integral remains the screen for legacy records.
+    def bad_sections(rec: dict) -> set[str]:
+        return {
+            s
+            for s, v in rec.get("cpu_steal_pct_sections", {}).items()
+            if v > STEAL_CONTENDED_PCT
+        }
+
+    steal_contended = False  # legacy whole-run screen
+    sect_bad: set[str] = set()
     for label, rec in (("old", a), ("new", b)):
-        if rec.get("cpu_steal_pct") is not None:
+        sections = rec.get("cpu_steal_pct_sections")
+        if sections:
+            bad = bad_sections(rec)
+            sect_bad |= bad
+            detail = ", ".join(
+                f"{s}={v:.3f}%" + (" CONTENDED" if s in bad else "")
+                for s, v in sections.items()
+            )
+            print(f"cpu steal ({label}, per section): {detail}")
+            if rec.get("cpu_steal_pct") is not None:
+                print(f"cpu steal ({label}, whole-run): "
+                      f"{rec['cpu_steal_pct']:.3f}% (sections gate)")
+        elif rec.get("cpu_steal_pct") is not None:
             s = rec["cpu_steal_pct"]
             flagged = s > STEAL_CONTENDED_PCT
             steal_contended = steal_contended or flagged
             print(f"cpu steal ({label}): {s:.3f}%"
                   + ("  CONTENDED" if flagged else ""))
-    # steal is the authoritative screen where present: a record taken
-    # while a co-tenant held >5% of the machine cannot be normalized
-    # by a single-thread yardstick, whatever the loop index read
+    if hard and sect_bad:
+        # map each exit-driving hard flag to the section its numbers
+        # came from: the sf1 block when it drove the exit, else the
+        # sf0.1 record section (headline vs one of the extras blocks)
+        def section_of(name: str) -> str:
+            if s1_common and name in s1a and name in s1b:
+                return "sf1"
+            if name in a.get("queries", {}) or name in b.get("queries", {}):
+                return "headline"
+            return "extras"
+
+        stolen = [n for n in hard if section_of(n) in sect_bad]
+        if stolen:
+            hard = [n for n in hard if n not in stolen]
+            print(
+                f"STEAL-EXCLUDED ({', '.join(sorted(sect_bad))} section"
+                f"{'s' if len(sect_bad) > 1 else ''} > "
+                f"{STEAL_CONTENDED_PCT}%): {', '.join(stolen)} — these "
+                "numbers were taken on stolen cores; re-measure that "
+                "section on a quiet host"
+            )
+    # whole-run steal is the authoritative screen only for records
+    # WITHOUT section snapshots: a co-tenant holding >5% of the box
+    # somewhere invalidates the yardstick and we can't localize it
     if hard and steal_contended:
         print(
             "INCONCLUSIVE: hard regressions but a record was taken under "
