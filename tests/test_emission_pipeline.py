@@ -208,3 +208,19 @@ def test_rollups(pipeline):
 
     # date dim generated once, full range
     assert pipe.wh.read("date").count() == 7306
+
+    # single-scan combined readout == the three individual plans, and
+    # the persisted projection is released when the context exits
+    singles = {
+        "emission_by_brand": pipe.emission_by_brand(),
+        "emission_by_car": pipe.emission_by_car(),
+        "emission_by_driver": pipe.emission_by_driver(),
+    }
+    with pipe.rollup_views() as views:
+        assert sorted(views) == sorted(singles)
+        for name, df in views.items():
+            assert sorted(df.columns) == sorted(singles[name].columns)
+            got = {tuple(r) for r in df.collect()}
+            want = {tuple(r) for r in singles[name].collect()}
+            assert got == want, name
+    assert pipe.spark.sparkContext._jsc.getPersistentRDDs().isEmpty()
