@@ -161,8 +161,101 @@ def ab_verdict(old: list[float], new: list[float], label: str = "") -> int:
     return 1
 
 
+def ab_run(args: list[str]) -> int:
+    """One-command interleaved fresh-JVM A/B (r11 verdict task #7).
+
+    Alternates old/new children (tools/time_query.py, one JVM each) and
+    feeds the samples to ab_verdict. The OLD side is either a clean
+    `git archive` export of --old-ref (code A/B — never a dirty
+    worktree copy) or the same tree under --env-old overrides (env A/B,
+    e.g. the r11 BLAS-pin experiment: --env-old '' --env-new
+    OPENBLAS_NUM_THREADS=1). Interleaving is the point: both arms
+    sample the same machine minutes, so a mode flip mid-experiment
+    hits both arms instead of masquerading as a code delta.
+
+        python tools/benchdiff.py --ab-run QUERY --sf-dir DIR
+            [--old-ref REF | --env-old K=V[,K=V]] [--env-new K=V[,..]]
+            [--n N]            # samples per side, default 3
+    """
+    import shutil
+    import subprocess
+    import tempfile
+
+    def opt(flag: str, default: str | None = None) -> str | None:
+        if flag in args:
+            i = args.index(flag)
+            val = args[i + 1]
+            del args[i : i + 2]
+            return val
+        return default
+
+    sf_dir = opt("--sf-dir")
+    old_ref = opt("--old-ref")
+    env_old = opt("--env-old", "")
+    env_new = opt("--env-new", "")
+    n = int(opt("--n", "3"))
+    if len(args) != 1 or not sf_dir:
+        print(__doc__)
+        return 2
+    query = args[0]
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    child = os.path.join("tools", "time_query.py")
+
+    def parse_env(spec: str) -> dict[str, str]:
+        return dict(kv.split("=", 1) for kv in spec.split(",") if kv)
+
+    old_cwd = repo
+    tmp = None
+    try:
+        if old_ref:
+            tmp = tempfile.mkdtemp(prefix="ab-export-")
+            # clean export (tracked files only) — a worktree copy could
+            # carry uncommitted changes into the "old" arm
+            ar = subprocess.run(
+                ["git", "-C", repo, "archive", old_ref],
+                capture_output=True, check=True,
+            )
+            subprocess.run(
+                ["tar", "-x", "-C", tmp], input=ar.stdout, check=True
+            )
+            old_cwd = tmp
+            print(f"old = git archive {old_ref} -> {tmp}")
+        samples: dict[str, list[float]] = {"old": [], "new": []}
+        arms = [
+            ("old", old_cwd, parse_env(env_old)),
+            ("new", repo, parse_env(env_new)),
+        ]
+        for round_i in range(n):
+            for side, cwd, env_over in arms:
+                env = dict(os.environ)
+                env.update(env_over)
+                r = subprocess.run(
+                    [sys.executable, os.path.join(cwd, child), sf_dir, query],
+                    cwd=cwd, env=env, capture_output=True, text=True,
+                    timeout=1800,
+                )
+                got = None
+                for line in reversed(r.stdout.splitlines()):
+                    if line.strip().startswith("{"):
+                        got = json.loads(line)
+                        break
+                if not got:
+                    print(f"{side} child failed rc={r.returncode}: "
+                          f"{r.stderr[-300:]}")
+                    return 2
+                samples[side].append(got["seconds"])
+                print(f"[{round_i + 1}/{n}] {side}: {got['seconds']:.3f}s")
+        return ab_verdict(samples["old"], samples["new"], label=query)
+    finally:
+        if tmp:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+
 def main() -> int:
     args = list(sys.argv[1:])
+    if "--ab-run" in args:
+        args.remove("--ab-run")
+        return ab_run(args)
     if "--ab" in args:
         i = args.index("--ab")
         rest = args[i + 1:]
