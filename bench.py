@@ -279,6 +279,19 @@ SF10_HEAVY = [
     "multimodal_phash_pairs",
 ]
 
+# Expected single-run bands for sf10 queries with ADJUDICATED envelopes
+# (r11 verdict task #5): a future window that lands inside its band
+# self-adjudicates instead of re-litigating an episodic mode. Sources:
+# graph_triangle_stats — the r10 interleaved A/B envelope (188-254);
+# dedup_semantic_pairs — the round-12 chunked-GEMM kernel measured
+# 77.1-78.0 s across 3 fresh JVMs in a window whose OLD kernel read
+# 102-337 s (host fault-service mode, SCALING.md r12); band leaves
+# headroom for the residual fresh-buffer fault exposure.
+SF10_EXPECTED_BANDS = {
+    "graph_triangle_stats": (188.0, 254.0),
+    "dedup_semantic_pairs": (55.0, 110.0),
+}
+
 
 def _cal_loop() -> None:
     """LEGACY calibration loop (numpy 512² matmul) — kept verbatim so
@@ -744,6 +757,16 @@ def main() -> None:
                 if base.get(name, 0) > 0
             },
         }
+        out["sf10"]["expected_bands"] = {
+            k: list(v) for k, v in SF10_EXPECTED_BANDS.items()
+        }
+        breaches = {
+            k: timings[k]
+            for k, (lo, hi) in SF10_EXPECTED_BANDS.items()
+            if k in timings and not (lo <= timings[k] <= hi)
+        }
+        if breaches:
+            out["sf10"]["band_breaches"] = breaches
         if errors:
             out["sf10"]["errors"] = errors
         mark_section("sf10")

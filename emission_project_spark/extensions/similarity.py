@@ -306,19 +306,43 @@ def _blocked_cosine_pairs(
         if empty:
             a = b = sims_out = []
         else:
-            sims = l_mat @ r_mat.T
-            ai, bi = np.where(sims >= threshold)
-            if i == j:
-                # self-block: each unordered pair appears twice → keep a < b
-                keep = l_ids[ai] < r_ids[bi]
-                a, b = l_ids[ai][keep], r_ids[bi][keep]
-            else:
-                # cross-block: blocks are disjoint, every pair appears once —
-                # keep all, canonicalize to doc_a < doc_b
-                keep = np.ones(len(ai), dtype=bool)
-                a = np.minimum(l_ids[ai], r_ids[bi])
-                b = np.maximum(l_ids[ai], r_ids[bi])
-            sims_out = np.round(sims[ai, bi][keep], ROUND)
+            # Chunked GEMM through ONE reused output buffer (round 12).
+            # The previous full `l_mat @ r_mat.T` materialized a fresh
+            # |L|×|R| float64 matrix per block-pair (1.25 GB at sf10
+            # geometry); on this host, FAULTING fresh anon memory is up
+            # to 150× slower than writing resident memory (measured
+            # 0.01-0.78 GB/s first-touch vs 1.5-1.7 GB/s rewrite —
+            # host-level page-fault service, SCALING.md round 12), so
+            # the allocation dominated the kernel: a 17-worker
+            # standalone repro ran 265 s/rep full vs 29.6 s/rep
+            # chunked with bit-identical outputs. Chunking also bounds
+            # transient memory to CH×|R|×8 B regardless of block size —
+            # the right shape at 100 TB anyway.
+            CH = 2048
+            buf = np.empty((min(CH, len(l_ids)), len(r_ids)))
+            a_parts, b_parts, s_parts = [], [], []
+            for s in range(0, len(l_ids), CH):
+                e = min(s + CH, len(l_ids))
+                sims = buf[: e - s]
+                np.dot(l_mat[s:e], r_mat.T, out=sims)
+                ai, bi = np.where(sims >= threshold)
+                if i == j:
+                    # self-block: each unordered pair appears twice →
+                    # keep a < b (global row ids, offset by the chunk)
+                    keep = l_ids[s + ai] < r_ids[bi]
+                    ca, cb = l_ids[s + ai][keep], r_ids[bi][keep]
+                else:
+                    # cross-block: blocks are disjoint, every pair
+                    # appears once — keep all, canonicalize a < b
+                    keep = np.ones(len(ai), dtype=bool)
+                    ca = np.minimum(l_ids[s + ai], r_ids[bi])
+                    cb = np.maximum(l_ids[s + ai], r_ids[bi])
+                a_parts.append(ca)
+                b_parts.append(cb)
+                s_parts.append(np.round(sims[ai, bi][keep], ROUND))
+            a = np.concatenate(a_parts)
+            b = np.concatenate(b_parts)
+            sims_out = np.concatenate(s_parts)
         out = {c: np.full(len(a), key[ix]) for ix, c in enumerate(group_cols)}
         out.update({"doc_a": a, "doc_b": b, "cosine_sim": sims_out})
         return pd.DataFrame(out)
