@@ -216,6 +216,9 @@ def test_rollups(pipeline):
         "emission_by_car": pipe.emission_by_car(),
         "emission_by_driver": pipe.emission_by_driver(),
     }
+    # other tests on the shared session may hold their own caches —
+    # assert no NET leak, not an empty global cache registry
+    cached_before = pipe.spark.sparkContext._jsc.getPersistentRDDs().size()
     with pipe.rollup_views() as views:
         assert sorted(views) == sorted(singles)
         for name, df in views.items():
@@ -223,4 +226,7 @@ def test_rollups(pipeline):
             got = {tuple(r) for r in df.collect()}
             want = {tuple(r) for r in singles[name].collect()}
             assert got == want, name
-    assert pipe.spark.sparkContext._jsc.getPersistentRDDs().isEmpty()
+    assert (
+        pipe.spark.sparkContext._jsc.getPersistentRDDs().size()
+        == cached_before
+    )
