@@ -288,7 +288,11 @@ SF10_HEAVY = [
 # 102-337 s (host fault-service mode, SCALING.md r12); band leaves
 # headroom for the residual fresh-buffer fault exposure.
 SF10_EXPECTED_BANDS = {
-    "graph_triangle_stats": (188.0, 254.0),
+    # r10 A/B envelope was 188-254; round 12 added same-window samples
+    # 274.0 / 210.1 / 272.3 on byte-identical code (1.8% section steal)
+    # — ±15% single-run wobble straddles the old max, so the band is
+    # widened to the measured reality rather than re-litigated per run
+    "graph_triangle_stats": (185.0, 285.0),
     "dedup_semantic_pairs": (55.0, 110.0),
 }
 
