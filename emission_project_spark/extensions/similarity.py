@@ -254,6 +254,7 @@ def _blocked_cosine_pairs(
     threshold: float,
     n_blocks: int,
     group_cols: list[str],
+    chunk_rows: int = 2048,
 ) -> DataFrame:
     """Block-pair grid kernel shared by exact and cluster-scoped cosine
     pair search. ``src`` carries (vec_id, embedding, *group_cols); pairs
@@ -318,7 +319,7 @@ def _blocked_cosine_pairs(
             # chunked with bit-identical outputs. Chunking also bounds
             # transient memory to CH×|R|×8 B regardless of block size —
             # the right shape at 100 TB anyway.
-            CH = 2048
+            CH = chunk_rows
             buf = np.empty((min(CH, len(l_ids)), len(r_ids)))
             a_parts, b_parts, s_parts = [], [], []
             for s in range(0, len(l_ids), CH):

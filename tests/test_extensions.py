@@ -396,6 +396,38 @@ def test_blocked_cosine_invariant_to_block_count(spark):
     assert len(r1) > 0
 
 
+def test_blocked_cosine_invariant_to_chunk_rows(spark):
+    """The chunked-GEMM loop (round 12: one reused output buffer, rows
+    processed CH at a time) is an execution detail too: results must be
+    identical for any chunk size — including chunks that split a block
+    mid-way and the CH >= |L| single-chunk case that is all the driver
+    SFs ever exercise (blocks only exceed 2048 rows at sf10)."""
+    from emission_project_spark.catalog.tables import load_table
+    from emission_project_spark.extensions.similarity import (
+        _blocked_cosine_pairs,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+
+    def result(ch):
+        return sorted(
+            (r.doc_a, r.doc_b, r.cosine_sim)
+            for r in _blocked_cosine_pairs(
+                emb, threshold=0.35, n_blocks=2, group_cols=[],
+                chunk_rows=ch,
+            ).collect()
+        )
+
+    # sf0.001 blocks are ~500 rows: ch=7 forces ~70 chunk iterations
+    # with ragged tails; ch=1 is the degenerate row-at-a-time extreme;
+    # ch=4096 is the production single-chunk path
+    r_big, r_7, r_1 = result(4096), result(7), result(1)
+    assert r_big == r_7 == r_1
+    assert len(r_big) > 0
+
+
 def test_incremental_exact_dedup_split(spark):
     """Batch splits into (fresh, duplicate) vs stored fingerprints:
     a re-delivered doc is a dup, in-batch repeats collapse to one."""
