@@ -71,6 +71,9 @@ def analyze(path: str) -> dict:
         "disk_spill_mb": 0.0,
         "max_task_s": 0.0,
         "aqe_updates": 0,
+        "py_sent_mb": 0.0,   # data sent to Python workers
+        "py_ret_mb": 0.0,    # data returned from Python workers
+        "py_run_s": 0.0,     # time to run Python workers
         "stages": {},  # stage id -> task seconds
     }
     t_start = t_end = None
@@ -104,13 +107,28 @@ def analyze(path: str) -> dict:
                 out["shuffle_write_mb"] += sw.get("Shuffle Bytes Written", 0) / 1e6
                 out["mem_spill_mb"] += m.get("Memory Bytes Spilled", 0) / 1e6
                 out["disk_spill_mb"] += m.get("Disk Bytes Spilled", 0) / 1e6
+                # Pandas-UDF accumulables: the r12 mode hunt lived here
+                # (a task whose wall is all "time to run Python workers"
+                # with tiny JVM CPU is python/host-side, not plan-side)
+                for acc in info.get("Accumulables", []):
+                    try:
+                        u = int(acc.get("Update"))
+                    except (TypeError, ValueError):
+                        continue
+                    name = acc.get("Name", "")
+                    if name == "data sent to Python workers":
+                        out["py_sent_mb"] += u / 1e6
+                    elif name == "data returned from Python workers":
+                        out["py_ret_mb"] += u / 1e6
+                    elif name == "time to run Python workers":
+                        out["py_run_s"] += u / 1e3
                 sid = str(ev.get("Stage ID"))
                 out["stages"][sid] = out["stages"].get(sid, 0.0) + dur
     if t_start and t_end:
         out["wall_s"] = round((t_end - t_start) / 1e3, 1)
     for k in ("task_time_s", "gc_s", "cpu_s", "shuffle_read_mb",
               "shuffle_write_mb", "mem_spill_mb", "disk_spill_mb",
-              "max_task_s"):
+              "max_task_s", "py_sent_mb", "py_ret_mb", "py_run_s"):
         out[k] = round(out[k], 1)
     # keep only the 6 heaviest stages, rounded
     top = sorted(out["stages"].items(), key=lambda kv: -kv[1])[:6]
