@@ -343,6 +343,30 @@ def cpu_calibration_py() -> float:
     return round(statistics.median(samples), 4)
 
 
+def mem_fault_calibration() -> float:
+    """First-touch bandwidth probe (GB/s): allocate 256 MB of fresh
+    anonymous memory and time the first write. Round 12 traced the
+    dedup_semantic_pairs sf10 bimodality (and part of the spill-heavy
+    triangle wobble) to HOST page-fault service on this microVM:
+    first-touch measured 0.01-0.78 GB/s across windows while resident
+    rewrite held a steady 1.5-1.7 GB/s — a mode invisible to steal%,
+    the CPU probes, and every other counter in the record. A record
+    taken at a degraded value explains elevated numbers for any
+    alloc-hungry query (python kernels, big shuffle/spill buffers)
+    without re-litigating the plan. Median of 3 so a single compaction
+    stall doesn't masquerade as the mode."""
+    import numpy as np
+
+    samples = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        a = np.empty(32 * 1024 * 1024)  # 256 MB of float64
+        a[:] = 1.0
+        samples.append(0.256 / (time.perf_counter() - t0))
+        del a
+    return round(statistics.median(samples), 3)
+
+
 def read_proc_stat() -> tuple[int, int] | None:
     """(steal_jiffies, total_jiffies) from /proc/stat line 1, or None
     where unavailable. Steal deltas are the AUTHORITATIVE co-tenant
@@ -549,6 +573,7 @@ def main() -> None:
         "cpu_calibration_mt_s": cpu_calibration_mt(),
         "cpu_calibration_py_s": cpu_calibration_py(),
         "cpu_calibration_py_mt_s": cpu_calibration_py_mt(),
+        "mem_fault_gbps": mem_fault_calibration(),
         "runs": runs,
     }
 
@@ -626,6 +651,7 @@ def main() -> None:
             # just at headline time (noise is episodic on this host)
             "cpu_calibration_s": cpu_calibration(),
             "cpu_calibration_py_s": cpu_calibration_py(),
+            "mem_fault_gbps": mem_fault_calibration(),
             "scaling_vs_sf0.1": {
                 name: round(sf1_timings[name] / base[name], 2)
                 for name in SF1_HEAVY
@@ -754,6 +780,7 @@ def main() -> None:
             "stat": "single-run (±15% wobble)",
             "cpu_calibration_py_s": cpu_calibration_py(),
             "cpu_calibration_py_mt_s": cpu_calibration_py_mt(),
+            "mem_fault_gbps": mem_fault_calibration(),
             "isolation": "fresh JVM per query (subprocess)",
             "scaling_vs_sf0.1": {
                 name: round(timings[name] / base[name], 2)

@@ -461,6 +461,14 @@ def main() -> int:
         if idx is not None:
             print(f"contention index ({label}): {idx:.2f}"
                   + ("  CONTENDED" if idx > CONTENDED else ""))
+    # host fresh-memory mode (round 12): first-touch bandwidth probe —
+    # 0.01-0.78 GB/s windows tax alloc-hungry queries (python kernels,
+    # spill buffers) with no other counter moving; informational here,
+    # decisive when one record's alloc-heavy numbers look inflated
+    for label, rec in (("old", a), ("new", b)):
+        if rec.get("mem_fault_gbps") is not None:
+            print(f"mem fault probe ({label}): "
+                  f"{rec['mem_fault_gbps']:.2f} GB/s first-touch")
     # /proc/stat steal (round 9, refined round 12): the authoritative
     # co-tenant signal — the loop-probe index wobbles 0.87-1.5 on a
     # measured-idle host (frequency scaling), steal does not.
