@@ -294,6 +294,23 @@ SF10_EXPECTED_BANDS = {
     # widened to the measured reality rather than re-litigated per run
     "graph_triangle_stats": (185.0, 285.0),
     "dedup_semantic_pairs": (55.0, 110.0),
+    # The rest of the heavy set, from every sealed BENCH_SF10_r* value
+    # taken on CURRENT plan code (older-code rounds excluded where a
+    # rewrite landed since), padded ~10-15% past the measured envelope.
+    # A breach points first at mem_fault_gbps / section steal in the
+    # same record, then at the plan.
+    "dedup_jaccard_prefix_join": (150.0, 200.0),   # 165.9-180.3, r10-r12
+    "graph_pagerank_parts": (85.0, 125.0),          # 95.9-108.8, r9-r12
+    "embedding_hubness_ivf": (15.0, 25.0),          # 17.4-20.4, r9-r12
+    "dedup_minhash_lsh": (22.0, 40.0),              # 24.5-36.2, r5-r12
+    "similarity_ivf_kmeans_topk": (28.0, 45.0),     # 32.2-38.9, r8-r12
+    "text_bigram_perplexity": (45.0, 65.0),         # 50.7-59.4, r10-r12
+    "dedup_cluster_components": (40.0, 75.0),       # 45.1-70.3, r5-r12
+    "stats_spearman_corr": (14.0, 22.0),            # 16.5-19.2, r9-r12
+    "stats_poisson_bootstrap_ci": (11.0, 18.0),     # 12.8-15.6, r9-r12
+    "dedup_lsh_quality": (75.0, 105.0),             # 86.8-91.0, r11-r12
+    "dedup_shingle_containment": (32.0, 50.0),      # 37.3-44.7, r11-r12
+    "multimodal_phash_pairs": (22.0, 30.0),         # 25.3-25.9, r11-r12
 }
 
 

@@ -92,3 +92,24 @@ def test_py_calibration_is_median_of_three():
     plausible per-loop time, not the 3-loop total."""
     t = bench.cpu_calibration_py()
     assert 0.05 < t < 5.0
+
+
+def test_sf10_expected_bands_reference_heavy_queries():
+    """Every expected band must name a query actually measured in the
+    sf10 block (a rename would silently orphan its band), with lo < hi
+    and the registry resolving the name."""
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    for name, (lo, hi) in bench.SF10_EXPECTED_BANDS.items():
+        assert name in bench.SF10_HEAVY, name
+        assert name in qs, name
+        assert 0 < lo < hi, name
+
+
+def test_mem_fault_probe_returns_plausible_bandwidth():
+    """First-touch probe (round 12): GB/s in the physically possible
+    range — the measured host envelope spans 0.01 (degraded window) to
+    a few GB/s (quiet); anything outside [0.001, 100] is a unit bug."""
+    v = bench.mem_fault_calibration()
+    assert 0.001 <= v <= 100.0
