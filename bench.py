@@ -281,7 +281,27 @@ SF10_HEAVY = [
 
 # Expected single-run bands for sf10 queries with ADJUDICATED envelopes
 # (r11 verdict task #5): a future window that lands inside its band
-# self-adjudicates instead of re-litigating an episodic mode. Sources:
+# self-adjudicates instead of re-litigating an episodic mode.
+#
+# BREACH ADJUDICATION RULE (round 13, r12 verdict task #3 — pre-
+# committed so band maintenance can't ratchet): a band may be WIDENED
+# only after BOTH of the following are on record for the breaching
+# query, in the round's COMPARE/SCALING notes:
+#   1. one eventlog-diff A/B (the dedup_semantic_pairs protocol, now
+#      turnkey: `python tools/eventlog_run.py` per arm, or
+#      `tools/benchdiff.py --ab-run` for interleaved fresh-JVM pairs,
+#      >=3 samples/side) showing structurally identical plans — same
+#      stage/task/shuffle/spill shape — so the delta is per-task speed,
+#      not the plan;
+#   2. the same record's mem_fault_gbps + per-section steal readings,
+#      with the system-time share of the slow arm noted (the
+#      fault-service mode reads as sys-time, SCALING.md round 12).
+# If the plans DIFFER or sys-time share is low on a quiet window, the
+# breach is treated as a real regression and bisected — the band does
+# NOT move. Records carry `band_breach_protocol` so a future reader
+# sees the rule next to the breach it gates.
+#
+# Sources:
 # graph_triangle_stats — the r10 interleaved A/B envelope (188-254);
 # dedup_semantic_pairs — the round-12 chunked-GEMM kernel measured
 # 77.1-78.0 s across 3 fresh JVMs in a window whose OLD kernel read
@@ -377,9 +397,11 @@ def mem_fault_calibration() -> float:
     samples = []
     for _ in range(3):
         t0 = time.perf_counter()
-        a = np.empty(32 * 1024 * 1024)  # 256 MB of float64
+        a = np.empty(32 * 1024 * 1024)  # 256 MiB of float64
         a[:] = 1.0
-        samples.append(0.256 / (time.perf_counter() - t0))
+        # divide by the ACTUAL byte size in decimal GB (268.4 MB), not a
+        # hardcoded 0.256 — that read ~5% low (r12 advice)
+        samples.append(a.nbytes / 1e9 / (time.perf_counter() - t0))
         del a
     return round(statistics.median(samples), 3)
 
@@ -815,6 +837,12 @@ def main() -> None:
         }
         if breaches:
             out["sf10"]["band_breaches"] = breaches
+            out["sf10"]["band_breach_protocol"] = (
+                "band moves only after an eventlog-diff A/B (>=3/side, "
+                "plans structurally identical) AND mem_fault_gbps/steal/"
+                "sys-time adjudication are recorded — see bench.py "
+                "SF10_EXPECTED_BANDS rule (r12 verdict task #3)"
+            )
         if errors:
             out["sf10"]["errors"] = errors
         mark_section("sf10")

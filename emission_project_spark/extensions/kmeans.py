@@ -94,21 +94,41 @@ def assign_clusters_blas(vecs: DataFrame, centroids: DataFrame) -> DataFrame:
     cnorm = (cmat * cmat).sum(axis=1)
 
     def compute(batches):
+        # Reused-buffer discipline (round 13, the similarity.py:328
+        # pattern): the old expression faulted three fresh (n, k)
+        # float64 matrices per Arrow batch (GEMM output, broadcast sum,
+        # final d2) plus an (n, d) square temp — on this host
+        # first-touch of fresh anonymous pages runs up to 150× slower
+        # than resident rewrite (SCALING.md round 12), so allocation
+        # churn, not FLOPs, set the kernel's speed between windows. Two
+        # hoisted buffers grown to the largest batch absorb every
+        # batch; every op keeps its original operand order so outputs
+        # are bit-identical (pinned by a ragged-batch test).
+        k = len(cids)
+        dot = np.empty((0, k))
+        d2b = np.empty((0, k))
         for pdf in batches:
-            if not len(pdf):
+            n = len(pdf)
+            if not n:
                 continue
+            if n > dot.shape[0]:
+                dot = np.empty((n, k))
+                d2b = np.empty((n, k))
             x = np.array(pdf["e"].tolist(), dtype=np.float64)
-            d2 = np.maximum(
-                (x * x).sum(axis=1)[:, None] + cnorm[None, :] - 2.0 * (x @ cmat.T),
-                0.0,
-            )
-            idx = d2.argmin(axis=1)
+            db, sb = dot[:n], d2b[:n]
+            np.dot(x, cmat.T, out=db)
+            db *= 2.0  # exact ×2: bit-identical to 2.0 * (x @ cmat.T)
+            np.multiply(x, x, out=x)  # x is dead after the GEMM
+            np.add(x.sum(axis=1)[:, None], cnorm[None, :], out=sb)
+            np.subtract(sb, db, out=sb)
+            np.maximum(sb, 0.0, out=sb)
+            idx = sb.argmin(axis=1)
             yield pd.DataFrame(
                 {
                     "vec_id": pdf["vec_id"],
                     "e": pdf["e"],
                     "cluster_id": cids[idx],
-                    "d2": d2[np.arange(len(idx)), idx],
+                    "d2": sb[np.arange(len(idx)), idx],
                 }
             )
 

@@ -111,20 +111,37 @@ def pq_encode(
     books = model.codebooks
     m, dsub = model.m, model.dsub
 
+    # codeword norms are batch-invariant: hoist them out of the batch
+    # loop entirely (the old kernel recomputed k_sub×dsub squares per
+    # subspace per batch)
+    bnorms = [(books[sub] ** 2).sum(axis=1) for sub in range(m)]
+    ksub = books[0].shape[0] if m else 0
+
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Reused-buffer discipline (round 13, similarity.py:328
+        # pattern): one hoisted (n, k_sub) distance buffer absorbs all
+        # m subspaces of every batch instead of m fresh GEMM outputs +
+        # m fresh scaled copies of x per batch — fresh-anon-page
+        # first-touch is the slow path on this host (SCALING.md round
+        # 12). −2·(x·Cᵀ) scales the GEMM output by an exact power of
+        # two, bit-identical to the old (−2·x)·Cᵀ fold (pinned by a
+        # ragged-batch test).
+        d2 = np.empty((0, ksub))
         for pdf in batches:
             if not len(pdf):
                 continue
             x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            if len(x) > d2.shape[0]:
+                d2 = np.empty((len(x), ksub))
+            db = d2[: len(x)]
             codes = np.empty((len(x), m), dtype=np.int32)
             for sub in range(m):
                 xs = x[:, sub * dsub : (sub + 1) * dsub]
                 # ||x-c||² = ||x||² - 2x·c + ||c||²; ||x||² constant per row
-                d2 = (
-                    -2.0 * xs @ books[sub].T
-                    + (books[sub] ** 2).sum(axis=1)[None, :]
-                )
-                codes[:, sub] = d2.argmin(axis=1)
+                np.dot(xs, books[sub].T, out=db)
+                db *= -2.0
+                db += bnorms[sub][None, :]
+                codes[:, sub] = db.argmin(axis=1)
             yield pd.DataFrame(
                 {"vec_id": pdf[id_col].to_numpy(), "codes": list(codes)}
             )

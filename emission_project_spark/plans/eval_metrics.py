@@ -55,6 +55,16 @@ assert "HAVING count(*) >= 2" in _AFFINITY_PAIRS_STRONG_SQL, (
 _K = 10
 _N_QUERIES = 20
 _TRUNC_DIM = 16
+# hubness cell_topk GEMM chunk rows (module-level so the chunk-tail
+# buffer-reuse path is pinnable by a small-chunk invariance test; the
+# production value only engages above 2048 rows per cell ≈ sf10)
+_CELL_CHUNK = 2048
+# hubness sharded-assignment: max centroid slices per mapInPandas pass
+# (closure ceiling ≈ 64 × cap × dim × 8 B); above it the fold chains
+# additional corpus passes instead of raising (round 13, r12 verdict
+# task #7). Module-level so a tiny-group test can pin the multi-pass
+# path against the flat argmax.
+_SHARD_GROUP = 64
 
 # full-precision scored CTE shared by the eval queries (the
 # similarity_bruteforce_topk oracle shape: zero-norm guard to NULL,
@@ -1681,6 +1691,13 @@ def embedding_hubness_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     k_nn = 5
 
     def sample_topk(batches):
+        # Reused-buffer discipline (round 13, similarity.py:328
+        # pattern): normalize v in place (it is freshly built per batch
+        # and dead after the GEMM) and run the GEMM + round through one
+        # hoisted (n, |sample|) buffer instead of three fresh matrices
+        # per batch — fresh-anon first-touch is the slow path on this
+        # host (SCALING.md round 12). Op order unchanged → bit-identical.
+        sbuf = np.empty((0, len(sids)))
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -1689,7 +1706,12 @@ def embedding_hubness_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             nrm = np.linalg.norm(v, axis=1)
             zsrc = nrm == 0
             nrm[zsrc] = np.inf
-            s = np.round((v / nrm[:, None]) @ smat.T, 6)
+            if len(v) > sbuf.shape[0]:
+                sbuf = np.empty((len(v), len(sids)))
+            s = sbuf[: len(v)]
+            np.divide(v, nrm[:, None], out=v)
+            np.dot(v, smat.T, out=s)
+            np.round(s, 6, out=s)
             # NULL-score parity: a zero-norm src scores NULL everywhere
             # (→ all ties, dst ASC); a zero-norm dst scores NULL for
             # every src (→ ordered last, still eligible)
@@ -1887,18 +1909,13 @@ def embedding_hubness_ivf(
     # reduces the per-shard winners to the EXACT flat argmax (ties →
     # min cid, identical to the oracle's rn=1 ORDER BY s DESC, cid).
     # Recursion changes WHERE the argmax is computed, never its value,
-    # so the oracle replays the same flat √n IVF. Read amplification =
-    # n_shards column-pruned corpus scans; the final guard below caps
-    # it at 64 shards (≈275G vectors at the default cap) — beyond that
-    # a deployment shards the CORPUS side too, not just the centroids.
+    # so the oracle replays the same flat √n IVF. Read amplification:
+    # one corpus scan per ≤_SHARD_GROUP (64) slices — beyond that the
+    # fold chains further narrow passes (ceil(n_shards/64) scans, each
+    # with a ≤64 × cap × dim × 8 B closure ≈ 3.2 GB at dim 768), so the
+    # former >64-shard ValueError (≈275G vectors) is now a working
+    # path instead of a guard (round 13, r12 verdict task #7).
     n_shards = -(-nc // max_centroids)
-    if n_shards > 64:
-        raise ValueError(
-            f"embedding_hubness_ivf centroid relation ceil(sqrt({n_total}))="
-            f"{nc} needs {n_shards} assignment shards at "
-            f"max_centroids={max_centroids} (cap 64); shard the corpus side "
-            "before raising the cap"
-        )
     if n_shards == 1:
         cent_rows = sorted(
             emb.filter(F.col("vec_id") < nc).collect(),
@@ -1917,6 +1934,10 @@ def embedding_hubness_ivf(
         cmat = cmat / cnorm[:, None]
 
         def assign(batches):
+            # reused-buffer discipline (round 13): in-place normalize +
+            # one hoisted (n, nc) score buffer, same op order →
+            # bit-identical (SCALING.md round 12 fresh-anon-page mode)
+            sbuf = np.empty((0, cmat.shape[0]))
             for pdf in batches:
                 if not len(pdf):
                     continue
@@ -1924,7 +1945,12 @@ def embedding_hubness_ivf(
                 nrm = np.linalg.norm(v, axis=1)
                 zsrc = nrm == 0
                 nrm[zsrc] = np.inf  # zero-norm vector row → scores 0
-                s = np.round((v / nrm[:, None]) @ cmat.T, 6)
+                if len(v) > sbuf.shape[0]:
+                    sbuf = np.empty((len(v), cmat.shape[0]))
+                s = sbuf[: len(v)]
+                np.divide(v, nrm[:, None], out=v)
+                np.dot(v, cmat.T, out=s)
+                np.round(s, 6, out=s)
                 s[:, zero_cent] = -np.inf
                 cid = s.argmax(axis=1).astype(np.int64)  # first max = min cid
                 # a zero-norm VECTOR scores NULL against EVERY centroid
@@ -1947,7 +1973,7 @@ def embedding_hubness_ivf(
     else:
         assigned = _ivf_assign_sharded(emb, nc, max_centroids)
 
-    k_nn, chunk = 5, 2048
+    k_nn, chunk = 5, _CELL_CHUNK
 
     def cell_topk(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("vec_id", kind="mergesort")  # columns = dst ASC
@@ -1958,11 +1984,18 @@ def embedding_hubness_ivf(
         mat = np.array(list(pdf["embedding"]), dtype=np.float64)
         nrm = np.linalg.norm(mat, axis=1)
         nrm[nrm == 0] = np.inf
-        mat = mat / nrm[:, None]
+        np.divide(mat, nrm[:, None], out=mat)  # fresh per call — in place
         srcs, dsts = [], []
+        # reused-buffer discipline (round 13): one (chunk, m) buffer
+        # absorbs every chunk of this cell instead of two fresh
+        # matrices per chunk; op order unchanged → bit-identical
+        # (SCALING.md round 12 fresh-anon-page mode)
+        buf = np.empty((min(chunk, m), m))
         for lo in range(0, m, chunk):
             hi = min(lo + chunk, m)
-            s = np.round(mat[lo:hi] @ mat.T, 6)
+            s = buf[: hi - lo]
+            np.dot(mat[lo:hi], mat.T, out=s)
+            np.round(s, 6, out=s)
             # zero-norm rows/cols: their dots are 0.0 here but NULL in
             # the oracle (ordered last, still eligible) — force -inf
             zsrc = np.isinf(nrm[lo:hi])
@@ -2014,11 +2047,14 @@ def _ivf_assign_sharded(emb: DataFrame, nc: int, cap: int) -> DataFrame:
     score exists anywhere. -inf ties across slices fall to the lowest
     cid via the fold's tie rule (NumPy ``-inf == -inf`` is True).
 
-    Closure memory = n_shards × cap × dim × 8 B (the slice matrices;
-    ≤64 shards by the caller's guard — at dim 768 / cap 8192 that is
-    ≤3.2 GB driver+task footprint, the documented ceiling at which a
-    deployment ships the slices via ``SparkContext.broadcast`` or
-    shards the CORPUS side instead)."""
+    Closure memory = min(n_shards, _SHARD_GROUP) × cap × dim × 8 B per
+    pass (at dim 768 / cap 8192 that is ≤3.2 GB); above _SHARD_GROUP
+    (64) slices the fold CHAINS further narrow ``mapInPandas`` passes —
+    ceil(n_shards/64) corpus scans, no shuffle between passes — so the
+    path that used to raise at ≈275G vectors now degrades linearly in
+    scan count instead (round 13, r12 verdict task #7). The fold is
+    associative over the id-ordered slice sequence, so pass grouping
+    never changes a value (pinned by the tiny-_SHARD_GROUP test)."""
     import numpy as np
     import pandas as pd
 
@@ -2046,38 +2082,90 @@ def _ivf_assign_sharded(emb: DataFrame, nc: int, cap: int) -> DataFrame:
         ).limit(0)
     gmin = int(shards[0][0][0])  # global min centroid id (slices id-ordered)
 
-    def assign(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            v = np.array(list(pdf["embedding"]), dtype=np.float64)
-            nrm = np.linalg.norm(v, axis=1)
-            zsrc = nrm == 0
-            nrm[zsrc] = np.inf
-            vn = v / nrm[:, None]
-            best_s = np.full(len(vn), -np.inf)
-            best_cid = np.full(len(vn), np.iinfo(np.int64).max, np.int64)
-            for ids, cmat, zc in shards:
-                s = np.round(vn @ cmat.T, 6)
-                s[:, zc] = -np.inf
-                bi = s.argmax(axis=1)  # first max = slice-min cid
-                bs = s[np.arange(len(bi)), bi]
-                bc = ids[bi]
-                upd = (bs > best_s) | ((bs == best_s) & (bc < best_cid))
-                best_s[upd] = bs[upd]
-                best_cid[upd] = bc[upd]
-            best_cid[zsrc] = gmin  # all-NULL score row → global min cid
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
-                    "cid": best_cid,
-                    "embedding": pdf["embedding"],
-                }
-            )
+    def make_pass(group: list[tuple], first: bool, final: bool):
+        """One corpus pass folding ≤_SHARD_GROUP slices into the running
+        (best_s, best_cid). The fold is left-associative over the same
+        id-ordered slice sequence whatever the grouping, and scores are
+        already on the round(6) grid, so chaining passes computes the
+        EXACT single-pass result — grouping changes closure memory and
+        scan count, never a value."""
 
-    return emb.mapInPandas(
-        assign, schema="vec_id long, cid long, embedding array<float>"
-    )
+        def assign(batches):
+            # reused-buffer discipline (round 13): in-place normalize +
+            # one hoisted score buffer per shard WIDTH (all shards share
+            # the cap width except the tail, so ≤2 buffers live), same
+            # op order → bit-identical (SCALING.md round 12
+            # fresh-anon-page mode)
+            bufs: dict[int, np.ndarray] = {}
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                v = np.array(list(pdf["embedding"]), dtype=np.float64)
+                nrm = np.linalg.norm(v, axis=1)
+                zsrc = nrm == 0
+                nrm[zsrc] = np.inf
+                np.divide(v, nrm[:, None], out=v)
+                vn = v
+                if first:
+                    best_s = np.full(len(vn), -np.inf)
+                    best_cid = np.full(
+                        len(vn), np.iinfo(np.int64).max, np.int64
+                    )
+                else:
+                    best_s = pdf["_bs"].to_numpy(dtype=np.float64).copy()
+                    best_cid = pdf["_bc"].to_numpy(dtype=np.int64).copy()
+                for ids, cmat, zc in group:
+                    w = cmat.shape[0]
+                    b = bufs.get(w)
+                    if b is None or b.shape[0] < len(vn):
+                        b = np.empty((len(vn), w))
+                        bufs[w] = b
+                    s = b[: len(vn)]
+                    np.dot(vn, cmat.T, out=s)
+                    np.round(s, 6, out=s)
+                    s[:, zc] = -np.inf
+                    bi = s.argmax(axis=1)  # first max = slice-min cid
+                    bs = s[np.arange(len(bi)), bi]
+                    bc = ids[bi]
+                    upd = (bs > best_s) | ((bs == best_s) & (bc < best_cid))
+                    best_s[upd] = bs[upd]
+                    best_cid[upd] = bc[upd]
+                if final:
+                    # all-NULL score row → global min cid
+                    best_cid[zsrc] = gmin
+                    yield pd.DataFrame(
+                        {
+                            "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
+                            "cid": best_cid,
+                            "embedding": pdf["embedding"],
+                        }
+                    )
+                else:
+                    yield pd.DataFrame(
+                        {
+                            "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
+                            "embedding": pdf["embedding"],
+                            "_bs": best_s,
+                            "_bc": best_cid,
+                        }
+                    )
+
+        return assign
+
+    out = emb
+    n_groups = -(-len(shards) // _SHARD_GROUP)
+    for g in range(n_groups):
+        group = shards[g * _SHARD_GROUP : (g + 1) * _SHARD_GROUP]
+        final = g == n_groups - 1
+        out = out.mapInPandas(
+            make_pass(group, first=(g == 0), final=final),
+            schema=(
+                "vec_id long, cid long, embedding array<float>"
+                if final
+                else "vec_id long, embedding array<float>, _bs double, _bc long"
+            ),
+        )
+    return out
 
 
 # --- t-closeness (Li et al. 2007) — the third gate of the privacy

@@ -36,74 +36,80 @@ def register(name: str, oracle: str | None = None):
 
 
 # The driver's correctness artifact covers the first 50 registered
-# queries. Window policy (round 12, per the round-11 verdict task #1):
-# drain r6 to zero, oldest-first —
-# (a) ALL 27 rows whose latest driver row is r6 (alphabetical,
-#     join_q15_top_supplier .. text_token_entropy);
-# (b) the 21 oldest r7 rows (alphabetical, approx_aggregates_events ..
-#     events_kaplan_meier); the two r7 leftovers that net-new displaced
-#     (fk_orphan_check, graph_adamic_adar_top) lead the r13 rotation;
-# (c) net-new 2 of the sanctioned <=3: the warehouse maintenance
-#     surface's first driver rows (compact range-clustered rewrite +
-#     protected-version vacuum, r11 verdict task #8).
-# 27 + 21 + 2 = 50. After this round no query's latest driver row is
-# older than r7 (histogram via `python -m emission_project_spark
+# queries. Window policy (round 13, per the round-12 verdict task #1):
+# drain r7 to zero, oldest-first —
+# (a) ALL 22 rows whose latest driver row is r7 (alphabetical,
+#     fk_orphan_check .. winnow_oversized_report);
+# (b) the 25 oldest r8 rows (alphabetical,
+#     anti_join_customers_without_orders .. similarity_ndcg_at_k); the
+#     18 r8 leftovers (similarity_recall_at_k ..) lead the r14 rotation;
+# (c) net-new 2 of the sanctioned <=3: the last pytest-only warehouse
+#     corners gaining oracle rows (merged-schema evolution scan +
+#     small-files census, r12 verdict task #5);
+# (d) re-verify 1: warehouse_compact_clustered changed this round (the
+#     files_reduced boolean became a deterministic files_before/
+#     files_after count pair, r12 ADVICE #4) — a changed query gets a
+#     fresh driver row rather than standing on its r12 hash.
+# 22 + 25 + 2 + 1 = 50. After this round no query's latest driver row
+# is older than r8 (histogram via `python -m emission_project_spark
 # ledger`). (tests/test_queries_smoke.py pins name resolution.)
 _PRIORITY: list[str] = [
-    # -- (a) the full r6 tail: drained to zero this round (27) -------------
-    "join_q15_top_supplier",
-    "join_q16_supplier_diversity",
-    "join_q20_excess_share_suppliers",
-    "join_q2_min_cost_supplier",
-    "join_q3_shipping_priority",
-    "join_q4_order_priority_check",
-    "join_q6_forecast_revenue",
-    "join_q8_market_share",
-    "layout_zorder_skipping",
-    "profile_orders_columns",
-    "similarity_ivfpq_rerank_topk",
-    "similarity_ivfpq_topk",
-    "similarity_knn_classify",
-    "skew_key_profile_lineitem",
-    "stats_chi2_segment_priority",
-    "stats_ks_two_sample",
-    "stats_mannwhitney_u",
-    "stats_psi_value_drift",
-    "stats_regression_price_on_qty",
-    "stats_welch_ab_events",
-    "stats_winsorized_doc_lengths",
-    "text_bigram_perplexity",
-    "text_gopher_rules",
-    "text_ngram_novelty",
-    "text_quality_linear_classifier",
-    "text_sentence_stats",
-    "text_token_entropy",
-    # -- (b) the 21 oldest r7 rows (alphabetical) --------------------------
-    "approx_aggregates_events",
-    "curation_cluster_quality_join",
-    "curation_domain_cap",
-    "curation_dsir_ess",
-    "dedup_bucket_cap_report",
-    "dedup_embedding_cosine_lsh",
-    "dedup_exact_documents",
-    "dedup_jaccard_prefix_join",
-    "dedup_lsh_quality",
-    "dedup_minhash_lsh",
-    "dedup_minhash_signatures",
-    "dedup_ngram_jaccard",
-    "dedup_semantic_pairs",
-    "dedup_simhash",
-    "dedup_winnow_pairs",
-    "embedding_cluster_quality",
-    "embedding_kmeans_lloyd",
-    "events_attribution_last_touch",
-    "events_cusum_changepoint",
-    "events_hourly_acf",
-    "events_kaplan_meier",
-    # -- (c) net-new (2): the warehouse maintenance surface ----------------
+    # -- (a) the full r7 tail: drained to zero this round (22) -------------
+    "fk_orphan_check",
+    "graph_adamic_adar_top",
+    "graph_kcore_peel",
+    "privacy_k_anonymity_customers",
+    "privacy_l_diversity_customers",
+    "similarity_bruteforce_topk",
+    "similarity_centroid_confusion",
+    "similarity_ivf_kmeans_topk",
+    "similarity_mmr_rerank",
+    "similarity_range_search",
+    "sketch_f2_selfjoin_events",
+    "stats_classifier_calibration",
+    "stats_cramers_v_priority_segment",
+    "stats_mutual_info_priority_segment",
+    "stream_dedup_watermark_batch",
+    "stream_psi_drift_batch",
+    "text_hash_feature_buckets",
+    "text_langid_confusion",
+    "text_pmi_collocations",
+    "text_rake_keywords",
+    "text_winnow_fingerprints",
+    "winnow_oversized_report",
+    # -- (b) the 25 oldest r8 rows (alphabetical) --------------------------
+    "anti_join_customers_without_orders",
+    "array_higher_order_fns",
+    "asof_join_clicks_purchases",
+    "dedup_subset_deterministic",
+    "embedding_centroid_distances",
+    "embedding_pca_project",
+    "events_interarrival_burstiness",
+    "events_json_extract",
+    "events_mann_kendall_trend",
+    "events_path_topk",
+    "events_sessionize",
+    "events_sliding_30m15m",
+    "events_tumbling_hourly",
+    "group_rollup_brand",
+    "group_rollup_supplier",
+    "incremental_insert_orders",
+    "multimodal_phash_pairs",
+    "nullsafe_join_match",
+    "regex_extract_long_words",
+    "role_playing_nation_join",
+    "rollup_cube_status_priority",
+    "rollup_grouping_sets",
+    "rollup_pricing_summary",
+    "set_ops_intersect_except",
+    "similarity_ndcg_at_k",
+    # -- (c) net-new (2): last pytest-only warehouse corners ---------------
+    "warehouse_schema_evolution",
+    "warehouse_files_census",
+    # -- (d) re-verify (1): output schema changed this round ---------------
     "warehouse_compact_clustered",
-    "warehouse_vacuum_protected",
 ]
+
 
 
 

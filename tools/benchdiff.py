@@ -229,15 +229,25 @@ def ab_run(args: list[str]) -> int:
             for side, cwd, env_over in arms:
                 env = dict(os.environ)
                 env.update(env_over)
+                # The child script always comes from the CURRENT repo
+                # (it's new-in-r12 and absent from older refs); cwd
+                # selects which engine it imports — time_query.py does
+                # sys.path.insert(0, os.getcwd()), so the old arm runs
+                # the export's code with the repo's harness (r12 advice).
                 r = subprocess.run(
-                    [sys.executable, os.path.join(cwd, child), sf_dir, query],
+                    [sys.executable, os.path.join(repo, child), sf_dir, query],
                     cwd=cwd, env=env, capture_output=True, text=True,
                     timeout=1800,
                 )
                 got = None
                 for line in reversed(r.stdout.splitlines()):
                     if line.strip().startswith("{"):
-                        got = json.loads(line)
+                        # py4j/log4j noise can emit '{'-prefixed non-JSON
+                        # lines — keep scanning earlier lines (r12 advice)
+                        try:
+                            got = json.loads(line)
+                        except json.JSONDecodeError:
+                            continue
                         break
                 if not got:
                     print(f"{side} child failed rc={r.returncode}: "
