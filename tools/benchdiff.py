@@ -190,6 +190,10 @@ def ab_run(args: list[str]) -> int:
         return default
 
     sf_dir = opt("--sf-dir")
+    if sf_dir:
+        # the old arm runs with cwd inside the git-archive export — a
+        # relative sf_dir (.scale/sf10) must not resolve there
+        sf_dir = os.path.abspath(sf_dir)
     old_ref = opt("--old-ref")
     env_old = opt("--env-old", "")
     env_new = opt("--env-new", "")
