@@ -3045,14 +3045,16 @@ def warehouse_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- Small-files census as a driver row (round 13, r12 verdict task
 # #5): `Warehouse.file_stats` — the metadata walk that decides when
-# compact() runs — was pytest-only. Five per-region appends, each
-# coalesce(1), pin the physical layout to exactly one parquet file per
-# region at any SF (TPC-H nation is fixed 25 rows / 5 regions), so the
-# census's file count is an honest oracle data column in the
-# warehouse_compact_clustered style (count pair as data, not a layout
-# boolean — r12 advice). Byte sizes are codec/version-dependent and
-# stay OUT of the oracled columns; data parity is pinned by reading
-# the appended table back.
+# compact() runs — was pytest-only. One append per DISTINCT region
+# present in the data (a bounded dim-sized collect), each coalesce(1),
+# pins the physical layout to exactly one parquet file per region at
+# any SF OR crafted corpus (the boundary warehouse has a region with
+# no nations — iterating a hardcoded range(5) would write an empty
+# extra file there), so the census's file count is an honest oracle
+# data column in the warehouse_compact_clustered style (count pair as
+# data, not a layout boolean — r12 advice). Byte sizes are
+# codec/version-dependent and stay OUT of the oracled columns; data
+# parity is pinned by reading the appended table back.
 @register(
     "warehouse_files_census",
     oracle="""
@@ -3067,7 +3069,17 @@ def warehouse_files_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     nation = load_table(spark, sf_dir, "nation")
     wh = Warehouse(spark, _scratch_root("census"))
-    for rk in range(5):
+    rks = sorted(
+        r[0] for r in nation.select("n_regionkey").distinct().collect()
+    )
+    if not rks:
+        # empty corpus: nothing appended, census reads 0 files / 0 rows
+        return nation.agg(
+            F.lit(0).cast("long").alias("n_files"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("n_nationkey").cast("long").alias("key_sum"),
+        )
+    for rk in rks:
         wh.append(
             nation.filter(F.col("n_regionkey") == rk).coalesce(1), "nation_inc"
         )
