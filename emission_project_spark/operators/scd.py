@@ -74,7 +74,22 @@ def scd2_apply(
     version produces no new version, which is what makes replaying a
     batch a no-op.
     """
-    upd = updates.select(key, *attrs).dropDuplicates([key]).alias("upd")
+    # r13 opt: the incoming dim subtree feeds FIVE plan branches
+    # (hist, and cur → the change join consumed by untouched/closed/
+    # reopened plus the new-key anti-join) and the deduplicated batch
+    # two — without a checkpoint each branch recomputes its input,
+    # which COMPOUNDS when applies are chained (scd2_point_in_time's
+    # two-batch fold replayed the first fold ~5×; measured 16
+    # exchanges in the static plan). One lazy localCheckpoint each
+    # computes them once; column sets are duplicate-free so the
+    # checkpoint is alias-transparent.
+    upd = (
+        updates.select(key, *attrs)
+        .dropDuplicates([key])
+        .localCheckpoint(eager=False)
+        .alias("upd")
+    )
+    dim = dim.localCheckpoint(eager=False)
     hist = dim.filter(~F.col("is_current"))
     cur = dim.filter(F.col("is_current")).alias("cur")
 

@@ -59,7 +59,14 @@ def stats_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     from emission_project_spark.functions.ranks import row_position
 
     o = load_table(spark, sf_dir, "orders")
-    rev = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("x"))
+    # r13 opt: row_position reads its input 3× (bounds, offsets, main)
+    # — checkpoint the customer-sized aggregate so the orders scan +
+    # groupBy run once
+    rev = (
+        o.groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("x"))
+        .localCheckpoint(eager=False)
+    )
     ranked = row_position(
         rev, [F.col("x").asc(), F.col("o_custkey").asc()], F.col("x")
     ).select("x", "i")
@@ -191,6 +198,12 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "freq",
             "mon",
         )
+        # r13 opt: u feeds FOUR consumers (the three row_position
+        # rank relations + the n_tot probe) — without a checkpoint
+        # each one re-scanned events and re-ran the per-user aggregate
+        # (86 exchanges in the static plan). One lazy checkpoint of
+        # the user-sized 4-column relation computes it once.
+        .localCheckpoint(eager=False)
     )
     from emission_project_spark.functions.ranks import (
         ntile_from_position,

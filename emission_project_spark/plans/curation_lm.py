@@ -26,6 +26,7 @@ rounding grid — orders of magnitude under the tie threshold.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -77,6 +78,12 @@ def curation_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     from emission_project_spark.functions.text import tokens
 
     docs = load_table(spark, sf_dir, "documents")
+    # r13 opt: v feeds TWO consumers (the tot scalar and the broadcast
+    # score join) — unchecked, the join arm re-ran the whole
+    # tokenize + vocab aggregate. Checkpoint the vocab-sized v (narrow
+    # aggregate — the kind worth materializing; a checkpoint of the
+    # full token arrays was measured a loss on the bm25 twin, so the
+    # tokenizer deliberately runs once per t consumer instead).
     t = docs.select(
         "doc_id", "lang", F.explode(tokens(F.lower(F.col("text")))).alias("term")
     )
@@ -84,7 +91,7 @@ def curation_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = t.groupBy("term").agg(
         F.sum(F.when(is_t, 1).otherwise(0)).alias("ct"),
         F.sum(F.when(is_t, 0).otherwise(1)).alias("cr"),
-    )
+    ).localCheckpoint(eager=False)
     tot = v.agg(
         F.sum("ct").cast("bigint").alias("tt"),
         F.sum("cr").cast("bigint").alias("tr"),
@@ -203,6 +210,13 @@ def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c12"))
         .filter(F.col("c12") >= MIN_BIGRAM_COUNT)
     )
+    # r13 opt audit (guide §3.1), examined and LEFT ALONE: the static
+    # sf10 plan shows this join as SortMergeJoin (the post-aggregate
+    # size ESTIMATE exceeds the broadcast threshold), but the count
+    # table's runtime size after the cutoff is vocab-bounded (1.6 MB at
+    # sf10, measured) and AQE's runtime-stats broadcast conversion
+    # repairs the plan at execution. A SHUFFLE_HASH hint here would
+    # FORBID that conversion and pin the worse plan.
     p = 0.7 * (F.coalesce(F.col("c12"), F.lit(0)) * 1.0 / F.col("cu_ctx")) + 0.3 * (
         F.col("cu_tok") * 1.0 / F.col("n")
     )
@@ -402,6 +416,12 @@ def curation_dsir_ess(spark: SparkSession, sf_dir: str) -> DataFrame:
     from emission_project_spark.functions.text import tokens
 
     docs = load_table(spark, sf_dir, "documents")
+    # r13 opt: v feeds tot + the broadcast join, and the doc scores
+    # feed the max probe + the weight pass — unchecked, the static
+    # plan re-tokenized the corpus for every branch. Checkpoint the
+    # NARROW shared relations only (vocab-sized v, doc-sized scores);
+    # a full token-array checkpoint was measured a loss on the bm25
+    # twin, so the tokenizer deliberately runs once per t consumer.
     t = docs.select(
         "doc_id", "lang", F.explode(tokens(F.lower(F.col("text")))).alias("term")
     )
@@ -409,7 +429,7 @@ def curation_dsir_ess(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = t.groupBy("term").agg(
         F.sum(F.when(is_t, 1).otherwise(0)).alias("ct"),
         F.sum(F.when(is_t, 0).otherwise(1)).alias("cr"),
-    )
+    ).localCheckpoint(eager=False)
     tot = v.agg(
         F.sum("ct").cast("bigint").alias("tt"),
         F.sum("cr").cast("bigint").alias("tr"),
@@ -423,6 +443,7 @@ def curation_dsir_ess(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(tot))
         .groupBy("doc_id")
         .agg(F.round(F.sum(lam), 4).alias("s"))
+        .localCheckpoint(eager=False)
     )
     m = scores.agg(F.max("s").alias("ms"))
     w = scores.crossJoin(F.broadcast(m)).select(

@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 
 from emission_project_spark.catalog.tables import load_table
 from emission_project_spark.functions.text import LANG_MARKERS
-from emission_project_spark.functions.vectors import cosine_similarity, dot
+from emission_project_spark.functions.vectors import dot, l2_norm
 from emission_project_spark.plans.registry import register
 
 # the strong (support >= 2) co-purchase pair CTE shared with the
@@ -105,23 +105,43 @@ def _scored_both(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side pass scores both the full vector and its matryoshka
     prefix; no shuffle until the per-query top-k windows."""
     emb = load_table(spark, sf_dir, "embeddings")
+    # r13 opt (guide §1.2 "per-task work"): the norms and the truncated
+    # slice are per-ROW invariants — computing them inside the pair
+    # expression re-ran two l2 folds and two array slices per (vector,
+    # query) PAIR (interpreted higher-order functions, the hot term of
+    # this plan). Hoisting them below the cross join evaluates each
+    # once per row; the pair expression keeps the identical sequential
+    # dot fold and the identical n = ||a||·||b|| product, so every
+    # double is bit-equal to the old cosine_similarity() form (norm
+    # product, division, round — same ops, same order).
     q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("_q")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("_q"),
+        F.slice("embedding", 1, _TRUNC_DIM).alias("_qt"),
+        l2_norm("embedding").alias("_nq"),
+        l2_norm(F.slice("embedding", 1, _TRUNC_DIM)).alias("_nqt"),
     )
-    v = emb.select("vec_id", F.col("embedding").alias("_e"))
+    v = emb.select(
+        "vec_id",
+        F.col("embedding").alias("_e"),
+        F.slice("embedding", 1, _TRUNC_DIM).alias("_et"),
+        l2_norm("embedding").alias("_ne"),
+        l2_norm(F.slice("embedding", 1, _TRUNC_DIM)).alias("_net"),
+    )
+    full_n = F.col("_ne") * F.col("_nq")
+    trunc_n = F.col("_net") * F.col("_nqt")
     return (
         v.crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             "vec_id",
-            F.round(cosine_similarity("_e", "_q"), 6).alias("full_sim"),
-            F.round(
-                cosine_similarity(
-                    F.slice("_e", 1, _TRUNC_DIM), F.slice("_q", 1, _TRUNC_DIM)
-                ),
-                6,
-            ).alias("trunc_sim"),
+            F.round(F.when(full_n > 0, dot("_e", "_q") / full_n), 6).alias(
+                "full_sim"
+            ),
+            F.round(F.when(trunc_n > 0, dot("_et", "_qt") / trunc_n), 6).alias(
+                "trunc_sim"
+            ),
         )
     )
 
@@ -298,9 +318,12 @@ def stats_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     y = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    # r13 opt: cell_minrank consumes its histogram 3× (bounds probe,
+    # offsets, main relation) — checkpoint the distinct-value-sized
+    # cells so the events scan + aggregate run once, not three times
     cells = ev.groupBy("value").agg(
         F.count(F.lit(1)).alias("ties"), F.sum(y).alias("pos")
-    )
+    ).localCheckpoint(eager=False)
     r = cell_minrank(cells, "value", "ties", out_col="rmin")
     # rank-sum over positives folds from the cells: every positive in a
     # cell carries the same mid-rank rmin + (ties−1)/2
@@ -373,10 +396,26 @@ def stats_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem")
 
+    # r13 opt (guide §2.4 / §5): ONE fact scan, not three. The pair
+    # histogram is computed first; both per-column histograms are then
+    # AGGREGATED FROM IT (sum of pair counts per value ≡ the value's
+    # row count — exact integers, same cells, same ranks), instead of
+    # each re-scanning lineitem with its own groupBy. The pair table
+    # (3 narrow columns, one row per distinct value pair) is lazily
+    # checkpointed so its three consumers share one computation.
+    pairs = (
+        li.groupBy("l_quantity", "l_extendedprice")
+        .agg(F.count(F.lit(1)).cast("decimal(18,0)").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+
     def rank_map(col: str, out: str) -> DataFrame:
         """value → doubled average rank (exact integer), from the
-        column's distinct-value histogram."""
-        cells = li.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
+        column's distinct-value histogram (derived from the pair
+        table — no second fact scan)."""
+        cells = pairs.groupBy(col).agg(
+            F.sum("c").cast("long").alias("cnt")
+        )
         return cell_minrank(cells, col, "cnt").select(
             col,
             (2 * F.col("minrank") + F.col("cnt") - 1)
@@ -386,9 +425,6 @@ def stats_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # moments fold over the pre-aggregated pair table joined to the two
     # rank maps on their value keys — shuffle joins, no global sort
-    pairs = li.groupBy("l_quantity", "l_extendedprice").agg(
-        F.count(F.lit(1)).cast("decimal(18,0)").alias("c")
-    )
     r = pairs.join(rank_map("l_quantity", "rx"), "l_quantity").join(
         rank_map("l_extendedprice", "ry"), "l_extendedprice"
     )
@@ -638,12 +674,16 @@ def stats_jensen_shannon(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stats_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
+    # r13 opt: rev feeds row_position (which reads it 3×: bounds,
+    # offsets, main) plus the n_tot probe — checkpoint the
+    # customer-sized aggregate so the join + groupBy run once
     rev = (
         cust.join(
             orders, cust["c_custkey"] == orders["o_custkey"], "left"
         )
         .groupBy("c_custkey")
         .agg(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)).alias("x"))
+        .localCheckpoint(eager=False)
     )
     from emission_project_spark.functions.ranks import (
         ntile_from_position,
@@ -2730,9 +2770,10 @@ def stats_cliffs_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from emission_project_spark.functions.ranks import cell_minrank
 
     y = F.when(F.col("event_type") == "click", 1).otherwise(0)
+    # r13 opt: checkpoint the cells — cell_minrank reads them 3×
     cells = ev.groupBy("value").agg(
         F.count(F.lit(1)).alias("ties"), F.sum(y).alias("pos")
-    )
+    ).localCheckpoint(eager=False)
     r = cell_minrank(cells, "value", "ties", out_col="rmin")
     a = r.agg(
         F.sum("pos").alias("nc"),

@@ -8,6 +8,7 @@ signatures and simhash bits exactly checkable.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -3432,15 +3433,30 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms = ["spark", "join", "window"]
     k1, b = 1.2, 0.75
     docs = load_table(spark, sf_dir, "documents")
-    d = docs.select("doc_id", tokens(F.lower(F.col("text"))).alias("toks"))
-    t = d.select("doc_id", F.explode("toks").alias("term")).filter(
-        F.col("term").isin(terms)
-    )
+    # r13 opt: the tokenized corpus feeds FOUR consumers (tf and df_t
+    # through t, dl, the scalar stats) — each one re-scanned the
+    # parquet and re-ran the regex tokenizer (4 scans in the measured
+    # plan). The shared relation is checkpointed AFTER projecting to
+    # its NARROW per-doc form — token count + the query-term hits only
+    # (a handful of matches per doc), never the full token arrays: a
+    # first cut that materialized the whole tokenized corpus measured
+    # SLOWER than the 4 rescans it saved (the lsh_quality lesson —
+    # checkpoint narrow aggregates, not wide intermediates).
+    toks = tokens(F.lower(F.col("text")))
+    terms_arr = F.array(*[F.lit(x) for x in terms])
+    d = docs.select(
+        "doc_id",
+        F.size(toks).cast("double").alias("l"),
+        F.filter(toks, lambda x: F.array_contains(terms_arr, x)).alias(
+            "hits"
+        ),
+    ).localCheckpoint(eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK)
+    t = d.select("doc_id", F.explode("hits").alias("term"))
     tf = t.groupBy("doc_id", "term").agg(F.count(F.lit(1)).cast("double").alias("c"))
-    dl = d.select("doc_id", F.size("toks").cast("double").alias("l"))
+    dl = d.select("doc_id", "l")
     stats = d.agg(
         F.count(F.lit(1)).cast("double").alias("n"),
-        F.avg(F.size("toks")).alias("avgdl"),
+        F.avg(F.col("l")).alias("avgdl"),
     )
     df_t = t.groupBy("term").agg(F.countDistinct("doc_id").cast("double").alias("df"))
     idf = F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
@@ -3777,15 +3793,36 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    cand = minhash_lsh_candidates(docs).select("doc_a", "doc_b")
+    cand = minhash_lsh_candidates(docs).select(
+        "doc_a", "doc_b", F.lit(1).alias("_c")
+    )
+    # r13 opt: the exact-Jaccard subtree used to feed TWO consumers
+    # (the left-join precision arm and a separate n_true recall arm),
+    # so the static plan ran the whole capped-inverted-index pipeline
+    # twice (9 parquet scans, 0 ReusedExchange). A full-outer join of
+    # the candidate list with the scored pairs computes all three
+    # counts in ONE streamed pass — no second evaluation, and nothing
+    # materialized (a localCheckpoint of the threshold-0.0 pair
+    # relation was measured 3× SLOWER than the duplicate compute: the
+    # un-thresholded pair list is far bigger than the work it saves).
+    # Equivalences: scored has ≤1 row per pair (groupBy doc_a, doc_b),
+    # so the left join preserved cand's row count → count(_c); tp
+    # counted cand rows whose matched jaccard ≥ 0.5 → _c AND is_tp;
+    # n_true counted ALL scored rows with jaccard ≥ 0.5 → is_tp alone
+    # (jaccard is null exactly on the cand-only rows).
     scored = ngram_jaccard_pairs(docs, threshold=0.0)
     is_tp = F.col("jaccard") >= 0.5
-    c = cand.join(scored, ["doc_a", "doc_b"], "left").agg(
-        F.count(F.lit(1)).alias("n_candidates"),
-        F.coalesce(F.sum(F.when(is_tp, 1).otherwise(0)), F.lit(0)).alias("tp"),
+    both = cand.join(scored, ["doc_a", "doc_b"], "full_outer").agg(
+        F.coalesce(F.sum("_c"), F.lit(0)).alias("n_candidates"),
+        F.coalesce(
+            F.sum(F.when(F.col("_c").isNotNull() & is_tp, 1).otherwise(0)),
+            F.lit(0),
+        ).alias("tp"),
+        F.coalesce(F.sum(F.when(is_tp, 1).otherwise(0)), F.lit(0)).alias(
+            "n_true"
+        ),
     )
-    tr = scored.filter(is_tp).agg(F.count(F.lit(1)).alias("n_true"))
-    return c.crossJoin(tr).select(
+    return both.select(
         F.col("n_candidates").cast("bigint").alias("n_candidates"),
         F.col("n_true").cast("bigint").alias("n_true_pairs"),
         F.col("tp").cast("bigint").alias("true_positives"),

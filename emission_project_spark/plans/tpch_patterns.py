@@ -335,12 +335,18 @@ def join_q21_lone_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_supp = lines.groupBy("l_orderkey", "l_suppkey").agg(
         F.max("_late").alias("supp_late")
     )
-    per_order = per_supp.groupBy("l_orderkey").agg(
-        F.count(F.lit(1)).alias("n_supp"),
-        F.sum("supp_late").alias("n_late"),
-    )
+    from pyspark.sql import Window
+
+    # r13 opt (guide §2.4): the per-order totals are a WINDOW over
+    # per_supp, not a second aggregate joined back — the join form
+    # evaluated the whole lineitem⋈orders subtree twice (per_supp fed
+    # both the per_order aggregate and the join probe; 2 SortMergeJoin
+    # of the fact table in the static plan). One window partitioned by
+    # l_orderkey attaches the identical counts in a single evaluation.
+    worder = Window.partitionBy("l_orderkey")
     lone_late = (
-        per_supp.join(per_order, "l_orderkey")
+        per_supp.withColumn("n_supp", F.count(F.lit(1)).over(worder))
+        .withColumn("n_late", F.sum("supp_late").over(worder))
         .filter(
             (F.col("supp_late") == 1)
             & (F.col("n_supp") > 1)
