@@ -489,12 +489,21 @@ def winnow_fingerprints(
     for partial-overlap/plagiarism-style dedup (whole-doc md5 in
     ``text_fingerprint`` only catches full-document dupes).
 
-    Engine shape: one posexplode over gram positions (narrow), one
-    windowed MIN per doc with a [0, w-1] FOLLOWING row frame, one
-    distinct — all JVM-side. The argmin-with-rightmost-tie-break is one
-    integer MIN: ``gram_hash·2^20 + (2^20-1-pos)`` packs (hash asc,
-    pos desc) into a single orderable BIGINT that both Spark and the
-    DuckDB oracle minimize identically.
+    Engine shape (r13 opt, guide §2.4 "remove shuffles outright"): the
+    whole selection is a per-DOCUMENT computation, so it runs as one
+    zero-shuffle higher-order-function map — pack every gram into an
+    orderable BIGINT inside an array, slide the w-window with
+    array_min over slices, array_distinct per doc, explode. The
+    previous shape (posexplode → hash-partition(doc_id) window MIN →
+    global distinct) exchanged AND sorted one ~28-byte row per CHAR of
+    corpus twice; this shape exchanges nothing (``_spread`` only
+    repartitions the narrow doc rows for core balance). The
+    argmin-with-rightmost-tie-break is one integer MIN:
+    ``gram_hash·2^20 + (2^20-1-pos)`` packs (hash asc, pos desc) into
+    a single orderable BIGINT that both Spark and the DuckDB oracle
+    minimize identically — every md5/conv/pack expression is the same
+    sequence of ops as the windowed form, so the fingerprints are
+    bit-identical.
     """
     n_grams = F.length(text_col) - k + 1
     # pos packs into _POS_BITS bits below the hash; a doc with >= 2^20
@@ -503,40 +512,43 @@ def winnow_fingerprints(
     # The exclusion is observable — winnow_oversized_report counts the
     # affected docs for the same corpus; chunk multi-MB documents
     # upstream (~1M chars, k+w-2 overlap) if they must be fingerprinted.
-    grams = _spread(docs.filter((n_grams >= 1) & (n_grams < (1 << _POS_BITS)))).select(
+    base = _spread(docs.filter((n_grams >= 1) & (n_grams < (1 << _POS_BITS)))).select(
         F.col(id_col).alias("doc_id"),
         F.col(text_col).alias("_text"),
         n_grams.alias("_n"),
-        F.posexplode(F.sequence(F.lit(1), n_grams)).alias("_x", "pos"),
     )
-    h = F.conv(F.substring(F.md5(F.substring("_text", F.col("pos"), k)), 1, 7), 16, 10).cast(
-        "bigint"
-    )
-    packed = grams.select(
+    hi, mask = 1 << _POS_BITS, (1 << _POS_BITS) - 1
+    # The outer transform-over-1-element-array is a LET BINDING: it
+    # forces the packed-gram array to be evaluated once per row and
+    # bound to the lambda variable `pk`. Without it, CollapseProject
+    # inlines the array expression into the window lambda and every
+    # window start would recompute ALL n md5 hashes (O(n²) per doc).
+    # Window starts are 1..n-w+1 (full windows) plus the single
+    # truncated window at pos 1 for docs shorter than w grams —
+    # greatest(n-w+1, 1) covers both; least(w, n-s+1) truncates the
+    # short-doc slice exactly like the old row frame did.
+    fps = base.select(
         "doc_id",
-        "_n",
-        "pos",
-        (h * F.lit(1 << _POS_BITS) + (F.lit((1 << _POS_BITS) - 1) - F.col("pos"))).alias(
-            "_packed"
-        ),
+        F.expr(
+            f"transform(array(transform(sequence(1, _n), p -> "
+            f"cast(conv(substring(md5(substring(_text, p, {k})), 1, 7), 16, 10)"
+            f" as bigint) * {hi} + ({mask} - p))), "
+            f"pk -> array_distinct(transform("
+            f"sequence(1, greatest(_n - {window} + 1, 1)), "
+            f"s -> array_min(slice(pk, s, least({window}, _n - s + 1))))))[0]"
+        ).alias("_fps"),
     )
-    frame = (
-        Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, window - 1)
-    )
-    # only full windows select (window starts: pos <= n - w + 1); short
-    # docs (< w grams) contribute their single partial window at pos 1
-    sel = packed.withColumn("_win_min", F.min("_packed").over(frame)).filter(
-        (F.col("pos") <= F.col("_n") - window + 1) | (F.col("pos") == 1)
-    )
-    return (
-        sel.select(
-            "doc_id",
-            (F.lit((1 << _POS_BITS) - 1) - (F.col("_win_min") % F.lit(1 << _POS_BITS))).alias(
-                "pos"
-            ),
-            F.expr(f"_win_min div {1 << _POS_BITS}").alias("gram_hash"),
-        )
-        .distinct()
+    # explode_outer, NOT explode: plain explode makes the optimizer
+    # infer `size(_fps) > 0 AND isnotnull(_fps)` (InferFiltersFromGenerate)
+    # and push that filter below the repartition — duplicating the whole
+    # fingerprint computation twice more (measured 9× slower: two
+    # serial evaluations on the narrow pre-spread input). The filtered
+    # base guarantees _n ≥ 1, so _fps always has ≥ 1 element and the
+    # outer variant emits exactly the same rows.
+    return fps.select("doc_id", F.explode_outer("_fps").alias("_win_min")).select(
+        "doc_id",
+        (F.lit(mask) - (F.col("_win_min") % F.lit(hi))).alias("pos"),
+        F.expr(f"_win_min div {hi}").alias("gram_hash"),
     )
 
 
