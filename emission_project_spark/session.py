@@ -52,8 +52,20 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    # Deployment/experiment overrides without code edits: the
+    # ;-separated k=v list in $SPARK_GRAFT_EXTRA_CONF is applied LAST
+    # (after caller extra_conf), which is how a 100 TB submission sets
+    # cluster-shaped values (shuffle partition count, codec, AQE
+    # thresholds) over these local[N] defaults — and how
+    # tools/benchdiff.py --ab-run runs config A/Bs through its
+    # existing --env-old/--env-new plumbing.
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
+    env_conf = os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")
+    for kv in env_conf.split(";"):
+        if "=" in kv:
+            k, v = kv.split("=", 1)
+            builder = builder.config(k.strip(), v)
     return builder.getOrCreate()
 
 
