@@ -34,31 +34,6 @@ TESTDATA_TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-def parquet_num_rows(sf_dir: str, name: str) -> int | None:
-    """Row count of one testdata table from parquet FOOTER metadata —
-    zero Spark jobs (the `_parquet_column_range` discipline, ADVICE
-    r10). Used to gate scale-dependent join-strategy choices (r13:
-    SHUFFLE_HASH vs planner-free-to-broadcast) without an eager probe
-    job. Returns None when the footer cannot be read — callers keep
-    the small-scale plan."""
-    import pyarrow.parquet as pq
-
-    path = os.path.join(sf_dir, f"{name}.parquet")
-    try:
-        files = (
-            [
-                os.path.join(path, f)
-                for f in os.listdir(path)
-                if f.endswith(".parquet")
-            ]
-            if os.path.isdir(path)
-            else [path]
-        )
-        return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
-    except OSError:
-        return None
-
-
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table, normalizing physical quirks.
 

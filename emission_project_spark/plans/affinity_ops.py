@@ -25,7 +25,7 @@ from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from emission_project_spark.catalog.tables import load_table, parquet_num_rows
+from emission_project_spark.catalog.tables import load_table
 from emission_project_spark.functions.text import tokens
 from emission_project_spark.functions.vectors import cosine_similarity
 from emission_project_spark.plans.registry import register
@@ -37,24 +37,6 @@ from emission_project_spark.plans.registry import register
 # against the oracle at small SF — the branch otherwise only executes
 # at sf10+).
 TRIANGLE_REPART_EDGE_THRESHOLD = 20_000_000
-
-# Edge count above which the closure joins are hinted SHUFFLE_HASH
-# (r13 opt, guide §3.1): the probe side of each closure join is the
-# wedge-mass stream (edge rows with O(outdeg) adjacency arrays
-# attached — Σ outdeg·|array| bytes, 57 GB of sort spill at sf10 under
-# sort-merge), while the build side is the node-sized adjacency
-# relation whose per-partition slice is a few MB at any partition
-# sizing that keeps the probe side's tasks bounded. Shuffled-hash
-# streams the wedge mass without sorting it. Below this threshold the
-# join is left unhinted so AQE may broadcast an adjacency small enough
-# to fit (a SHUFFLE_HASH hint would forbid that better plan).
-TRIANGLE_SHJ_EDGE_THRESHOLD = 2_000_000
-
-# Corpus size above which dedup_jaccard_prefix_join hints its
-# verification joins SHUFFLE_HASH (see the comment at the call site).
-# Module-level so tests can force the branch at toy scale and hold it
-# to the same oracle.
-JACCARD_SHJ_DOC_THRESHOLD = 200_000
 
 
 def _parquet_column_range(sf_dir: str, table: str, column: str):
@@ -297,6 +279,15 @@ def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # at sf0.1/sf1, which an explicit repartition would forbid. Edge
     # count: the basket-sum upper bound computed above (Σ k(k−1)/2 —
     # measured ≥119.6M actual edges at sf10, tracks basket density).
+    # r13 join-strategy experiment, REVERTED: SHUFFLE_HASH hints on the
+    # adjacency build sides (SMJ→SHJ at sf10) were tried on the theory
+    # that the hash probe kills the sort spill. Measured: spill is NOT
+    # from the join sorts — eventlogged arms read 54.3 vs 56.9 GB mem
+    # spill (unchanged), shuffle 29.4 vs 28.6 GB (hint slightly WORSE),
+    # interleaved 3/side wall A/B WASH (plans/r13/ab/sf10_shj.log).
+    # With no mechanism and no win, a hint only forbids AQE's runtime
+    # choices and adds build-side OOM risk on skewed hot nodes, so the
+    # planner keeps its freedom.
     edges_uv = oriented.select(F.col("src").alias("u"), F.col("dst").alias("v"))
     # Both closure joins are INNER: an edge whose dst has no
     # out-neighbors (an orientation sink — the locally-maximal nodes)
@@ -305,15 +296,6 @@ def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bytes through the second shuffle. The final sum coalesces to 0
     # so a closure-free graph still reports 0 triangles (the oracle's
     # COUNT(*) = 0), not NULL.
-    # join strategy (guide §3.1): above TRIANGLE_SHJ_EDGE_THRESHOLD the
-    # adjacency build sides are hinted SHUFFLE_HASH — sort-merge sorted
-    # the array-attached wedge-mass stream (the 33 GB intermediate of
-    # join 2 at sf10; 57 GB of measured sort spill), which a hash probe
-    # never materializes in sort buffers. The build side is the
-    # adjacency relation: total bytes ≈ the edge list (Σ|ns| ids), so
-    # its per-partition hash map is edge_bytes/parts — a few MB at the
-    # edge-proportional sizing below, and what a 1000-executor
-    # submission bounds the same way.
     if n_edges > TRIANGLE_REPART_EDGE_THRESHOLD:
         parts = max(
             int(spark.conf.get("spark.sql.shuffle.partitions")),
@@ -321,14 +303,9 @@ def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         closed = (
             edges_uv.repartition(parts, "v")
-            .join(adj_v.repartition(parts, "v").hint("shuffle_hash"), "v")
+            .join(adj_v.repartition(parts, "v"), "v")
             .repartition(parts, "u")
-            .join(adj_u.repartition(parts, "u").hint("shuffle_hash"), "u")
-        )
-    elif n_edges > TRIANGLE_SHJ_EDGE_THRESHOLD:
-        closed = (
-            edges_uv.join(adj_v.hint("shuffle_hash"), "v")
-            .join(adj_u.hint("shuffle_hash"), "u")
+            .join(adj_u.repartition(parts, "u"), "u")
         )
     else:
         closed = edges_uv.join(adj_v, "v").join(adj_u, "u")
@@ -641,24 +618,15 @@ def dedup_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
-    # verify candidates exactly: one array_intersect per pair
+    # verify candidates exactly: one array_intersect per pair.
+    # r13 join-strategy experiment, REVERTED: SHUFFLE_HASH hints on
+    # cand/sets_b (6 SMJ → 4 SHJ at sf10) measured byte-identical
+    # shuffle AND spill on eventlogged arms (3651.5 MB / 4026.5 MB
+    # both) with wall ×0.95 against (plans/r13/ab/sf10_shj.log) — the
+    # sort the hint removes is not where this plan's cost lives, so
+    # the hint only pinned the planner. Left unhinted.
     sets_a = ranked.select(F.col("doc_id").alias("doc_a"), F.col("rks").alias("ra"), F.col("n").alias("na"))
     sets_b = ranked.select(F.col("doc_id").alias("doc_b"), F.col("rks").alias("rb"), F.col("n").alias("nb"))
-    # r13 opt (guide §3.1): above the corpus-size gate the verification
-    # joins are hinted SHUFFLE_HASH — at sf10 the static plan runs both
-    # as SortMergeJoin, sorting the rank-array relation (join 1) and
-    # the array-ATTACHED candidate stream (join 2, the widest relation
-    # in the plan) on every run. Build sides: the candidate PAIR list
-    # (two ints/row) in join 1, the per-partition slice of the ranked
-    # arrays in join 2 — both the smaller side of their join at scale.
-    # The gate sits ABOVE the driver SFs (≤50k docs), where the
-    # planner's estimates already pick broadcast and a hint would only
-    # forbid the better plan; at 200k+ docs the array relation outgrows
-    # any broadcast and the choice is SMJ-with-sorts vs hash-probe.
-    n_docs = parquet_num_rows(sf_dir, "documents")
-    if n_docs is not None and n_docs >= JACCARD_SHJ_DOC_THRESHOLD:
-        cand = cand.hint("shuffle_hash")
-        sets_b = sets_b.hint("shuffle_hash")
     verified = (
         cand.join(sets_a, "doc_a")
         .join(sets_b, "doc_b")

@@ -226,30 +226,6 @@ def test_prefix_join_finds_only_planted_pair(spark, aff_dir):
     assert rows[0]["jaccard"] == round(7 / 9, 6)
 
 
-def test_prefix_join_shj_branch_oracle_parity(spark, aff_dir, monkeypatch):
-    """Force the large-corpus verification path (SHUFFLE_HASH-hinted
-    candidate list + ranked-array build sides, r13 opt) at toy scale
-    and hold it to the same all-pairs DuckDB oracle — that branch
-    otherwise only executes at 200k+ documents."""
-    from emission_project_spark.plans import affinity_ops
-
-    monkeypatch.setattr(affinity_ops, "JACCARD_SHJ_DOC_THRESHOLD", 0)
-    sys.path.insert(0, _REPO)
-    import __spark_entry__ as entrymod
-
-    name = "dedup_jaccard_prefix_join"
-    fn, sql = entrymod.queries()[name], entrymod.oracle_sql()[name]
-    con = duckdb.connect()
-    for t in ("lineitem", "documents", "events", "embeddings"):
-        con.sql(
-            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{aff_dir}/{t}.parquet'"
-        )
-    r = _compare.compare_query(spark, con, name, fn, sql, aff_dir)
-    assert "error" not in r, r
-    assert r.get("cols_match") and r.get("values_match"), r
-    assert r["spark_rows"] == r["oracle_rows"], r
-
-
 def test_pmi_planted_collocation_ranks_first(spark, aff_dir):
     sys.path.insert(0, _REPO)
     import __spark_entry__ as entrymod

@@ -239,28 +239,6 @@ def test_triangle_repartitioned_branch_oracle_parity(spark, graph_dir, monkeypat
     _triangle_parity(spark, graph_dir)
 
 
-def test_triangle_shj_branch_oracle_parity(spark, graph_dir, monkeypatch):
-    """Force the mid-scale closure path (SHUFFLE_HASH-hinted adjacency
-    build sides, r13 opt) at toy scale and hold it to the same DuckDB
-    oracle — that branch otherwise only executes between the SHJ and
-    repartition edge thresholds (sf1-ish graphs)."""
-    from emission_project_spark.plans import affinity_ops
-
-    monkeypatch.setattr(affinity_ops, "TRIANGLE_SHJ_EDGE_THRESHOLD", 0)
-    _triangle_parity(spark, graph_dir)
-
-
-def test_triangle_repart_shj_branch_oracle_parity(spark, graph_dir, monkeypatch):
-    """Force the large-scale closure path (edge-proportional repartition
-    + SHUFFLE_HASH-hinted adjacency build sides, r13 opt) at toy scale
-    and hold it to the same DuckDB oracle."""
-    from emission_project_spark.plans import affinity_ops
-
-    monkeypatch.setattr(affinity_ops, "TRIANGLE_REPART_EDGE_THRESHOLD", 0)
-    monkeypatch.setattr(affinity_ops, "TRIANGLE_SHJ_EDGE_THRESHOLD", 0)
-    _triangle_parity(spark, graph_dir)
-
-
 def test_pagerank_output_schema_width_independent(spark, graph_dir):
     """graph_pagerank_parts rides int-width ids internally (the
     copurchase int_ids path) but its OUTPUT schema is part of the
