@@ -396,26 +396,20 @@ def stats_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem")
 
-    # r13 opt (guide §2.4 / §5): ONE fact scan, not three. The pair
-    # histogram is computed first; both per-column histograms are then
-    # AGGREGATED FROM IT (sum of pair counts per value ≡ the value's
-    # row count — exact integers, same cells, same ranks), instead of
-    # each re-scanning lineitem with its own groupBy. The pair table
-    # (3 narrow columns, one row per distinct value pair) is lazily
-    # checkpointed so its three consumers share one computation.
-    pairs = (
-        li.groupBy("l_quantity", "l_extendedprice")
-        .agg(F.count(F.lit(1)).cast("decimal(18,0)").alias("c"))
-        .localCheckpoint(eager=False)
-    )
-
+    # r13 experiment, REVERTED: deriving both per-column histograms
+    # from a lazily-checkpointed pair histogram ("one fact scan, not
+    # three") measured SLOWER at both SFs (sf0.1 1.92→3.08 s in a
+    # 0.2%-steal window, benchdiff norm ×1.79; sf1 fresh-JVM A/B old
+    # 11.96 vs new 13.50 s, ranges disjoint — plans/r13/ab/batch2.log).
+    # Mechanism: l_extendedprice is near-unique, so the (quantity,
+    # price) pair table is FACT-sized — the checkpoint materializes a
+    # fact-sized relation, while the "three scans" it saves are cheap
+    # 2-column columnar reads feeding tiny aggregates. The narrow-
+    # aggregates-only checkpoint rule applies; the 3-scan form stands.
     def rank_map(col: str, out: str) -> DataFrame:
         """value → doubled average rank (exact integer), from the
-        column's distinct-value histogram (derived from the pair
-        table — no second fact scan)."""
-        cells = pairs.groupBy(col).agg(
-            F.sum("c").cast("long").alias("cnt")
-        )
+        column's distinct-value histogram."""
+        cells = li.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
         return cell_minrank(cells, col, "cnt").select(
             col,
             (2 * F.col("minrank") + F.col("cnt") - 1)
@@ -425,6 +419,9 @@ def stats_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # moments fold over the pre-aggregated pair table joined to the two
     # rank maps on their value keys — shuffle joins, no global sort
+    pairs = li.groupBy("l_quantity", "l_extendedprice").agg(
+        F.count(F.lit(1)).cast("decimal(18,0)").alias("c")
+    )
     r = pairs.join(rank_map("l_quantity", "rx"), "l_quantity").join(
         rank_map("l_extendedprice", "ry"), "l_extendedprice"
     )
