@@ -107,6 +107,7 @@ def assign_clusters_blas(vecs: DataFrame, centroids: DataFrame) -> DataFrame:
         k = len(cids)
         dot = np.empty((0, k))
         d2b = np.empty((0, k))
+        xbuf = np.empty((0, 0))
         for pdf in batches:
             n = len(pdf)
             if not n:
@@ -114,7 +115,12 @@ def assign_clusters_blas(vecs: DataFrame, centroids: DataFrame) -> DataFrame:
             if n > dot.shape[0]:
                 dot = np.empty((n, k))
                 d2b = np.empty((n, k))
-            x = np.array(pdf["e"].tolist(), dtype=np.float64)
+            rows = pdf["e"].tolist()
+            if n > xbuf.shape[0]:
+                xbuf = np.empty((n, len(rows[0])))
+            # r14: Arrow ingest through the hoisted buffer too — the
+            # last fresh (n, d) allocation this kernel made per batch
+            x = np.stack(rows, out=xbuf[:n])
             db, sb = dot[:n], d2b[:n]
             np.dot(x, cmat.T, out=db)
             db *= 2.0  # exact ×2: bit-identical to 2.0 * (x @ cmat.T)

@@ -127,14 +127,22 @@ def pq_encode(
         # two, bit-identical to the old (−2·x)·Cᵀ fold (pinned by a
         # ragged-batch test).
         d2 = np.empty((0, ksub))
+        xbuf = np.empty((0, 0))
         for pdf in batches:
             if not len(pdf):
                 continue
-            x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            if len(x) > d2.shape[0]:
-                d2 = np.empty((len(x), ksub))
-            db = d2[: len(x)]
-            codes = np.empty((len(x), m), dtype=np.int32)
+            rows = pdf[vec_col].to_numpy()
+            n = len(rows)
+            if n > xbuf.shape[0]:
+                xbuf = np.empty((n, len(rows[0])))
+            # r14: stack straight into the hoisted float64 buffer —
+            # the old stack(f32)+astype(f64) pair allocated two fresh
+            # (n, dim) matrices per batch; widening is exact either way
+            x = np.stack(rows, out=xbuf[:n])
+            if n > d2.shape[0]:
+                d2 = np.empty((n, ksub))
+            db = d2[:n]
+            codes = np.empty((n, m), dtype=np.int32)
             for sub in range(m):
                 xs = x[:, sub * dsub : (sub + 1) * dsub]
                 # ||x-c||² = ||x||² - 2x·c + ||c||²; ||x||² constant per row

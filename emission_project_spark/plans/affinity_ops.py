@@ -599,22 +599,54 @@ def dedup_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("n", F.size("rks"))
         .localCheckpoint(eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK)
     )
-    # prefix = the n - ceil(τ·n) + 1 rarest shingles
+    # prefix = the n - ceil(τ·n) + 1 rarest shingles, WITH each one's
+    # 1-based position in the doc's rank-sorted array (posexplode on a
+    # leading slice preserves positions). The position feeds the
+    # PPJoin+ positional filter below (r13 verdict task #1).
     prefix_len = (F.col("n") - F.ceil(F.lit(tau) * F.col("n")) + 1).cast("int")
     pfx = ranked.select(
-        "doc_id", "n", F.explode(F.slice("rks", 1, prefix_len)).alias("rk")
+        "doc_id",
+        "n",
+        F.posexplode(F.slice("rks", 1, prefix_len)).alias("p0", "rk"),
     )
     a = pfx.select(
-        F.col("doc_id").alias("doc_a"), F.col("n").alias("na"), "rk"
+        F.col("doc_id").alias("doc_a"), F.col("n").alias("na"),
+        (F.col("p0") + 1).alias("pa"), "rk",
     )
     b = pfx.select(
-        F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"), "rk"
+        F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"),
+        (F.col("p0") + 1).alias("pb"), "rk",
+    )
+    # POSITIONAL filter (PPJoin+ family, Xiao et al. WWW'08): both rks
+    # arrays are sorted by the SAME global rank order, so the common
+    # tokens of A and B interleave monotonically — a shared token at
+    # 1-based positions (pa, pb) bounds the overlap by
+    #   min(pa−1, pb−1) + 1 + min(na−pa, nb−pb)
+    # (common tokens strictly before it in A are also before it in B,
+    # and symmetrically after). Jaccard ≥ τ requires overlap ≥
+    # τ/(1+τ)·(na+nb); an integer bound u clears that ceiling iff
+    # u·(1+τ) ≥ τ·(na+nb) (exact in doubles for τ=0.5 — all values are
+    # halves of exact integers). LOSSLESS: for a qualifying pair the
+    # true overlap is ≤ every match's bound, so every shared prefix
+    # token row survives; only pairs that can no longer reach τ die.
+    # They die BEFORE the distinct exchange and the array-attached
+    # verification joins — which is where the sf10 cost lives
+    # (within-bucket candidate generation held n^1.03 at 175-203 s
+    # through r12/r13).
+    ubound = (
+        F.least(F.col("pa") - 1, F.col("pb") - 1)
+        + 1
+        + F.least(F.col("na") - F.col("pa"), F.col("nb") - F.col("pb"))
     )
     cand = (
         a.join(b, "rk")
         .filter(F.col("doc_a") < F.col("doc_b"))
         # length filter: Jaccard ≥ τ ⟹ min(n) ≥ τ·max(n)
         .filter(F.least("na", "nb") >= tau * F.greatest("na", "nb"))
+        .filter(
+            ubound.cast("double") * (1.0 + tau)
+            >= tau * (F.col("na") + F.col("nb"))
+        )
         .select("doc_a", "doc_b")
         .distinct()
     )

@@ -208,25 +208,40 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     from emission_project_spark.functions.ranks import (
         ntile_from_position,
         row_position,
+        shared_bounds,
     )
 
+    # r14 opt: the three rank calls each ran their own [min, max]
+    # bounds aggregate over u — three scans computing what ONE pass
+    # can (ranks.shared_bounds): one scan, one 1-row broadcast sliced
+    # per metric, identical bucket bounds → bit-identical ranks.
+    bnds = shared_bounds(
+        u,
+        {"r": F.col("rec_days"), "f": -F.col("freq"), "m": -F.col("mon")},
+    )
     pr = row_position(
         u.select("user_id", "rec_days"),
         [F.col("rec_days").asc(), F.col("user_id").asc()],
         F.col("rec_days"),
         out_col="ir",
+        bounds=bnds,
+        bounds_key="r",
     ).select("user_id", "ir")
     pf = row_position(
         u.select("user_id", "freq"),
         [F.col("freq").desc(), F.col("user_id").asc()],
         -F.col("freq"),
         out_col="if_",
+        bounds=bnds,
+        bounds_key="f",
     ).select("user_id", "if_")
     pm = row_position(
         u.select("user_id", "mon"),
         [F.col("mon").desc(), F.col("user_id").asc()],
         -F.col("mon"),
         out_col="im",
+        bounds=bnds,
+        bounds_key="m",
     ).select("user_id", "im")
     ranked = pr.join(pf, "user_id").join(pm, "user_id")
     n_tot = u.agg(F.count(F.lit(1)).alias("n_tot"))

@@ -1734,18 +1734,31 @@ def embedding_hubness_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         # hoisted (n, |sample|) buffer instead of three fresh matrices
         # per batch — fresh-anon first-touch is the slow path on this
         # host (SCALING.md round 12). Op order unchanged → bit-identical.
+        # r14 (verdict task #4): the two residual per-batch (n, ·)
+        # allocations go too — the Arrow INGEST stacks into a hoisted
+        # (n, dim) buffer (float32→float64 widening is exact either
+        # way), and the argsort temp -s becomes an in-place negation
+        # (stable ASC argsort of -s ≡ the old argsort(-s) bitwise; s is
+        # dead after). The argsort INDEX matrix itself stays: numpy has
+        # no out= for argsort, and argpartition's unstable tie handling
+        # would change which of the round(6)-tied neighbors is kept.
         sbuf = np.empty((0, len(sids)))
+        vbuf = np.empty((0, 0))
         for pdf in batches:
             if not len(pdf):
                 continue
-            v = np.array(list(pdf["embedding"]), dtype=np.float64)
+            emb_rows = list(pdf["embedding"])
+            n = len(emb_rows)
+            if n > vbuf.shape[0]:
+                vbuf = np.empty((n, len(emb_rows[0])))
+            v = np.stack(emb_rows, out=vbuf[:n])
             ids = pdf["vec_id"].to_numpy(dtype=np.int64)
             nrm = np.linalg.norm(v, axis=1)
             zsrc = nrm == 0
             nrm[zsrc] = np.inf
-            if len(v) > sbuf.shape[0]:
-                sbuf = np.empty((len(v), len(sids)))
-            s = sbuf[: len(v)]
+            if n > sbuf.shape[0]:
+                sbuf = np.empty((n, len(sids)))
+            s = sbuf[:n]
             np.divide(v, nrm[:, None], out=v)
             np.dot(v, smat.T, out=s)
             np.round(s, 6, out=s)
@@ -1754,7 +1767,8 @@ def embedding_hubness_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             # every src (→ ordered last, still eligible)
             s[zsrc, :] = -np.inf
             s[:, zero_dst] = -np.inf
-            order = np.argsort(-s, axis=1, kind="stable")[:, : k_nn + 1]
+            np.negative(s, out=s)
+            order = np.argsort(s, axis=1, kind="stable")[:, : k_nn + 1]
             srcs: list[int] = []
             dsts: list[int] = []
             for i in range(len(ids)):
@@ -1973,18 +1987,27 @@ def embedding_hubness_ivf(
         def assign(batches):
             # reused-buffer discipline (round 13): in-place normalize +
             # one hoisted (n, nc) score buffer, same op order →
-            # bit-identical (SCALING.md round 12 fresh-anon-page mode)
+            # bit-identical (SCALING.md round 12 fresh-anon-page mode).
+            # r14 (verdict task #4): the Arrow ingest now stacks into a
+            # hoisted (n, dim) buffer too — the last per-batch (n, ·)
+            # allocation in this kernel (float32→float64 widening is
+            # exact in both forms).
             sbuf = np.empty((0, cmat.shape[0]))
+            vbuf = np.empty((0, 0))
             for pdf in batches:
                 if not len(pdf):
                     continue
-                v = np.array(list(pdf["embedding"]), dtype=np.float64)
+                emb_rows = list(pdf["embedding"])
+                n = len(emb_rows)
+                if n > vbuf.shape[0]:
+                    vbuf = np.empty((n, len(emb_rows[0])))
+                v = np.stack(emb_rows, out=vbuf[:n])
                 nrm = np.linalg.norm(v, axis=1)
                 zsrc = nrm == 0
                 nrm[zsrc] = np.inf  # zero-norm vector row → scores 0
-                if len(v) > sbuf.shape[0]:
-                    sbuf = np.empty((len(v), cmat.shape[0]))
-                s = sbuf[: len(v)]
+                if n > sbuf.shape[0]:
+                    sbuf = np.empty((n, cmat.shape[0]))
+                s = sbuf[:n]
                 np.divide(v, nrm[:, None], out=v)
                 np.dot(v, cmat.T, out=s)
                 np.round(s, 6, out=s)
@@ -2018,6 +2041,11 @@ def embedding_hubness_ivf(
         m = len(ids)
         if m < 2:
             return pd.DataFrame({"src": ids[:0], "dst": ids[:0]})
+        # per-cell ingest stays a fresh (m, dim) matrix: applyInPandas
+        # calls this once per GROUP (no batch loop to hoist across) and
+        # mat must outlive the whole chunk loop as the GEMM's right
+        # operand — unlike the mapInPandas kernels there is no dead
+        # buffer to reuse (r14 audit, verdict task #4)
         mat = np.array(list(pdf["embedding"]), dtype=np.float64)
         nrm = np.linalg.norm(mat, axis=1)
         nrm[nrm == 0] = np.inf
@@ -2039,7 +2067,11 @@ def embedding_hubness_ivf(
             zdst = np.isinf(nrm)
             s[zsrc, :] = -np.inf
             s[:, zdst] = -np.inf
-            order = np.argsort(-s, axis=1, kind="stable")[:, : k_nn + 1]
+            # r14: in-place negation + ASC stable argsort ≡ the old
+            # argsort(-s) bitwise, minus one fresh (chunk, m) temp per
+            # chunk (s is dead after; verdict task #4)
+            np.negative(s, out=s)
+            order = np.argsort(s, axis=1, kind="stable")[:, : k_nn + 1]
             for i in range(hi - lo):
                 src = ids[lo + i]
                 kept = [ids[j] for j in order[i] if ids[j] != src][:k_nn]
@@ -2134,10 +2166,16 @@ def _ivf_assign_sharded(emb: DataFrame, nc: int, cap: int) -> DataFrame:
             # op order → bit-identical (SCALING.md round 12
             # fresh-anon-page mode)
             bufs: dict[int, np.ndarray] = {}
+            vbuf = np.empty((0, 0))
             for pdf in batches:
                 if not len(pdf):
                     continue
-                v = np.array(list(pdf["embedding"]), dtype=np.float64)
+                emb_rows = list(pdf["embedding"])
+                if len(emb_rows) > vbuf.shape[0]:
+                    vbuf = np.empty((len(emb_rows), len(emb_rows[0])))
+                # r14: hoisted Arrow-ingest buffer (verdict task #4) —
+                # float32→float64 widening is exact in both forms
+                v = np.stack(emb_rows, out=vbuf[: len(emb_rows)])
                 nrm = np.linalg.norm(v, axis=1)
                 zsrc = nrm == 0
                 nrm[zsrc] = np.inf

@@ -36,78 +36,73 @@ def register(name: str, oracle: str | None = None):
 
 
 # The driver's correctness artifact covers the first 50 registered
-# queries. Window policy (round 13, per the round-12 verdict task #1):
-# drain r7 to zero, oldest-first —
-# (a) ALL 22 rows whose latest driver row is r7 (alphabetical,
-#     fk_orphan_check .. winnow_oversized_report);
-# (b) the 25 oldest r8 rows (alphabetical,
-#     anti_join_customers_without_orders .. similarity_ndcg_at_k); the
-#     18 r8 leftovers (similarity_recall_at_k ..) lead the r14 rotation;
-# (c) net-new 2 of the sanctioned <=3: the last pytest-only warehouse
-#     corners gaining oracle rows (merged-schema evolution scan +
-#     small-files census, r12 verdict task #5);
-# (d) re-verify 1: warehouse_compact_clustered changed this round (the
-#     files_reduced boolean became a deterministic files_before/
-#     files_after count pair, r12 ADVICE #4) — a changed query gets a
-#     fresh driver row rather than standing on its r12 hash.
-# 22 + 25 + 2 + 1 = 50. After this round no query's latest driver row
-# is older than r8 (histogram via `python -m emission_project_spark
-# ledger`). (tests/test_queries_smoke.py pins name resolution.)
+# queries. Window policy (round 14, continuing the r12 verdict task #1
+# oldest-first drain; r13 verdict task #7): no ledger row older than r9
+# after this round —
+# (a) ALL 18 rows whose latest driver row is r8 (alphabetical,
+#     similarity_recall_at_k .. window_running_total) — r8 drained;
+# (b) the 32 oldest r9 rows (alphabetical, cast_and_dateparts ..
+#     stats_brown_forsythe); the 15 r9 leftovers lead the r15 rotation;
+# (c) no net-new rows: round 13 gave the last pytest-only corners their
+#     oracle rows, and no round-14 query changed its declared OUTPUT
+#     (every r14 optimization is result-identical and pinned by the
+#     existing hashes — scd2/rfm/jaccard/hubness all re-verified against
+#     the oracle at 3 SFs this round, see OPTIMIZATION_r14.md).
+# 18 + 32 = 50. Histogram via `python -m emission_project_spark ledger`.
+# (tests/test_queries_smoke.py pins name resolution.)
 _PRIORITY: list[str] = [
-    # -- (a) the full r7 tail: drained to zero this round (22) -------------
-    "fk_orphan_check",
-    "graph_adamic_adar_top",
-    "graph_kcore_peel",
-    "privacy_k_anonymity_customers",
-    "privacy_l_diversity_customers",
-    "similarity_bruteforce_topk",
-    "similarity_centroid_confusion",
-    "similarity_ivf_kmeans_topk",
-    "similarity_mmr_rerank",
-    "similarity_range_search",
-    "sketch_f2_selfjoin_events",
-    "stats_classifier_calibration",
-    "stats_cramers_v_priority_segment",
-    "stats_mutual_info_priority_segment",
-    "stream_dedup_watermark_batch",
-    "stream_psi_drift_batch",
-    "text_hash_feature_buckets",
-    "text_langid_confusion",
-    "text_pmi_collocations",
-    "text_rake_keywords",
-    "text_winnow_fingerprints",
-    "winnow_oversized_report",
-    # -- (b) the 25 oldest r8 rows (alphabetical) --------------------------
-    "anti_join_customers_without_orders",
-    "array_higher_order_fns",
-    "asof_join_clicks_purchases",
-    "dedup_subset_deterministic",
-    "embedding_centroid_distances",
-    "embedding_pca_project",
-    "events_interarrival_burstiness",
-    "events_json_extract",
-    "events_mann_kendall_trend",
-    "events_path_topk",
-    "events_sessionize",
-    "events_sliding_30m15m",
-    "events_tumbling_hourly",
-    "group_rollup_brand",
-    "group_rollup_supplier",
-    "incremental_insert_orders",
-    "multimodal_phash_pairs",
-    "nullsafe_join_match",
-    "regex_extract_long_words",
-    "role_playing_nation_join",
-    "rollup_cube_status_priority",
-    "rollup_grouping_sets",
-    "rollup_pricing_summary",
-    "set_ops_intersect_except",
-    "similarity_ndcg_at_k",
-    # -- (c) net-new (2): last pytest-only warehouse corners ---------------
-    "warehouse_schema_evolution",
-    "warehouse_files_census",
-    # -- (d) re-verify (1): output schema changed this round ---------------
-    "warehouse_compact_clustered",
+    # -- (a) the 18 r8 leftovers: r8 drained to zero this round -----------
+    "similarity_recall_at_k",
+    "skew_salted_join_mktsegment",
+    "skew_salted_rollup_events",
+    "stats_benford_first_digit",
+    "stats_cohens_kappa",
+    "stats_jensen_shannon",
+    "stats_theil_index",
+    "stream_attribution_batch",
+    "text_fingerprint",
+    "text_kneser_ney_bigrams",
+    "text_langid",
+    "text_quality_score",
+    "text_source_diversity",
+    "text_token_count",
+    "topk_orders_by_price",
+    "upsert_customer_balances",
+    "window_rank_top3_per_priority",
+    "window_running_total",
+    # -- (b) the 32 oldest r9 rows (alphabetical) --------------------------
+    "cast_and_dateparts",
+    "count_probe",
+    "curation_length_percentiles",
+    "curation_profile_documents",
+    "curation_quality_filter",
+    "curation_stratified_sample",
+    "curation_tfidf_top_terms",
+    "date_dim_generate",
+    "date_id_smart_key",
+    "dedup_cluster_components",
+    "dedup_embedding_cosine",
+    "dedup_keep_canonical",
+    "derived_measure",
+    "dim_fk_resolve",
+    "distinct_count_customers",
+    "embedding_stats",
+    "events_bot_score",
+    "events_conversion_delay_percentiles",
+    "events_dau_mau_stickiness",
+    "events_rfm_segments",
+    "filter_predicate",
+    "graph_neighbor_jaccard_top",
+    "multimodal_binary_meta",
+    "multimodal_extract_features",
+    "multimodal_frame_sample",
+    "multimodal_resize",
+    "privacy_t_closeness_customers",
+    "projection_rename",
+    "range_join_signup_errors",
+    "similarity_ivf_topk",
+    "sql_gateway_rollup",
+    "stats_brown_forsythe",
 ]
 
 

@@ -457,3 +457,73 @@ def test_hash_buckets_conserve_mass(spark, aff_dir):
     assert abs(sum(r["mass_share"] for r in rows) - 1.0) < 1e-4
     # every bucket's distinct count is bounded by its occupancy
     assert all(r["n_distinct"] <= r["n_tokens"] for r in rows)
+
+
+def test_prefix_join_positional_filter_lossless_randomized(spark, tmp_path):
+    """r14 (PPJoin+ positional filter): the exact result on a random
+    overlapping corpus must equal the brute-force all-pairs Jaccard —
+    any false negative introduced by the positional upper bound (the
+    filter it gates candidates with BEFORE verification) would drop a
+    pair here. Vocabulary is small so docs share many shingles, sizes
+    straddle the τ length ratio, and near-threshold pairs exist."""
+    import itertools
+    import random
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    sys.path.insert(0, _REPO)
+    import __spark_entry__ as entrymod
+
+    rng = random.Random(1414)
+    vocab = [f"w{i}" for i in range(18)]
+    docs = []
+    for d in range(48):
+        n = rng.randrange(6, 16)
+        docs.append((d, " ".join(rng.choice(vocab) for _ in range(n))))
+    # plus guaranteed near-duplicates (high-J pairs the filter must keep)
+    base = [rng.choice(vocab) for _ in range(14)]
+    docs.append((100, " ".join(base)))
+    docs.append((101, " ".join(base[:13] + [rng.choice(vocab)])))
+    docs.append((102, " ".join(base)))
+
+    d = tmp_path / "pp"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([x[0] for x in docs], pa.int64()),
+                "text": pa.array([x[1] for x in docs]),
+                "lang": pa.array(["en"] * len(docs)),
+                "source": pa.array(["t"] * len(docs)),
+                "n_chars": pa.array(
+                    [len(x[1]) for x in docs], pa.int64()
+                ),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+
+    def shingles(text):
+        toks = text.lower().split()
+        if len(toks) < 5:
+            return set()
+        return {" ".join(toks[i : i + 5]) for i in range(len(toks) - 4)}
+
+    sh = {i: shingles(t) for i, t in docs}
+    want = {}
+    for a, b in itertools.combinations(sorted(sh), 2):
+        inter = len(sh[a] & sh[b])
+        if not inter:
+            continue
+        j = inter / (len(sh[a]) + len(sh[b]) - inter)
+        if j >= 0.5:
+            want[(a, b)] = (inter, round(j, 6))
+
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["n_common"], r["jaccard"])
+        for r in entrymod.queries()["dedup_jaccard_prefix_join"](
+            spark, str(d)
+        ).collect()
+    }
+    assert got == want and want  # non-vacuous: the corpus has true pairs

@@ -185,3 +185,43 @@ def test_no_datasized_global_window_in_plan(spark):
         groups = [g for g in m.groups() if g is not None]
         if len(groups) == 2:  # spec = [exprs], [order] → partition-less
             assert "__bt" in m.group(0) or "__b" in m.group(0)
+
+
+def test_shared_bounds_matches_per_call_bounds(spark):
+    """r14: a shared_bounds relation must produce bit-identical
+    positions to per-call bounds for every metric it fuses — ascending,
+    descending (negated bucket expr), and a NaN-carrying column (the
+    finite-[min,max] rule must survive the fusion)."""
+    from emission_project_spark.functions.ranks import shared_bounds
+
+    rng = random.Random(21)
+    rows = [
+        Row(
+            k=i,
+            a=rng.choice([1.0, 2.0, 3.0, 9.0]),
+            b=float(rng.randrange(100)),
+            c=float("nan") if i % 7 == 0 else float(i % 13),
+        )
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows)
+    bnds = shared_bounds(
+        df, {"a": F.col("a"), "b": -F.col("b"), "c": F.col("c")}
+    )
+    cases = [
+        ("a", [F.col("a").asc(), F.col("k").asc()], F.col("a")),
+        ("b", [F.col("b").desc(), F.col("k").asc()], -F.col("b")),
+        ("c", [F.col("c").asc(), F.col("k").asc()], F.col("c")),
+    ]
+    for key, order, bucket in cases:
+        base = {
+            r["k"]: r["i"]
+            for r in row_position(df, order, bucket, n_buckets=8).collect()
+        }
+        fused = {
+            r["k"]: r["i"]
+            for r in row_position(
+                df, order, bucket, n_buckets=8, bounds=bnds, bounds_key=key
+            ).collect()
+        }
+        assert fused == base, f"metric {key} diverged under shared bounds"
