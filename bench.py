@@ -319,12 +319,21 @@ SF10_EXPECTED_BANDS = {
     # rewrite landed since), padded ~10-15% past the measured envelope.
     # A breach points first at mem_fault_gbps / section steal in the
     # same record, then at the plan.
-    "dedup_jaccard_prefix_join": (150.0, 200.0),   # 165.9-180.3, r10-r12
+    # r14 REBASED BANDS (code change, not adjudication — the plan under
+    # the old bands no longer exists): dedup_jaccard_prefix_join after
+    # spread_input + ranks.global_row_number measured 53.1-66.5 s
+    # (interleaved 3/side vs 8690c80, disjoint, x3.40 median —
+    # plans/r14/ab/spread_input_sf10.log); text_bigram_perplexity after
+    # spread_input 23.1-31.6 s (x2.54, disjoint, same log);
+    # embedding_hubness_ivf after spread_input 12.4-13.5 s (x1.28,
+    # disjoint) — its upper edge keeps degraded-window headroom (the
+    # r12/r13 fault-mode flips hit this query hardest).
+    "dedup_jaccard_prefix_join": (45.0, 85.0),
     "graph_pagerank_parts": (85.0, 125.0),          # 95.9-108.8, r9-r12
-    "embedding_hubness_ivf": (15.0, 25.0),          # 17.4-20.4, r9-r12
+    "embedding_hubness_ivf": (10.0, 24.0),
     "dedup_minhash_lsh": (22.0, 40.0),              # 24.5-36.2, r5-r12
     "similarity_ivf_kmeans_topk": (28.0, 45.0),     # 32.2-38.9, r8-r12
-    "text_bigram_perplexity": (45.0, 65.0),         # 50.7-59.4, r10-r12
+    "text_bigram_perplexity": (19.0, 42.0),         # r14 rebase, see above
     "dedup_cluster_components": (40.0, 75.0),       # 45.1-70.3, r5-r12
     "stats_spearman_corr": (14.0, 22.0),            # 16.5-19.2, r9-r12
     "stats_poisson_bootstrap_ci": (11.0, 18.0),     # 12.8-15.6, r9-r12

@@ -34,6 +34,32 @@ TESTDATA_TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def spread_input(df: DataFrame) -> DataFrame:
+    """Widen narrow inputs before CPU-heavy fan-out work (r14 — the
+    extensions/dedup.py ``_spread`` pattern promoted to a shared
+    utility).
+
+    A parquet table written as one row group scans as ONE populated
+    partition no matter how many byte-range splits the planner cuts
+    (a row group goes to the split holding its midpoint) — the guide
+    §2.5 unsplittable-input hazard. Every measured SF of this corpus
+    is laid out that way (1 row group per table file), so tokenizers,
+    shingle explodes and mapInPandas GEMM kernels that run map-side on
+    the scan were SERIAL: the sf10 jaccard eventlog shows a 70 s
+    one-task tokenize stage, 40 % of the query.
+
+    Conditional: a no-op (returns df unchanged, no exchange) when the
+    scan already has >= defaultParallelism partitions — i.e. on any
+    realistically-laid-out large table. Row-wise and post-shuffle
+    consumers are partition-layout-invariant, so results never change;
+    order-sensitive float aggregates downstream are already rounded at
+    their grids per the project convention."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table, normalizing physical quirks.
 

@@ -56,16 +56,12 @@ MINHASH_MOD = 2147483647
 
 
 def _spread(df: DataFrame) -> DataFrame:
-    """Widen narrow inputs before CPU-heavy fan-out work.
+    """Widen narrow inputs before CPU-heavy fan-out work — now the
+    shared ``catalog.tables.spread_input`` (r14); this alias keeps the
+    dedup family's call sites stable."""
+    from emission_project_spark.catalog.tables import spread_input
 
-    A small parquet table scans as 1-2 partitions (row-group bound), so
-    everything downstream of an explode/hash chain would run on 1-2
-    cores. Repartitioning a narrow input is a cheap shuffle locally and
-    a no-op at scale (inputs already have ≥ parallelism partitions)."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    return spread_input(df)
 
 
 def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

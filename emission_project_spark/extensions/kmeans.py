@@ -138,7 +138,11 @@ def assign_clusters_blas(vecs: DataFrame, centroids: DataFrame) -> DataFrame:
                 }
             )
 
-    return vecs.mapInPandas(
+    # r14: spread — the batch GEMMs are map-side on the scan (single-
+    # row-group hazard, catalog.tables.spread_input); no-op when wide
+    from emission_project_spark.catalog.tables import spread_input
+
+    return spread_input(vecs).mapInPandas(
         compute, schema="vec_id bigint, e array<double>, cluster_id bigint, d2 double"
     )
 

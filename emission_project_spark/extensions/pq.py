@@ -154,7 +154,11 @@ def pq_encode(
                 {"vec_id": pdf[id_col].to_numpy(), "codes": list(codes)}
             )
 
-    return emb.select(id_col, vec_col).mapInPandas(
+    # r14: the encode GEMMs run map-side on the scan — spread so a
+    # single-row-group input doesn't serialize them (no-op when wide)
+    from emission_project_spark.catalog.tables import spread_input
+
+    return spread_input(emb.select(id_col, vec_col)).mapInPandas(
         gen, schema="vec_id bigint, codes array<int>"
     )
 

@@ -29,8 +29,16 @@ ROUND = 6
 
 
 def _scored(vectors: DataFrame, query: DataFrame) -> DataFrame:
-    """Cross-join vectors against (broadcast) query rows and score."""
-    v = vectors.select(F.col("vec_id"), F.col("embedding").alias("_emb"))
+    """Cross-join vectors against (broadcast) query rows and score.
+
+    r14: spread_input before the map-side scoring pass — a single-row-
+    group corpus scan would run every cosine fold on one core (guide
+    §2.5); no-op when the scan is already wide."""
+    from emission_project_spark.catalog.tables import spread_input
+
+    v = spread_input(vectors).select(
+        F.col("vec_id"), F.col("embedding").alias("_emb")
+    )
     q = query.select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("_q_emb")
     )
@@ -101,7 +109,11 @@ def assign_cells(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
     c = centroids.select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("_c_emb")
     )
-    scored = vectors.select("vec_id", "embedding").crossJoin(F.broadcast(c)).select(
+    # r14: spread — the per-vector centroid scoring is map-side on the
+    # scan (single-row-group hazard, see _scored); no-op when wide
+    from emission_project_spark.catalog.tables import spread_input
+
+    scored = spread_input(vectors.select("vec_id", "embedding")).crossJoin(F.broadcast(c)).select(
         "vec_id",
         "embedding",
         "centroid_id",

@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "cell_minrank",
+    "global_row_number",
     "row_position",
     "ntile_from_position",
     "shared_bounds",
@@ -203,6 +204,72 @@ def row_position(
             (F.col("__off") + F.row_number().over(win)).cast("long"),
         )
         .drop("__b", "__off")
+    )
+
+
+def global_row_number(
+    df: DataFrame,
+    order_cols: list[Column | str],
+    out_col: str = "rk",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact ``row_number() OVER (ORDER BY order_cols)`` for a UNIQUE
+    composite key, with NO distribution assumptions on the key — the
+    r14 companion to :func:`row_position` for orderings
+    ``width_bucket`` cannot bucket evenly (string tie-breaks, or a
+    numeric lead column so skewed that one bucket holds the relation:
+    a document-frequency rank where most of the vocabulary is hapax
+    puts ~everything in the df=1 bucket and the "distributed" rank
+    degenerates to one task — measured 70 s single-task for 20.6M
+    shingles at sf10 on the plain global window this replaces).
+
+    Mechanism: ``repartitionByRange(order_cols)`` (sampled, therefore
+    distribution-ADAPTIVE range buckets) → ``sortWithinPartitions`` →
+    ``monotonically_increasing_id`` whose upper bits are the partition
+    id and lower bits the within-partition row index → per-partition
+    row counts → running offsets (a window over ≤num_partitions rows)
+    → rank = offset(partition) + index + 1.
+
+    The sampled range boundaries are NOT deterministic across runs —
+    which is exactly why the ranked relation is lazily
+    ``localCheckpoint``-ed here: offsets and indices are derived from
+    ONE materialized layout, so they cannot disagree, and the returned
+    rank is the exact row_number over the total order whatever
+    boundaries the sampler drew. (Two un-materialized consumers of a
+    range exchange re-sample independently and CAN disagree — the
+    failure mode that rules out a lazy-only formulation.)
+
+    NULL ordering follows Spark sort semantics (NULLS FIRST for ASC,
+    LAST for DESC) — the same order the global window would produce."""
+    sp = df.sparkSession
+    n_parts = num_partitions or int(
+        sp.conf.get("spark.sql.shuffle.partitions")
+    )
+    ranged = (
+        df.repartitionByRange(n_parts, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("__mid", F.monotonically_increasing_id())
+        .withColumn("__pid", F.shiftright("__mid", 33).cast("int"))
+        .withColumn(
+            "__idx",
+            F.col("__mid").bitwiseAND(F.lit((1 << 33) - 1)).cast("long"),
+        )
+        .drop("__mid")
+        .localCheckpoint(eager=False)
+    )
+    woff = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = (
+        ranged.groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("__pc"))
+        .select(
+            "__pid",
+            F.coalesce(F.sum("__pc").over(woff), F.lit(0)).alias("__off"),
+        )
+    )
+    return (
+        ranged.join(F.broadcast(offs), "__pid")
+        .withColumn(out_col, (F.col("__off") + F.col("__idx") + 1).cast("long"))
+        .drop("__pid", "__idx", "__off")
     )
 
 

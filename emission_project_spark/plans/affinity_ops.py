@@ -514,8 +514,18 @@ _SHINGLE5_SQL = """
 
 def _shingles5(docs: DataFrame) -> DataFrame:
     """Distinct 5-gram word shingles per document (Spark twin of
-    _SHINGLE5_SQL)."""
-    toked = docs.select(
+    _SHINGLE5_SQL).
+
+    r14: ``_spread`` before the tokenizer — the documents table scans
+    as ONE populated partition (single parquet row group at every
+    measured SF, and an unsplittable-input hazard at any scale, guide
+    §2.5), so the regex tokenize + 5-gram explode ran on one core: the
+    sf10 eventlog showed a 70 s 1-task stage, 40 % of the query's
+    wall. The conditional repartition is a ~56 MB shuffle at sf10 and
+    a no-op on inputs that already scan wide."""
+    from emission_project_spark.extensions.dedup import _spread
+
+    toked = _spread(docs).select(
         "doc_id", tokens(F.lower(F.col("text"))).alias("t")
     ).filter(F.size("t") >= 5)
     sh = toked.select(
@@ -584,14 +594,20 @@ def dedup_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # global rarity order: (df asc, shingle asc) → dense integer rank.
     # vocab-sized shuffle, not corpus-sized.
-    df_rank = (
-        sh.groupBy("sh")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .withColumn(
-            "rk", F.row_number().over(Window.orderBy(F.col("df").asc(), F.col("sh").asc()))
-        )
-        .select("sh", "rk")
-    )
+    # r14: ranks.global_row_number instead of a partition-less
+    # row_number window — 5-gram shingles are near-unique, so the
+    # vocabulary is ~corpus-sized and the global window sorted 20.6M
+    # rows in ONE task (70 s, 40 % of the sf10 wall, eventlog on
+    # record; a serial wall at any scale). The range-partitioned rank
+    # is the same total order, bit-identical ranks, no distribution
+    # assumption (df is hapax-skewed, so width_bucket-style bucketing
+    # on df would put ~the whole vocabulary in one bucket).
+    from emission_project_spark.functions.ranks import global_row_number
+
+    df_rank = global_row_number(
+        sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df")),
+        [F.col("df").asc(), F.col("sh").asc()],
+    ).select("sh", "rk")
     ranked = (
         sh.join(df_rank, "sh")
         .groupBy("doc_id")

@@ -177,8 +177,16 @@ def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bigram probe stream) — without a checkpoint each one re-scans
     # the parquet and re-runs the regex tokenizer (the executed plan
     # showed 5 scans / 0 reused exchanges; the KN query's one-pass
-    # discipline applied here), spillable at corpus scale
-    d = docs.select(
+    # discipline applied here), spillable at corpus scale.
+    # r14: _spread BEFORE the tokenizer — documents scans as one
+    # populated partition (single parquet row group; the guide §2.5
+    # unsplittable-input hazard), so the checkpoint materialization
+    # tokenized the whole corpus on one core and every downstream
+    # map side inherited the 1-partition layout. Conditional
+    # repartition: no-op on inputs that already scan wide.
+    from emission_project_spark.extensions.dedup import _spread
+
+    d = _spread(docs).select(
         "doc_id", tokens(F.lower(F.col("text"))).alias("toks")
     ).localCheckpoint(eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK)
     t = d.select("doc_id", F.explode("toks").alias("term"))

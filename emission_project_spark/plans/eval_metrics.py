@@ -1944,6 +1944,15 @@ def embedding_hubness_ivf(
     import pandas as pd
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # r14: the n·√n assignment GEMM runs map-side on the scan, and the
+    # embeddings table is one parquet row group at every measured SF —
+    # ONE populated partition, so the whole corpus×centroid GEMM ran on
+    # one Python worker (guide §2.5 unsplittable input). spread_input
+    # is a no-op on wide scans; centroid collects/count stay on the
+    # raw relation (no shuffle for driver-side probes).
+    from emission_project_spark.catalog.tables import spread_input
+
+    emb_sp = spread_input(emb)
     n_total = emb.count()
     if n_total == 0:
         # empty corpus → empty readout (the oracle's 0-row result); the
@@ -2027,7 +2036,7 @@ def embedding_hubness_ivf(
                     }
                 )
 
-        assigned = emb.mapInPandas(
+        assigned = emb_sp.mapInPandas(
             assign, schema="vec_id long, cid long, embedding array<float>"
         )
     else:
@@ -2227,7 +2236,12 @@ def _ivf_assign_sharded(emb: DataFrame, nc: int, cap: int) -> DataFrame:
 
         return assign
 
-    out = emb
+    # r14: the chained corpus passes are map-side GEMMs — spread the
+    # scan once so they run wide (centroid-slice collects above stay
+    # on the raw relation: no exchange for driver-side probes)
+    from emission_project_spark.catalog.tables import spread_input
+
+    out = spread_input(emb)
     n_groups = -(-len(shards) // _SHARD_GROUP)
     for g in range(n_groups):
         group = shards[g * _SHARD_GROUP : (g + 1) * _SHARD_GROUP]

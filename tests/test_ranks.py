@@ -225,3 +225,38 @@ def test_shared_bounds_matches_per_call_bounds(spark):
             ).collect()
         }
         assert fused == base, f"metric {key} diverged under shared bounds"
+
+
+def test_global_row_number_matches_window(spark):
+    """r14: global_row_number must equal row_number() over the global
+    window for a unique composite key — including string tie-breaks,
+    a hapax-skewed lead column (the distribution width_bucket-style
+    bucketing cannot split), NULLs in the lead column (NULLS FIRST for
+    ASC, like the window), and descending lead columns."""
+    from emission_project_spark.functions.ranks import global_row_number
+
+    rng = random.Random(99)
+    rows = [
+        Row(
+            s=f"{rng.choice('abcxyz')}{i:04d}",
+            f=None if i % 31 == 0 else (1 if i % 5 else rng.randrange(2, 9)),
+        )
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(rows)
+    for order, nparts in (
+        ([F.col("f").asc(), F.col("s").asc()], 7),
+        ([F.col("f").desc(), F.col("s").asc()], 3),
+        ([F.col("s").asc()], 1),
+    ):
+        got = {
+            r["s"]: r["rk"]
+            for r in global_row_number(df, order, num_partitions=nparts).collect()
+        }
+        want = {
+            r["s"]: r["rk"]
+            for r in df.select(
+                "s", F.row_number().over(Window.orderBy(*order)).alias("rk")
+            ).collect()
+        }
+        assert got == want
