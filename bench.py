@@ -311,8 +311,12 @@ SF10_EXPECTED_BANDS = {
     # r10 A/B envelope was 188-254; round 12 added same-window samples
     # 274.0 / 210.1 / 272.3 on byte-identical code (1.8% section steal)
     # — ±15% single-run wobble straddles the old max, so the band is
-    # widened to the measured reality rather than re-litigated per run
-    "graph_triangle_stats": (185.0, 285.0),
+    # widened to the measured reality rather than re-litigated per run.
+    # r14 floor 185->155: the task-#2 A/B's fast window read 158.165 s
+    # on byte-identical-to-r13 OLD code (plans/r14/ab/
+    # triangle_agg_partitions_sf10.log) — window speed, not a plan
+    # change; ceiling stands.
+    "graph_triangle_stats": (155.0, 285.0),
     "dedup_semantic_pairs": (55.0, 110.0),
     # The rest of the heavy set, from every sealed BENCH_SF10_r* value
     # taken on CURRENT plan code (older-code rounds excluded where a

@@ -74,6 +74,27 @@ def _parquet_column_range(sf_dir: str, table: str, column: str):
         return None
 
 
+def _parquet_row_count(sf_dir: str, table: str):
+    """Total row count from parquet footers — zero Spark jobs (the
+    _parquet_column_range pattern); None on any surprise."""
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    try:
+        files = (
+            [
+                os.path.join(path, f)
+                for f in os.listdir(path)
+                if f.endswith(".parquet")
+            ]
+            if os.path.isdir(path)
+            else [path]
+        )
+        return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    except OSError:
+        return None
+
+
 def _copurchase_baskets(
     spark: SparkSession, sf_dir: str, int_ids: bool = False
 ) -> DataFrame:
@@ -97,19 +118,47 @@ def _copurchase_baskets(
             rng = (row.lo, row.hi)
         if rng[0] is not None and rng[0] >= -(2**31) and rng[1] < 2**31:
             key = key.cast("int")
+    sel = li.select("l_orderkey", key.alias("l_partkey"))
+    # r14 (verdict task #2): the basket collect_set is an
+    # ObjectHashAggregate that ALWAYS runs its sort-based fallback in
+    # anger (fallback threshold = 128 keys; raising it OOMs — the map
+    # is untracked JVM memory, experiment in plans/r14/ab/), so its
+    # spill is bounded by per-task input volume. Size the aggregate's
+    # partitions from the parquet footer row count (~1.5M lines/task)
+    # instead of the session constant: collect_set has NO map-side
+    # reduction to lose (per-order set elements are disjoint), the
+    # keyed repartition IS the aggregate's exchange, and the count
+    # scales with the data, not the local core count. sf10 eventlog:
+    # the 64-task basket stage carried 18.3 GB memory-spill at the
+    # session default.
+    n_rows = _parquet_row_count(sf_dir, "lineitem")
+    default_p = int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
+    if n_rows and n_rows // 1_500_000 > default_p:
+        sel = sel.repartition(n_rows // 1_500_000, "l_orderkey")
     return (
-        li.select("l_orderkey", key.alias("l_partkey"))
-        .groupBy("l_orderkey")
+        sel.groupBy("l_orderkey")
         .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
     )
 
 
-def _pairs_from_baskets(baskets: DataFrame, min_support: int = 1) -> DataFrame:
+def _pairs_from_baskets(
+    baskets: DataFrame, min_support: int = 1, agg_partitions: int | None = None
+) -> DataFrame:
     """Distinct undirected co-purchase edges (pa < pb) from basket
     arrays: the pair fanout is generated inside each per-order sorted
     array (the pattern shared with basket_part_pairs_lift /
     graph_pagerank_parts) — bounded by lines-per-order, never
-    corpus-quadratic."""
+    corpus-quadratic.
+
+    ``agg_partitions``: callers with a pair-count estimate (triangle's
+    Σ k(k−1)/2 probe) size the dedup aggregate's exchange with it —
+    map-side partial aggregation dedups only WITHIN a partition, and
+    co-purchase pairs from different orders almost never collide in
+    one map partition, so the explicit keyed repartition loses ~no
+    reduction while bounding the final aggregate's per-task state
+    (r14, verdict task #2)."""
     n = F.size("parts")
     pair_structs = F.flatten(
         F.transform(
@@ -120,9 +169,13 @@ def _pairs_from_baskets(baskets: DataFrame, min_support: int = 1) -> DataFrame:
             ),
         )
     )
+    exploded = baskets.select(F.explode(pair_structs).alias("pr")).select(
+        F.col("pr.pa").alias("pa"), F.col("pr.pb").alias("pb")
+    )
+    if agg_partitions:
+        exploded = exploded.repartition(agg_partitions, "pa", "pb")
     pairs = (
-        baskets.select(F.explode(pair_structs).alias("pr"))
-        .groupBy(F.col("pr.pa").alias("pa"), F.col("pr.pb").alias("pb"))
+        exploded.groupBy("pa", "pb")
         .agg(F.count(F.lit(1)).alias("support"))
     )
     if min_support > 1:
@@ -218,7 +271,15 @@ def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         baskets.agg(F.sum(k * (k - 1) / 2).cast("long").alias("ub")).first()["ub"]
         or 0
     )
-    pairs = _pairs_from_baskets(baskets).localCheckpoint(
+    pair_parts = (
+        max(
+            int(spark.conf.get("spark.sql.shuffle.partitions")),
+            n_edges // 1_500_000,
+        )
+        if n_edges > TRIANGLE_REPART_EDGE_THRESHOLD
+        else None
+    )
+    pairs = _pairs_from_baskets(baskets, agg_partitions=pair_parts).localCheckpoint(
         eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK
     )
     deg = (
@@ -257,8 +318,23 @@ def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 72M rows / 20 s at sf0.1 vs ~3 s for this shape); the per-edge
     # intersect is O(|N⁺(u)|+|N⁺(v)|) JVM array work. Degree
     # orientation still bounds every array at O(√m) under skew.
+    # r14 (verdict task #2): size the adjacency collect_list's
+    # partitions edge-proportionally too (same sort-based-fallback
+    # spill mechanism as the basket build — see _copurchase_baskets;
+    # the keyed repartition IS the aggregate's exchange, and
+    # collect_list has no map-side reduction to lose). Below the
+    # threshold the session default stands.
+    adj_src = oriented
+    if n_edges > TRIANGLE_REPART_EDGE_THRESHOLD:
+        adj_src = oriented.repartition(
+            max(
+                int(spark.conf.get("spark.sql.shuffle.partitions")),
+                n_edges // 1_500_000,
+            ),
+            "src",
+        )
     adj = (
-        oriented.groupBy("src")
+        adj_src.groupBy("src")
         .agg(F.sort_array(F.collect_list("dst")).alias("ns"))
         .localCheckpoint(eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK)
     )
